@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the 12 headline queries (BASELINE.md) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Methodology (BASELINE.md interpretation note): Spark carries ~1-3 s fixed
+JVM/planning overhead per cold action, so we warm the session (one throwaway
+run of each query), then time each query's full plan+execute+fetch. The
+headline value is the warm suite total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dcosb_cassandra_spark.registry import REGISTRY, load_all
+from dcosb_cassandra_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_top2_per_cust",
+    "distinct_users_per_type",
+    "tumbling_window_events",
+    "json_extract_props",
+    "antijoin_custs_no_orders",
+    "cube_rollup",
+    "text_token_counts",
+    "knn_top10_vs_query",
+    "exact_dedup_docs",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    n = len(df.collect())
+    dt = time.perf_counter() - t0
+    assert n >= 0
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("dcosb-bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_all()
+    names = [n for n in HEADLINE if n in REGISTRY]
+
+    for name in names:  # warm-up: JIT, parquet footer cache, codegen cache
+        run_once(spark, name, sf_dir)
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_suite_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

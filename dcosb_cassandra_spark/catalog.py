@@ -1,0 +1,67 @@
+"""Table catalog: loaders over the driver-generated parquet (TESTDATA.md).
+
+Cassandra mapping (SURVEY.md §1.2): a keyspace.table becomes a named
+DataFrame; the parquet snapshot stands in for the bulk-loaded Cassandra
+snapshot (the reference's stated Spark integration posture is bulk
+read/write via connector, BASELINE.json "spark_approach").
+
+Scale note: loaders are plain ``spark.read.parquet`` so Catalyst keeps full
+pushdown/pruning freedom — filters and projections written downstream reach
+the scan (verify with ``plans/audit.py``). At 100 TB the same call reads a
+partitioned parquet/iceberg layout; nothing here collects or materializes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_engine_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: tables small enough to broadcast at ANY scale factor (dimension tables in
+#: the star schema; region/nation are constant-size, supplier/customer/part
+#: grow but stay << fact tables). Used by operators to declare broadcast
+#: intent explicitly (SURVEY.md §2 "100 TB design rules").
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+#: schema for the JSON `events.props` payload (FIXTURES.md: shape {"k": int})
+EVENTS_PROPS_SCHEMA = "k INT"
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. The unit of the catalog — all operators go through
+    here so scan behavior (and the UTC conf pin) is uniform.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default; we read it as a nanos long and integer-divide to micros —
+    bit-identical to how DuckDB (the oracle) truncates ns→µs on read
+    (verified: DuckDB 1.0 reads the column as plain TIMESTAMP)."""
+    ensure_engine_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries
+    (subquery-shaped operators, SURVEY.md §3.4 entry point 3)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

