@@ -8,11 +8,11 @@ from __future__ import annotations
 
 import math
 from datetime import date, datetime
+from decimal import Decimal
 from typing import Any
 
 import duckdb
 import numpy as np
-import pandas as pd
 from pyspark.sql import SparkSession
 
 from .catalog import TABLES
@@ -33,18 +33,19 @@ def _canon_cell(v: Any) -> Any:
     """Normalize a cell to an engine-independent comparable value."""
     if v is None:
         return None
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, Decimal):
+        return float(v)
     if isinstance(v, (np.floating, float)):
         f = float(v)
         return None if math.isnan(f) else f
-    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+    if isinstance(v, (np.integer, int)):
         return int(v)
-    if isinstance(v, (np.bool_, bool)):
-        return bool(v)
-    if isinstance(v, (pd.Timestamp, datetime)):
-        ts = pd.Timestamp(v)
-        if ts.tzinfo is not None:
-            ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts.isoformat()
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(tz=None).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -56,14 +57,13 @@ def _canon_cell(v: Any) -> Any:
     return v
 
 
-def canon_frame(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
-    cols = sorted(pdf.columns)
-    rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
-    ]
+def canon_rows(raw_rows: list, n_cols: int, cols: list[str]) -> list[tuple]:
+    """Canonicalize rows (native Python values from collect()/fetchall()),
+    reorder cells into sorted-column order, sort rows order-insensitively."""
+    order = sorted(range(n_cols), key=lambda i: cols[i])
+    rows = [tuple(_canon_cell(r[i]) for i in order) for r in raw_rows]
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return cols, rows
+    return rows
 
 
 def _cells_match(a: Any, b: Any, rel: float = 1e-9, absolute: float = 1e-9) -> bool:
@@ -82,19 +82,22 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> dict:
     load_all()
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
+    spark_raw = sdf.collect()
     if spec.oracle is None:
-        return {"name": name, "ok": len(spark_pdf) >= 0, "mode": "rows-only",
-                "spark_rows": len(spark_pdf)}
+        return {"name": name, "ok": len(spark_raw) >= 0, "mode": "rows-only",
+                "spark_rows": len(spark_raw)}
 
     con = duckdb_connect(sf_dir)
     try:
-        oracle_pdf = con.execute(spec.oracle).fetchdf()
+        cur = con.execute(spec.oracle)
+        oracle_cols = [d[0] for d in cur.description]
+        oracle_raw = cur.fetchall()
     finally:
         con.close()
 
-    s_cols, s_rows = canon_frame(spark_pdf)
-    o_cols, o_rows = canon_frame(oracle_pdf)
+    s_cols, o_cols = sorted(sdf.columns), sorted(oracle_cols)
+    s_rows = canon_rows([tuple(r) for r in spark_raw], len(sdf.columns), list(sdf.columns))
+    o_rows = canon_rows(oracle_raw, len(oracle_cols), oracle_cols)
     out = {"name": name, "mode": "oracle", "spark_rows": len(s_rows),
            "oracle_rows": len(o_rows), "spark_cols": s_cols, "oracle_cols": o_cols}
     if s_cols != o_cols:

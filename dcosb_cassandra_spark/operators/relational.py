@@ -1,1 +1,436 @@
-"""Placeholder — populated in later milestones (SURVEY.md §7 phases)."""
+"""Relational-analytics layer (SURVEY.md §2.B): joins in all flavors, set
+ops, subqueries, pivot, sampling. Cassandra itself cannot join — clients and
+the Spark connector do (BASELINE.json north star prescribes exactly this
+division) — so these are Spark-idiomatic, oracle-checked supersets.
+
+Scale notes: every join declares broadcast-vs-shuffle intent. Dim joins
+(region/nation/supplier, literal band tables) broadcast; fact-fact joins
+shuffle once on their equi-key. The as-of join deliberately avoids the
+O(n·m) range join: it is the union+window sort-merge pattern, which scales
+as one shuffle + one per-key ordered scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register_views, table
+from ..registry import query
+
+
+@query(
+    "b01_broadcast_join_dims",
+    oracle="""
+        SELECT r.r_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 2) AS total_bal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    tags=("B1", "P0"),
+)
+def b01_broadcast_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim chain, broadcast end-to-end: zero shuffles for the
+    joins (only the final 5-group agg exchanges)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@query(
+    "b02_shuffle_join_facts",
+    oracle="""
+        SELECT o.o_orderstatus, count(*) AS n_lines,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("B2", "P0"),
+)
+def b02_shuffle_join_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact: both sides shuffle once on orderkey (co-partitioned SMJ or
+    AQE-switched broadcast at small SF). At 100 TB, bucketing both tables by
+    orderkey would remove this exchange entirely — documented in SCALE.md."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "b03_left_outer_join",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("B3", "P0"),
+)
+def b03_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: customers kept with zero orders (count(col) skips nulls
+    on both engines)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "b03b_full_outer_join",
+    oracle="""
+        WITH s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey),
+             c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey)
+        SELECT coalesce(s.nk, c.nk) AS nationkey,
+               coalesce(s.n_supp, 0) AS n_supp, coalesce(c.n_cust, 0) AS n_cust
+        FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    """,
+    tags=("B3", "P1"),
+)
+def b03b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two pre-aggregated sides. Pre-aggregating before the
+    outer join is the scale pattern: the join inputs shrink from |rows| to
+    |keys| before any exchange."""
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        s.join(c, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "b04_semi_join",
+    oracle="""
+        SELECT count(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("B4", "P0"),
+)
+def b04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi (anti twin is headline antijoin_custs_no_orders)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "b05_range_band_join",
+    oracle="""
+        SELECT b.band, count(*) AS n, round(sum(l.l_extendedprice), 2) AS total
+        FROM lineitem l
+        JOIN (VALUES ('low', 0.0, 17.0), ('mid', 17.0, 34.0), ('high', 34.0, 51.0))
+             AS b(band, lo, hi)
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.band
+    """,
+    tags=("B5", "P1"),
+)
+def b05_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a literal band table. The band side is a
+    3-row broadcast → plans as BroadcastNestedLoopJoin, which is the correct
+    physical strategy when the inner side is tiny; never a shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 17.0), ("mid", 17.0, 34.0), ("high", 34.0, 51.0)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        l.join(F.broadcast(bands), (l.l_quantity >= bands.lo) & (l.l_quantity < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "b06_asof_join",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("B6", "P1"),
+)
+def b06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest click at-or-before each purchase, per user) via the
+    union+window sort-merge idiom: tag both streams, union, per-user ordered
+    scan carrying the last click ts forward. ONE shuffle on user_id and a
+    per-key sort — O(n log n), vs the O(n·m) naive range join. This is the
+    100 TB-safe as-of pattern (same plan shape Flink/kdb use).
+
+    Tie semantics: clicks sort before purchases at equal ts (type_rank), so
+    `c.ts <= p.ts` matches DuckDB ASOF exactly."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("type_rank"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "type_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(F.when(F.col("type_rank") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("last_click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@query(
+    "b07_cross_join",
+    oracle="""
+        SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("B7", "P1"),
+)
+def b07_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dim×dim only — the engine's rule: cross joins
+    allowed only when one side is broadcast-small; all-pairs similarity goes
+    through LSH instead, SURVEY D4)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "b08_self_join",
+    oracle="""
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS rk
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("B8", "P1"),
+)
+def b08_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: unordered same-region nation pairs (the `a<b` dedup idiom
+    every pairwise-similarity operator reuses)."""
+    n = table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("rk"),
+    )
+
+
+@query("b11_approx_count_distinct", oracle=None, tags=("B11", "P1", "rows-only"))
+def b11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (value is approximate → rows-only; the exact
+    twin distinct_users_per_type is the oracle-checked counterpart). At
+    100 TB this is the only sane distinct-cardinality operator: mergeable
+    sketch, no shuffle of raw values."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_u"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "b12b_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("B12", "P1"),
+)
+def b12b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (rollup twin is headline cube_rollup). Catalyst Expand ×4
+    grouping sets with partial aggregation — fact scanned once."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "b16_multi_col_sort",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    tags=("B16", "B17", "P0"),
+)
+def b16_multi_col_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column mixed-direction sort + limit → TakeOrderedAndProject
+    (per-partition heaps, no global sort materialization)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy(F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "b19_union_ops",
+    oracle="""
+        SELECT nk, count(*) AS n FROM (
+            SELECT s_nationkey AS nk FROM supplier
+            UNION ALL
+            SELECT c_nationkey AS nk FROM customer
+        ) GROUP BY nk
+    """,
+    tags=("B19", "P0"),
+)
+def b19_union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name — no shuffle for the union itself (partition
+    concatenation); only the downstream agg exchanges."""
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    return s.unionByName(c).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "b20_intersect_except",
+    oracle="""
+        WITH supp_n AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+             cust_n AS (SELECT DISTINCT c_nationkey AS nk FROM customer)
+        SELECT 'both' AS which, nk FROM (SELECT nk FROM supp_n INTERSECT SELECT nk FROM cust_n)
+        UNION ALL
+        SELECT 'cust_only' AS which, nk FROM (SELECT nk FROM cust_n EXCEPT SELECT nk FROM supp_n)
+    """,
+    tags=("B20", "P1"),
+)
+def b20_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics)."""
+    supp_n = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    cust_n = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    both = supp_n.intersect(cust_n).select(F.lit("both").alias("which"), "nk")
+    cust_only = cust_n.exceptAll(supp_n).select(F.lit("cust_only").alias("which"), "nk")
+    return both.unionByName(cust_only)
+
+
+@query(
+    "b21_correlated_subquery",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n_above
+        FROM customer c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        GROUP BY c_nationkey
+    """,
+    tags=("B21", "P1"),
+)
+def b21_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via spark.sql — Catalyst decorrelates it
+    into an aggregate+join (RewriteCorrelatedScalarSubquery), so the 100 TB
+    plan is one shuffle on the correlation key, not a per-row subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_above
+        FROM customer c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@query(
+    "b22_explode_tokens",
+    oracle="""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
+    tags=("B22", "D5", "P1"),
+)
+def b22_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UDTF shape) → token frequency top-20. Explode multiplies
+    rows ~15× before the agg; partial aggregation collapses it map-side, so
+    the shuffle carries only distinct (token, partial-count) pairs."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "b23_pivot",
+    oracle="""
+        SELECT lang,
+               count(*) FILTER (WHERE source = 'src0') AS src0,
+               count(*) FILTER (WHERE source = 'src1') AS src1,
+               count(*) FILTER (WHERE source = 'src2') AS src2,
+               count(*) FILTER (WHERE source = 'src3') AS src3,
+               count(*) FILTER (WHERE source = 'src4') AS src4
+        FROM documents GROUP BY lang
+    """,
+    tags=("B23", "P2"),
+)
+def b23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never the implicit distinct-scan
+    form — at 100 TB the values pass would be a full extra job)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3", "src4"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["src0", "src1", "src2", "src3", "src4"])
+    )
+
+
+@query("b24_sampling", oracle=None, tags=("B24", "P2", "rows-only"))
+def b24_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (row membership is engine-specific → rows-only
+    check on the aggregate shape)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
