@@ -1,0 +1,67 @@
+"""Hand-rolled MinHash over md5 hex strings (SURVEY.md §2 D2).
+
+Design: the k hash functions are ``md5(seed || ':' || token)`` and the
+minhash is the lexicographic MIN of the hex digests per document. md5 is
+available and bit-identical in Spark AND DuckDB, so the whole pipeline —
+signatures, LSH bands, candidate pairs — is oracle-checkable SQL on both
+engines (SURVEY D2: "hand-rolled minhash — pure SQL-expressible").
+
+Scale: tokenize→explode→k min-aggregates is one shuffle on doc_id with full
+map-side partial mins; banding turns all-pairs similarity into an equi-join
+on (band_idx, band_hash) — the standard LSH trick that replaces the O(n²)
+cross join with hash-partitioned buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows-per-band = num_hashes // bands
+
+
+def tokens_of(text: Column) -> Column:
+    """Distinct word-token set (the shingle set for Jaccard)."""
+    return F.array_distinct(F.split(text, " "))
+
+
+def seeded_hash(token: Column, seed: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}:"), token))
+
+
+def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """(id, mh0..mh{k-1}) — per-doc minhash signature."""
+    toks = docs.select(id_col, F.explode(tokens_of(F.col(text_col))).alias("token"))
+    return toks.groupBy(id_col).agg(
+        *[F.min(seeded_hash(F.col("token"), i)).alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, k: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per band; docs sharing any
+    (band_idx, band_hash) are candidate near-duplicates."""
+    r = k // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(id_col, F.explode(F.array(*entries)).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def minhash_oracle_sql(k: int = DEFAULT_NUM_HASHES) -> str:
+    """DuckDB twin of minhash_signature over `documents` (doc_id, text)."""
+    mins = ",\n               ".join(
+        f"min(md5('{i}:' || token)) AS mh{i}" for i in range(k)
+    )
+    return f"""
+        SELECT doc_id, {mins}
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents)
+        GROUP BY doc_id
+    """

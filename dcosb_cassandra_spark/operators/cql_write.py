@@ -1,1 +1,241 @@
-"""Placeholder — populated in later milestones (SURVEY.md §7 phases)."""
+"""CQL write-path semantics (SURVEY.md §2 A18–A26): upsert/LWW, tombstone
+deletes, TTL, writetime, counters, collection mutations, batches, LWT,
+materialized views — the distinctive Cassandra layer, all window/groupBy
+compositions over the mutation log (sources/mutations.py + functions/lww.py).
+
+[PK anchors: `db/Mutation.java`, `db/rows/Row.java` merge,
+`db/DeletionInfo.java`, `cql3/Attributes.java` (TTL),
+`db/counters/CounterContext.java`, `cql3/Operation.java` (collections),
+`cql3/statements/BatchStatement.java`, `service/paxos/` (LWT), `db/view/`.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.lww import lww_compact
+from ..registry import query
+from ..sources.mutations import row_mutation_log, upsert_log
+
+#: deterministic "now" for TTL queries (oracle can't see a moving clock);
+#: mid-range of the events ts span (2024-01-01 … 2024-01-30, FIXTURES.md)
+TTL_NOW = "2024-01-20 00:00:00"
+
+_LWW_CELL_ORACLE = """
+    SELECT user_id, event_type, round(value, 4) AS latest_payload,
+           epoch_us(ts) AS writetime
+    FROM (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+@query("a18_upsert_lww", oracle=_LWW_CELL_ORACLE, tags=("A18", "P0"))
+def a18_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT/UPDATE-as-upsert: compact the cell mutation log, latest
+    writetime wins per (partition key, clustering key)."""
+    log = upsert_log(spark, sf_dir)
+    live = lww_compact(
+        log, ["user_id", "event_type"], tiebreak_col="mutation_id"
+    )
+    return live.select(
+        "user_id",
+        "event_type",
+        F.round("payload", 4).alias("latest_payload"),
+        "writetime",
+    )
+
+
+@query(
+    "a19_delete_tombstones",
+    oracle="""
+        SELECT user_id, payload_type AS live_type, round(payload, 4) AS live_payload
+        FROM (
+            SELECT user_id, event_type AS payload_type, value AS payload,
+                   event_type = 'error' AS tombstone,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND NOT tombstone
+    """,
+    tags=("A19", "P1"),
+)
+def a19_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via tombstones: a delete marker shadows all older writes for
+    its key; a newer upsert resurrects the key. Users whose latest mutation
+    is a tombstone vanish from the live view."""
+    log = row_mutation_log(spark, sf_dir)
+    live = lww_compact(log, ["user_id"], tiebreak_col="mutation_id")
+    return live.select(
+        "user_id",
+        F.col("payload_type").alias("live_type"),
+        F.round("payload", 4).alias("live_payload"),
+    )
+
+
+@query(
+    "a20_ttl_expiry",
+    oracle=f"""
+        SELECT event_type,
+               count(*) FILTER (WHERE ts + INTERVAL 7 DAY >  TIMESTAMP '{TTL_NOW}') AS n_live,
+               count(*) FILTER (WHERE ts + INTERVAL 7 DAY <= TIMESTAMP '{TTL_NOW}') AS n_expired,
+               max(CASE WHEN ts + INTERVAL 7 DAY > TIMESTAMP '{TTL_NOW}'
+                        THEN (epoch_us(ts + INTERVAL 7 DAY) - epoch_us(TIMESTAMP '{TTL_NOW}')) // 1000000
+                   END) AS max_ttl_remaining_s
+        FROM events GROUP BY event_type
+    """,
+    tags=("A20", "P1"),
+)
+def a20_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING TTL 7d + ttl() readback: expires_at = writetime + ttl; the read
+    path filters expired cells (Cassandra purges them at compaction — here
+    the filter IS the purge). Deterministic fixed 'now' so the oracle can
+    replay. ttl() = seconds until expiry, floor — matching CQL's int ttl."""
+    e = table(spark, sf_dir, "events")
+    expires_at = F.col("ts") + F.expr("INTERVAL 7 DAY")
+    now = F.lit(TTL_NOW).cast("timestamp")
+    live = expires_at > now
+    ttl_s = (F.unix_micros(expires_at) - F.unix_micros(now)) / F.lit(1_000_000)
+    return e.groupBy("event_type").agg(
+        F.count(F.when(live, 1)).alias("n_live"),
+        F.count(F.when(~live, 1)).alias("n_expired"),
+        F.max(F.when(live, F.floor(ttl_s))).alias("max_ttl_remaining_s"),
+    )
+
+
+@query(
+    "a21_writetime_readback",
+    oracle="""
+        SELECT event_id, user_id, epoch_us(ts) AS writetime_us,
+               make_timestamp(epoch_us(ts)) AS write_ts
+        FROM events WHERE event_id <= 40
+    """,
+    tags=("A21", "P1"),
+)
+def a21_writetime_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITETIME(col): cell timestamps are explicit epoch-micros columns in
+    the Spark mapping (SURVEY §1.2) — selecting them IS the function."""
+    e = table(spark, sf_dir, "events")
+    wt = F.unix_micros("ts")
+    return e.filter(F.col("event_id") <= 40).select(
+        "event_id",
+        "user_id",
+        wt.alias("writetime_us"),
+        F.timestamp_micros(wt).alias("write_ts"),
+    )
+
+
+@query(
+    "a22_counter_updates",
+    oracle="""
+        SELECT user_id, count(*) AS n_increments, round(sum(value), 4) AS counter_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("A22", "P1"),
+)
+def a22_counter_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter column: the only legal op is c = c ± delta, so the merged
+    state is sum(delta) per key — commutative/associative, i.e. a partial
+    aggregate. This is why counters scale: map-side combine does most of
+    the merge before the single key shuffle."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_increments"),
+        F.round(F.sum("value"), 4).alias("counter_value"),
+    )
+
+
+@query(
+    "a23_collection_mutations",
+    oracle="""
+        SELECT user_id,
+               list_sort(list_distinct(list(event_type))) AS type_set,
+               count(*) AS n_appends
+        FROM events GROUP BY user_id
+    """,
+    tags=("A23", "P1"),
+)
+def a23_collection_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection mutations: set<text> built by repeated `s = s + {v}`
+    updates → distinct-accumulate per key; list append count alongside.
+    Sorted before emission so the value-hash is order-stable."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("type_set"),
+        F.count(F.lit(1)).alias("n_appends"),
+    )
+
+
+@query("a24_batch_write", oracle=_LWW_CELL_ORACLE, tags=("A24", "P2"))
+def a24_batch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN BATCH: two mutation batches (split by mutation id parity)
+    unioned into one log, compacted once — batch atomicity degenerates to
+    single-compaction visibility in a snapshot engine. Result must equal
+    the unbatched upsert path (same oracle as a18), demonstrating
+    commutativity of batch boundaries."""
+    log = upsert_log(spark, sf_dir)
+    batch1 = log.filter(F.col("mutation_id") % 2 == 0)
+    batch2 = log.filter(F.col("mutation_id") % 2 == 1)
+    merged = batch1.unionByName(batch2)
+    live = lww_compact(merged, ["user_id", "event_type"], tiebreak_col="mutation_id")
+    return live.select(
+        "user_id",
+        "event_type",
+        F.round("payload", 4).alias("latest_payload"),
+        "writetime",
+    )
+
+
+@query(
+    "a25_lwt_insert_if_not_exists",
+    oracle="""
+        SELECT count(*) FILTER (WHERE NOT EXISTS
+                  (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) AS n_inserted,
+               count(*) FILTER (WHERE EXISTS
+                  (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) AS n_rejected
+        FROM customer c
+    """,
+    tags=("A25", "P2"),
+)
+def a25_lwt_insert_if_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWT INSERT IF NOT EXISTS, batch-emulated: candidate keys (customer
+    ids) conditionally insert into the user-state table — applied = anti
+    join, rejected = semi join. (No Paxos needed in a single-engine
+    snapshot; noted out-of-scope per SURVEY A35.)"""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    existing = table(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    inserted = c.join(existing, "k", "left_anti").agg(F.count(F.lit(1)).alias("n_inserted"))
+    rejected = c.join(existing, "k", "left_semi").agg(F.count(F.lit(1)).alias("n_rejected"))
+    return inserted.crossJoin(rejected)
+
+
+@query(
+    "a26_materialized_view",
+    oracle="""
+        SELECT event_type, count(*) AS n_keys, round(avg(value), 6) AS avg_payload
+        FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+        GROUP BY event_type
+    """,
+    tags=("A26", "P1"),
+)
+def a26_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view: the compacted base table re-keyed by a non-key
+    column (event_type) — a derived DataFrame repartitioned on the new key.
+    Incremental maintenance twin (foreachBatch) in streaming/streams.py."""
+    log = upsert_log(spark, sf_dir)
+    base = lww_compact(log, ["user_id", "event_type"], tiebreak_col="mutation_id")
+    return (
+        base.repartition("event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.round(F.avg("payload"), 6).alias("avg_payload"))
+    )

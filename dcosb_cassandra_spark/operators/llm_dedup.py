@@ -1,1 +1,239 @@
-"""Placeholder — populated in later milestones (SURVEY.md §7 phases)."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2 D1/D2):
+exact dedup, MinHash signatures + LSH candidate pairs, SimHash
+fingerprints, and blocked n-gram Jaccard — all pure built-in-function
+compositions, every one oracle-checked against DuckDB.
+
+Note on this corpus: FIXTURES.md verified exact-duplicate texts exist only
+at sf0.1 (8 rows) and none at sf0.01 — so the dedup fixtures here assert
+group structure (the oracle agrees on exactly which groups exist, even when
+all groups have size 1), which is the correct contract at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    lsh_bands,
+    minhash_oracle_sql,
+    minhash_signature,
+    tokens_of,
+)
+from ..registry import query
+
+
+@query(
+    "d1_exact_dedup_keep_min",
+    oracle="""
+        SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, min(lang) AS lang
+        FROM documents GROUP BY text
+    """,
+    tags=("D1", "P0"),
+)
+def d1_exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-lowest-id per identical text. At 100 TB: group on
+    md5(text) instead of the full text to shrink shuffle payload — semantics
+    identical for dedup purposes; here the raw text keeps the oracle
+    byte-faithful."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("lang").alias("lang"),
+    ).drop("text")
+
+
+@query("d2_minhash_signatures", oracle=minhash_oracle_sql(), tags=("D2", "P1"))
+def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per document (k=8 seeded md5 mins over the word
+    set) — the building block of near-dup detection, checked hash-for-hash
+    against the SQL twin."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+
+
+@query(
+    "d2b_minhash_lsh_pairs",
+    oracle=f"""
+        WITH sigs AS ({minhash_oracle_sql()}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                FROM documents),
+        jac AS (
+            SELECT c.id_a, c.id_b,
+                   count(*) FILTER (WHERE ta.token = tb.token) AS both_n
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.id_a
+            JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+            GROUP BY c.id_a, c.id_b
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+        SELECT count(*) AS n_candidate_pairs,
+               count(*) FILTER (
+                   WHERE both_n * 1.0 / (sa.n + sb.n - both_n) >= 0.5) AS n_confirmed
+        FROM jac j JOIN sizes sa ON sa.doc_id = j.id_a
+                   JOIN sizes sb ON sb.doc_id = j.id_b
+    """,
+    tags=("D2", "P1"),
+)
+def d2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline end-to-end: signature → 4 bands × 2
+    rows → candidate pairs via equi-join on (band_idx, band_hash) →
+    verified with exact Jaccard ≥ 0.5. The cross join never happens: LSH
+    banding makes candidate generation a hash join, the 100 TB-safe shape."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    tok = d.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("token"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    overlap = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("id_a"))
+        .join(tb, (F.col("tb.doc_id") == F.col("id_b")) & (F.col("tb.token") == F.col("ta.token")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = (
+        overlap.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))).alias("jaccard"),
+        )
+    )
+    return jac.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.count(F.when(F.col("jaccard") >= 0.5, 1)).alias("n_confirmed"),
+    )
+
+
+@query(
+    "d2c_blocked_jaccard_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        pair AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS both_n
+            FROM tok a JOIN tok b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(p.both_n * 1.0 / (sa.n + sb.n - p.both_n), 6) AS jaccard
+        FROM pair p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE p.both_n * 1.0 / (sa.n + sb.n - p.both_n) >= 0.2
+    """,
+    tags=("D2", "P1"),
+)
+def d2c_blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: pairs restricted to the same
+    (lang, source) block, computed by joining exploded token sets (the
+    inverted-index join — pairs materialize only for docs sharing ≥1
+    token within a block, never the full cross product)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    return (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_NIBBLE = "strpos('0123456789abcdef', substr(md5(token), {j}, 1)) - 1"
+
+
+@query(
+    "d2d_simhash_fingerprints",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        )
+        SELECT doc_id,
+               {" || ".join(
+                   "CASE WHEN sum(CASE WHEN " + _NIBBLE.format(j=j) + " >= 8 THEN 1 ELSE 0 END)"
+                   " * 2 > count(*) THEN '1' ELSE '0' END"
+                   for j in range(1, 17)
+               )} AS simhash16
+        FROM tok GROUP BY doc_id
+    """,
+    tags=("D2", "P1"),
+)
+def d2d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, nibble-majority over token md5s): documents whose
+    token sets mostly overlap get equal/near fingerprints; hamming-distance
+    bucketing then finds near-dups without any pairwise pass. One explode +
+    one grouped aggregation — fully partial-aggregatable (16 conditional
+    sums), so the shuffle carries 16 ints per doc, not the tokens."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("token"))
+    bit = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.expr(f"instr('0123456789abcdef', substr(md5(token), {j}, 1)) - 1") >= 8, 1
+                ).otherwise(0)
+            )
+            * 2
+            > F.count(F.lit(1)),
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(1, 17)
+    ]
+    return tok.groupBy("doc_id").agg(F.concat(*bit).alias("simhash16"))

@@ -1,1 +1,124 @@
-"""Placeholder — populated in later milestones (SURVEY.md §7 phases)."""
+"""Multimodal-column operators (SURVEY.md §2 D7) + the UDF/UDA surface
+(A33/A34): binary payload metadata queries, the Arrow-batched decode
+pipeline, a vectorized pandas UDF, and a custom aggregate via
+applyInPandas. The decode stub derives deterministic values from md5, so
+even the Python stages are oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..catalog import table
+from ..registry import query
+from ..sources.multimodal import DECODE_SCHEMA, decode_image_stub, multimodal_frame
+
+
+@query(
+    "d7_multimodal_metadata",
+    oracle="""
+        SELECT lang, count(*) AS n_payloads,
+               sum(octet_length(text::BLOB)) AS total_bytes,
+               max(octet_length(text::BLOB)) AS max_bytes
+        FROM documents GROUP BY lang
+    """,
+    tags=("D7", "P2"),
+)
+def d7_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over binary payloads: aggregates read the typed
+    meta struct, never the blob bytes — at 100 TB, parquet column pruning
+    means the payload column is not even read from disk."""
+    mm = multimodal_frame(spark, sf_dir)
+    return mm.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@query(
+    "d7b_decode_pipeline",
+    oracle="""
+        SELECT kind, count(*) AS n,
+               sum(width) AS total_w, max(height) AS max_h
+        FROM (
+            SELECT 'text/plain' AS kind,
+                   (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS width,
+                   (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(text), 4, 1)) AS height
+            FROM documents
+        ) GROUP BY kind
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7b_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode via mapInPandas (Arrow batches, partition-parallel):
+    payload → (width, height, kind). The stub's md5-derived dimensions let
+    the oracle verify the full Python path bit-for-bit — the strongest
+    check a stubbed codec can get."""
+    mm = multimodal_frame(spark, sf_dir)
+    decoded = mm.mapInPandas(decode_image_stub, schema=DECODE_SCHEMA)
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("width").alias("total_w"),
+        F.max("height").alias("max_h"),
+    )
+
+
+@query(
+    "a33_pandas_udf_scalar",
+    oracle="""
+        SELECT doc_id, round((n_chars * 7 % 100) / 100.0 + 0.01 * length(text), 4) AS quality
+        FROM documents WHERE doc_id < 100
+    """,
+    tags=("A33", "P1"),
+)
+def a33_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION equivalent: a vectorized @pandas_udf (Arrow transfer,
+    ~10-100× row-at-a-time Python). Body is integer-exact arithmetic so the
+    oracle can replay it. [PK `cql3/functions/UDFunction.java`]"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def quality_udf(n_chars: pd.Series, text_len: pd.Series) -> pd.Series:
+        return ((n_chars * 7 % 100) / 100.0 + 0.01 * text_len).round(4)
+
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id", quality_udf(F.col("n_chars"), F.length("text")).alias("quality")
+    )
+
+
+@query(
+    "a34_uda_geometric_mean",
+    oracle="""
+        SELECT lang, round(exp(avg(ln(n_chars))), 4) AS geo_mean_chars, count(*) AS n
+        FROM documents GROUP BY lang
+    """,
+    tags=("A34", "P1"),
+)
+def a34_uda_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE AGGREGATE equivalent (state fn + final fn): geometric mean via
+    applyInPandas per group. Note the scale caveat: applyInPandas
+    materializes each group in memory — fine for bounded groups; unbounded
+    groups should use the algebraic form exp(avg(ln(x))) shown in the
+    oracle. [PK `cql3/functions/UDAggregate.java`]"""
+    import numpy as np
+
+    def geo_mean(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "geo_mean_chars": [round(float(np.exp(np.mean(np.log(pdf["n_chars"])))), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").applyInPandas(
+        geo_mean, schema="lang STRING, geo_mean_chars DOUBLE, n LONG"
+    )

@@ -1,1 +1,206 @@
-"""Placeholder — populated in later milestones (SURVEY.md §7 phases)."""
+"""Similarity-search operators over the embeddings table (SURVEY.md §2
+D3/D4/D8). Brute-force cosine top-k is the headline knn_top10_vs_query;
+here: the LSH-bucketed scale path, batch (multi-query) kNN, and vector
+arithmetic. All higher-order built-ins (zip_with/aggregate/transform) —
+JVM-side, cast to double first for oracle parity (FIXTURES.md gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.vectors import as_double, cosine, l2_norm, sign_bits
+from ..registry import query
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))"
+_NORM = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+
+
+@query(
+    "d4_knn_lsh_bucketed",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                          || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                          || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+                          || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                   FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS vid, b.vec_id AS nbr,
+                   {_DOT} / ({_NORM.format(v='a.e')} * {_NORM.format(v='b.e')}) AS sim
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT vid AS vec_id, nbr AS best_id, round(sim, 6) AS sim
+        FROM (SELECT vid, nbr, sim,
+                     row_number() OVER (PARTITION BY vid ORDER BY sim DESC, nbr) AS rn
+              FROM pairs)
+        WHERE rn = 1
+    """,
+    tags=("D4", "P2"),
+)
+def d4_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors nearest-neighbor via coordinate-hyperplane LSH: bucket by
+    the sign pattern of the first 4 components (16 buckets), search only
+    within the bucket, take each vector's best bucketmate.
+
+    Scale rationale (SURVEY D4): brute force is O(n²) rows through a cross
+    join; bucketing turns candidate generation into an equi-join keyed on
+    the signature — shuffle-partitionable, AQE-skewable. Recall is tunable
+    by bits (here 4 for a dense demo; 100 TB config would use multi-probe
+    over 16+ bits)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"), sign_bits(F.col("embedding"), 4).alias("bucket")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.e"), F.col("b.e"))
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("best_id"), sim.alias("sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("best_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "best_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query(
+    "d3b_batch_knn_per_label",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, c.label,
+                   list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+                     / ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+            FROM q, c
+        )
+        SELECT query_id, nbr_id, label, round(sim, 6) AS sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, nbr_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("D3", "D4", "P1"),
+)
+def d3b_batch_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: 5 query vectors × corpus, top-3 each, exact. The query
+    side is broadcast (tiny); the corpus streams — the right asymmetric
+    plan for query-batch-vs-100 TB-corpus retrieval."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("nbr_id"), "label", as_double(F.col("embedding")).alias("ce")
+    )
+    sim = cosine(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "nbr_id", "label", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "nbr_id", "label", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query(
+    "d8_vector_normalize",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,
+               round(embedding[1] / sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+                   AS first_component_unit,
+               len(embedding) AS dim,
+               round(list_sum(embedding::DOUBLE[]) / 64, 6) AS mean_component
+        FROM embeddings WHERE vec_id < 100
+    """,
+    tags=("D8", "B29", "P1"),
+)
+def d8_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize / vector stats via higher-order functions — the
+    embedding-preprocessing primitives (unit-norm before cosine/IVF)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = as_double(F.col("embedding"))
+    norm = l2_norm(v)
+    mean = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.lit(64)
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm"),
+        F.round(F.element_at(v, 1) / norm, 6).alias("first_component_unit"),
+        F.size("embedding").alias("dim"),
+        F.round(mean, 6).alias("mean_component"),
+    )
+
+
+@query(
+    "d4b_centroid_assignment",
+    oracle="""
+        WITH pos AS (
+            SELECT label, unnest(embedding::DOUBLE[]) AS x, unnest(range(0, 64)) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS cand, list(ax ORDER BY i) AS ce FROM (
+                SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i
+            ) GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label AS true_label, c.cand,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (e.embedding[i]::DOUBLE - c.ce[i]) * (e.embedding[i]::DOUBLE - c.ce[i])))
+                       AS dist2
+            FROM embeddings e CROSS JOIN cent c
+        )
+        SELECT cand AS assigned_label, count(*) AS n,
+               count(*) FILTER (WHERE cand = true_label) AS n_match
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2 ASC, cand) AS rn
+            FROM scored
+        ) WHERE rn = 1 GROUP BY cand
+    """,
+    tags=("D4", "P2"),
+)
+def d4b_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer step: per-label centroids (one agg), then each
+    vector assigned to its nearest centroid (broadcast 10 centroids ×
+    corpus — no shuffle on the big side). This is one k-means iteration and
+    exactly the IVF partition-assignment used to prune ANN search at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "x")
+    )
+    cent = (
+        expanded.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cand"),
+            F.transform(F.col("pairs"), lambda p: p.cx).alias("ce"),
+        )
+    )
+    e = emb.select("vec_id", F.col("label").alias("true_label"), as_double(F.col("embedding")).alias("ve"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "true_label", "cand", dist2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cand").alias("assigned_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("cand") == F.col("true_label"), 1)).alias("n_match"),
+        )
+    )

@@ -1,1 +1,174 @@
-"""Placeholder — populated in later milestones (SURVEY.md §7 phases)."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2 D5/D6):
+quality scoring, language-ID heuristic, BPE-ish token counting, document
+fingerprinting, lexicon sentiment. All expression-only (no UDFs), each with
+a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    SENTIMENT_LEXICON,
+    STOPWORDS,
+    fingerprint,
+    stopword_hits,
+    tokens,
+)
+from ..registry import query
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@query(
+    "d5_quality_scores",
+    oracle=f"""
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))                              AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))               AS n_unique,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6)                  AS uniq_ratio,
+               round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                     / len(string_split(text, ' ')), 6)                  AS avg_token_len,
+               round(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({_STOP_SQL}, t))) * 1.0
+                     / len(string_split(text, ' ')), 6)                  AS stopword_ratio
+        FROM documents WHERE doc_id < 50
+    """,
+    tags=("D5", "P1"),
+)
+def d5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token counts, uniqueness, average
+    token length, stopword ratio) — the standard pre-training corpus
+    filters, O(1) memory per row, no explode."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        F.round(n_unique / n_tokens, 6).alias("uniq_ratio"),
+        F.round((F.length("text") - n_tokens + 1) / n_tokens, 6).alias("avg_token_len"),
+        F.round(stopword_hits(F.col("text")) / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "d5b_langid_heuristic",
+    oracle=f"""
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_STOP_SQL}, t))) * 1.0
+                         / len(string_split(text, ' ')) >= 0.05
+                    THEN 'en-like' ELSE 'other' END AS predicted,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2
+    """,
+    tags=("D5", "P1"),
+)
+def d5b_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (function-word hit-rate → en-like/other),
+    reported as a (true lang × prediction) confusion table. On this
+    synthetic corpus every lang shares one vocabulary — the operator's
+    value is the deterministic, scale-safe plumbing (a real lexicon swap
+    changes only the literal arrays)."""
+    d = table(spark, sf_dir, "documents")
+    ratio = stopword_hits(F.col("text")) / F.size(tokens(F.col("text")))
+    predicted = F.when(ratio >= 0.05, F.lit("en-like")).otherwise(F.lit("other"))
+    return d.groupBy("lang", predicted.alias("predicted")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "d5c_token_count_bpe",
+    oracle=rf"""
+        SELECT lang,
+               sum(len(string_split(text, ' ')))                         AS ws_tokens,
+               sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))   AS bpe_ish_tokens
+        FROM documents GROUP BY lang
+    """,
+    tags=("D5", "P1"),
+)
+def d5c_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex (word pieces
+    / digit runs / punctuation) — the cost estimator for LLM training data,
+    aggregated per language."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@query(
+    "d5d_fingerprint_dedup",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS fingerprint
+            FROM documents
+        )
+        SELECT count(*) AS n_docs, count(DISTINCT fingerprint) AS n_fingerprints,
+               count(*) - count(DISTINCT fingerprint) AS n_bag_dups
+        FROM fp
+    """,
+    tags=("D5", "D1", "P1"),
+)
+def d5d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: sorted-distinct-token md5 catches
+    reordered near-copies exact dedup misses; group on the 16-byte hash,
+    not the text — the shuffle-payload trick that matters at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_bag_dups"),
+    )
+
+
+_LEX_SQL = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
+
+
+@query(
+    "d6_sentiment_lexicon",
+    oracle=f"""
+        WITH lex(word, score) AS (VALUES {_LEX_SQL}),
+        tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+        doc_scores AS (
+            SELECT t.doc_id, t.lang,
+                   round(avg(coalesce(l.score, 0.0)), 6) AS doc_score
+            FROM tok t LEFT JOIN lex l ON t.token = l.word
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT lang, count(*) AS n_docs, round(avg(doc_score), 6) AS avg_sentiment
+        FROM doc_scores GROUP BY lang
+    """,
+    tags=("D6", "P2"),
+)
+def d6_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment (EDBT'16 Spark-sentiment shape, PAPERS.md): token
+    explode ⋈ broadcast lexicon → per-doc mean → per-lang mean. The lexicon
+    join is a broadcast hash join; the explode collapses straight into a
+    partial aggregate."""
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(list(SENTIMENT_LEXICON), "word STRING, score DOUBLE")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
+    doc_scores = (
+        tok.join(F.broadcast(lex), tok.token == lex.word, "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(F.coalesce("score", F.lit(0.0))), 6).alias("doc_score"))
+    )
+    return doc_scores.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_score"), 6).alias("avg_sentiment"),
+    )

@@ -1,0 +1,70 @@
+"""Multimodal column support (SURVEY.md §2 D7): image/audio/video payloads
+as opaque ``binary`` columns with typed metadata structs, processed by
+Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs (environment constraint), so the
+decode step is STUBBED: ``decode_image_stub`` derives deterministic fake
+dimensions from the payload's md5 — making the Spark-side plumbing (schema,
+batch shape, partitioning) fully real AND oracle-checkable, while a real
+deployment swaps only `_decode_batch`'s body for PIL/ffmpeg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+#: output schema of the decode stage — what a real image decoder would emit
+DECODE_SCHEMA = "doc_id LONG, n_bytes INT, width INT, height INT, kind STRING"
+
+
+def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct). Stands in for a
+    table of blob-typed media cells (Cassandra `blob` ≈ BinaryType,
+    SURVEY §1.2)."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("text/plain").alias("kind"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: md5(payload) nibbles → width/height.
+    A real decoder would call PIL here — same signature, same batch shape.
+    NOTE: would raise NotImplementedError for real media kinds; text/plain
+    payloads take the deterministic-fake path so the plumbing is testable."""
+    import hashlib
+
+    def dims(b: bytes) -> tuple[int, int]:
+        h = hashlib.md5(b).hexdigest()
+        return int(h[:2], 16) + 1, int(h[2:4], 16) + 1
+
+    wh = [dims(b) for b in batch["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": [len(b) for b in batch["payload"]],
+            "width": [w for w, _ in wh],
+            "height": [h for _, h in wh],
+            "kind": [m["kind"] for m in batch["meta"]],
+        }
+    )
+
+
+def decode_image_stub(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: Arrow batches in, decoded-metadata batches out —
+    runs fully parallel per partition; no shuffle, no driver involvement."""
+    for batch in frames:
+        yield _decode_batch(batch)
