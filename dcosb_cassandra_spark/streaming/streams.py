@@ -1,0 +1,123 @@
+"""Structured Streaming twins of the batch operators (SURVEY.md §2.C).
+
+Each builder takes a *streaming* events DataFrame (same schema as the
+batch `events` table) and returns the transformed streaming DataFrame —
+the same logical semantics as the oracle-checked batch twins in
+``operators/streaming_batch.py``; tests run them with availableNow triggers
+over the parquet fixtures and compare against the batch results.
+
+Scale posture: watermarks bound all state stores; aggregations are
+partial-per-microbatch; dedup state is keyed and watermark-evicted — the
+standard recipe that keeps a 100 TB/day stream's state O(keys in window),
+not O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import EVENTS_PROPS_SCHEMA
+from ..session import ensure_engine_conf
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet (the bulk
+    snapshot replayed as a stream). ts arrives as nanos (see catalog) and
+    is converted to a proper timestamp column."""
+    ensure_engine_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def c1_tumbling_stream(events: DataFrame) -> DataFrame:
+    """C1: hourly tumbling counts/sums with a 10-minute watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("s"))
+        .select(F.col("w.start").alias("h"), "event_type", "c", "s")
+    )
+
+
+def c2_sliding_stream(events: DataFrame) -> DataFrame:
+    """C2: 1h/15m sliding windows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "n", "total")
+    )
+
+
+def c3_session_stream(events: DataFrame) -> DataFrame:
+    """C3: session windows (30 min gap) per user."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("session_last"))
+        .select("user_id", F.col("w.start").alias("session_start"), "session_last", "n_events")
+    )
+
+
+def c5_dedup_stream(events: DataFrame) -> DataFrame:
+    """C5: streaming dedup on (user_id, event_type) — watermark-scoped state
+    (dropDuplicatesWithinWatermark, Spark 4)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def c7_stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """C7: stream ⋈ static dimension (broadcast-able static side)."""
+    return events.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+        "left",
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+
+
+def c8_write_stream(df: DataFrame, sink_name: str, output_mode: str = "update"):
+    """C8: writeStream to a memory sink with availableNow (batch-replay)
+    trigger. Returns the StreamingQuery; callers awaitTermination."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def c9_foreach_batch_view_maintenance(events: DataFrame, state: dict):
+    """C9: foreachBatch incremental materialized-view maintenance (the
+    streaming twin of a26): per micro-batch, merge new per-type counts into
+    the running view — the Cassandra MV write-path, expressed as an
+    idempotent upsert per batch."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()
+        )
+        for row in delta:
+            cur = state.get(row["event_type"], (0, 0.0))
+            state[row["event_type"]] = (cur[0] + row["n"], cur[1] + (row["v"] or 0.0))
+
+    return (
+        events.writeStream.foreachBatch(merge).outputMode("update").trigger(availableNow=True).start()
+    )
+
+
+def parse_props_stream(events: DataFrame) -> DataFrame:
+    """JSON props parsing on the stream (A28 streaming form)."""
+    return events.withColumn("k", F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k"))

@@ -1,0 +1,63 @@
+"""Plan-shape assertions: the physical plans must have the properties the
+100 TB design depends on (SURVEY.md §2 scale rules) — pushdown, broadcast
+intent, no accidental cartesian products, whole-stage codegen, pruned
+scans. Correct rows with a wrong plan is a latent scale bug; these tests
+make the plan part of the contract.
+"""
+
+from __future__ import annotations
+
+from dcosb_cassandra_spark.plans.audit import audit, executed_plan_string, plan_string
+from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+from .conftest import SF_DIR
+
+load_all()
+
+
+def _plan(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_point_read_pushes_filter(spark):
+    a = audit(_plan(spark, "a02_point_read_pk"))
+    assert a["has_pushed_filters"], "pk equality must reach the parquet scan"
+
+
+def test_q1_prunes_columns_and_codegens(spark):
+    df = _plan(spark, "q1_pricing_summary")
+    a = audit(df)
+    assert "codegen id" in executed_plan_string(df), "whole-stage codegen must engage"
+    assert a["has_partial_agg"]
+    # column pruning: lineitem has 11 columns, q1 needs 7
+    [schema] = a["read_schemas"]
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+
+
+def test_q5_broadcasts_dims(spark):
+    a = audit(_plan(spark, "q5_local_supplier"))
+    assert a["n_broadcast_joins"] >= 3, "supplier/nation/region must broadcast"
+    assert not a["has_cartesian"]
+
+
+def test_lsh_pairs_avoid_cartesian(spark):
+    for name in ("d2b_minhash_lsh_pairs", "d4_knn_lsh_bucketed", "d2c_blocked_jaccard_pairs"):
+        a = audit(_plan(spark, name))
+        assert not a["has_cartesian"], f"{name} must bucket-join, not cross-join"
+
+
+def test_knn_literal_vector_needs_no_join(spark):
+    plan = plan_string(_plan(spark, "knn_top10_vs_query"))
+    assert "Join" not in plan, "query vector must be a folded literal, not a join"
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_broadcast_band_join_not_shuffle(spark):
+    a = audit(_plan(spark, "b05_range_band_join"))
+    assert a["n_broadcast_joins"] >= 1
+
+
+def test_limit_queries_take_ordered(spark):
+    for name in ("b16_multi_col_sort", "q3_shipping_priority"):
+        plan = plan_string(_plan(spark, name))
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k should not materialize a global sort"

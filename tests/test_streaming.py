@@ -1,0 +1,110 @@
+"""Structured Streaming twins validated against their oracle-checked batch
+counterparts (SURVEY.md §2.C strategy): replay the events parquet with an
+availableNow trigger into a memory sink, then compare with the batch
+result computed over the same file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcosb_cassandra_spark.catalog import table
+from dcosb_cassandra_spark.streaming import streams
+
+from .conftest import SMOKE_SF_DIR
+
+STREAM_DIR = os.path.join(os.path.dirname(__file__), "..", ".tmp", "stream_events")
+
+
+@pytest.fixture(scope="module")
+def events_dir():
+    """A directory containing ONLY the events parquet (the file-source
+    stream needs a dedicated directory)."""
+    os.makedirs(STREAM_DIR, exist_ok=True)
+    dst = os.path.join(STREAM_DIR, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(SMOKE_SF_DIR, "events.parquet"), dst)
+    yield STREAM_DIR
+
+
+def _run_to_memory(spark, df, name, mode="update"):
+    q = streams.c8_write_stream(df, name, mode)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_c1_tumbling_stream_matches_batch(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, streams.c1_tumbling_stream(stream), "c1_sink")
+    got = {(r["h"], r["event_type"]): (r["c"], r["s"]) for r in out.collect()}
+
+    e = table(spark, SMOKE_SF_DIR, "events")
+    batch = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    want = {(r["h"], r["event_type"]): (r["c"], r["s"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_c3_session_stream_matches_batch(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, streams.c3_session_stream(stream), "c3_sink", mode="complete")
+    got = {(r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()}
+
+    e = table(spark, SMOKE_SF_DIR, "events")
+    batch = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    want = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_c5_streaming_dedup_key_set(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, streams.c5_dedup_stream(stream), "c5_sink", mode="append")
+    got_keys = {(r["user_id"], r["event_type"]) for r in out.collect()}
+
+    e = table(spark, SMOKE_SF_DIR, "events")
+    want_keys = {
+        (r["user_id"], r["event_type"])
+        for r in e.select("user_id", "event_type").distinct().collect()
+    }
+    assert got_keys == want_keys
+    assert out.count() == len(want_keys)
+
+
+def test_c7_stream_static_join(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    cust = table(spark, SMOKE_SF_DIR, "customer")
+    out = _run_to_memory(spark, streams.c7_stream_static_join(stream, cust), "c7_sink", mode="append")
+    n_stream = out.count()
+    n_batch = table(spark, SMOKE_SF_DIR, "events").count()
+    assert n_stream == n_batch  # left join preserves every event
+
+
+def test_c9_foreach_batch_view_maintenance(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    state: dict = {}
+    q = streams.c9_foreach_batch_view_maintenance(stream, state)
+    q.awaitTermination(120)
+
+    e = table(spark, SMOKE_SF_DIR, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {k: v[0] for k, v in state.items()}
+    assert got == want
+
+
+def test_parse_props_stream(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, streams.parse_props_stream(stream), "props_sink", mode="append")
+    assert out.filter(F.col("k").isNull()).count() == 0
