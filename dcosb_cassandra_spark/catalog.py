@@ -45,6 +45,14 @@ EVENTS_PROPS_SCHEMA = "k INT"
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+#: DataFrame memo — ``spark.read.parquet`` costs ~100-160 ms per call in
+#: file listing + footer schema read (measured); reusing the immutable
+#: DataFrame removes that from every query. Keyed per session so the
+#: driver's own SparkSession gets its own entries.
+_table_memo: dict[tuple[str, str, str], DataFrame] = {}
+_conf_pinned: set[str] = set()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. The unit of the catalog — all operators go through
     here so scan behavior (and the UTC conf pin) is uniform.
@@ -53,10 +61,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default; we read it as a nanos long and integer-divide to micros —
     bit-identical to how DuckDB (the oracle) truncates ns→µs on read
     (verified: DuckDB 1.0 reads the column as plain TIMESTAMP)."""
-    ensure_engine_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _conf_pinned:
+        ensure_engine_conf(spark)
+        _conf_pinned.add(app_id)
+    key = (app_id, sf_dir, name)
+    df = _table_memo.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        _table_memo[key] = df
     return df
 
 
