@@ -1,0 +1,288 @@
+"""Mini-CQL front-end (the reference's API surface, SURVEY.md §3.1).
+
+Parses the restricted CQL SELECT grammar [PK `cql3/Cql.g`,
+`cql3/statements/SelectStatement.java`] and compiles it to a Spark
+DataFrame plan through the same operators as the registry queries:
+
+    SELECT [JSON] [DISTINCT] selector[, ...] FROM table
+      [WHERE cond AND ...]
+      [GROUP BY col[, ...]]
+      [ORDER BY col [ASC|DESC][, ...]]
+      [PER PARTITION LIMIT n] [LIMIT n] [ALLOW FILTERING]
+
+    selector := * | col | col AS alias | count(*) |
+                min|max|sum|avg|count(col) [AS alias] | writetime(col)
+    cond     := col (=|<|<=|>|>=|!=) literal | col IN (lit, ...)
+              | col CONTAINS literal
+
+Faithful CQL restrictions, enforced like Cassandra's
+StatementRestrictions [PK]:
+- filtering on a non-key, non-indexed column without ALLOW FILTERING
+  raises InvalidRequest (in Spark both paths are scans — the check keeps
+  the *API contract*, because at 100 TB an unkeyed scan is a deliberate
+  choice, not an accident);
+- ORDER BY only on clustering columns, only when the partition key is
+  equality/IN-restricted;
+- CQL has no OR — only AND conjunctions parse.
+
+WRITETIME maps to the mutation-log convention (unix micros of the row's
+timestamp column) per SURVEY §1.2.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import TABLES, table
+
+
+class InvalidRequest(Exception):
+    """CQL-level rejection (Cassandra's InvalidRequestException)."""
+
+
+#: Cassandra-style schema metadata: (partition key cols, clustering cols).
+#: The TPC-H-ish tables are keyed by their natural PKs; events is the
+#: wide-partition table (user_id partition, ts clustering) per SURVEY §1.2.
+TABLE_KEYS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    "region": (("r_regionkey",), ()),
+    "nation": (("n_nationkey",), ()),
+    "supplier": (("s_suppkey",), ()),
+    "part": (("p_partkey",), ()),
+    "customer": (("c_custkey",), ()),
+    "orders": (("o_orderkey",), ()),
+    "lineitem": (("l_orderkey",), ("l_linenumber",)),
+    "events": (("user_id",), ("ts", "event_id")),
+    "documents": (("doc_id",), ()),
+    "embeddings": (("vec_id",), ()),
+}
+
+#: columns with a "secondary index" (equality allowed without ALLOW
+#: FILTERING, like a Cassandra 2i on a low-cardinality column)
+INDEXED: dict[str, tuple[str, ...]] = {
+    "events": ("event_type",),
+    "customer": ("c_mktsegment",),
+    "documents": ("lang",),
+}
+
+#: the timestamp column that carries writetime semantics per table
+WRITETIME_COL = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+_AGGS = ("count", "min", "max", "sum", "avg")
+
+_STMT = re.compile(
+    r"^\s*SELECT\s+(?P<json>JSON\s+)?(?P<distinct>DISTINCT\s+)?(?P<sel>.*?)\s+"
+    r"FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w,\s]*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>[\w,\s]*?))?"
+    r"(?:\s+PER\s+PARTITION\s+LIMIT\s+(?P<pplimit>\d+))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?P<allow>\s+ALLOW\s+FILTERING)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_COND = re.compile(
+    r"^\s*(?P<col>\w+)\s*(?:(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)"
+    r"|IN\s*\((?P<inlist>.*?)\)"
+    r"|CONTAINS\s+(?P<clit>.+?))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d+\.\d*", tok):
+        return float(tok)
+    raise InvalidRequest(f"unparseable literal: {tok!r}")
+
+
+@dataclass
+class _Select:
+    json: bool
+    distinct: bool
+    selectors: list[tuple[str, str, str | None]]  # (kind, arg, alias)
+    table: str
+    conds: list[tuple[str, str, object]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    per_partition_limit: int | None = None
+    limit: int | None = None
+    allow_filtering: bool = False
+
+
+def _parse_selector(s: str) -> tuple[str, str, str | None]:
+    s = s.strip()
+    alias = None
+    m = re.match(r"^(.*?)\s+AS\s+(\w+)$", s, re.IGNORECASE)
+    if m:
+        s, alias = m.group(1).strip(), m.group(2)
+    if s == "*":
+        return ("star", "*", None)
+    m = re.match(r"^(\w+)\s*\(\s*(\*|\w+)\s*\)$", s)
+    if m:
+        fn, arg = m.group(1).lower(), m.group(2)
+        if fn in _AGGS:
+            return ("agg:" + fn, arg, alias)
+        if fn == "writetime":
+            return ("writetime", arg, alias)
+        raise InvalidRequest(f"unknown function {fn}()")
+    if re.fullmatch(r"\w+", s):
+        return ("col", s, alias)
+    raise InvalidRequest(f"unparseable selector: {s!r}")
+
+
+def parse(statement: str) -> _Select:
+    m = _STMT.match(statement)
+    if not m:
+        raise InvalidRequest(f"unparseable statement: {statement!r}")
+    tbl = m.group("table").lower()
+    if tbl not in TABLES:
+        raise InvalidRequest(f"unknown table {tbl}")
+    if m.group("where") and re.search(r"\bOR\b", m.group("where"), re.IGNORECASE):
+        raise InvalidRequest("CQL does not support OR predicates")
+    sel = _Select(
+        json=bool(m.group("json")),
+        distinct=bool(m.group("distinct")),
+        selectors=[_parse_selector(s) for s in m.group("sel").split(",")],
+        table=tbl,
+        allow_filtering=bool(m.group("allow")),
+    )
+    if m.group("where"):
+        for part in re.split(r"\bAND\b", m.group("where"), flags=re.IGNORECASE):
+            c = _COND.match(part)
+            if not c:
+                raise InvalidRequest(f"unparseable condition: {part!r}")
+            col = c.group("col").lower()
+            if c.group("inlist") is not None:
+                sel.conds.append((col, "in", [_literal(x) for x in c.group("inlist").split(",")]))
+            elif c.group("clit") is not None:
+                sel.conds.append((col, "contains", _literal(c.group("clit"))))
+            else:
+                sel.conds.append((col, c.group("op"), _literal(c.group("lit"))))
+    if m.group("group"):
+        sel.group_by = [g.strip().lower() for g in m.group("group").split(",") if g.strip()]
+    if m.group("order"):
+        for part in m.group("order").split(","):
+            toks = part.split()
+            if not toks:
+                continue
+            sel.order_by.append((toks[0].lower(), len(toks) > 1 and toks[1].upper() == "DESC"))
+    if m.group("pplimit"):
+        sel.per_partition_limit = int(m.group("pplimit"))
+    if m.group("limit"):
+        sel.limit = int(m.group("limit"))
+    return sel
+
+
+def _check_restrictions(q: _Select) -> None:
+    pk, cc = TABLE_KEYS[q.table]
+    indexed = INDEXED.get(q.table, ())
+    key_cols = set(pk) | set(cc)
+    pk_restricted = {c for c, op, _ in q.conds if c in pk and op in ("=", "in")}
+    for col, op, _ in q.conds:
+        if col in key_cols:
+            continue
+        if col in indexed and op == "=":
+            continue
+        if not q.allow_filtering:
+            raise InvalidRequest(
+                f"Cannot execute this query: filtering on non-key column {col!r} "
+                "requires ALLOW FILTERING"
+            )
+    if q.order_by:
+        if set(pk) - pk_restricted:
+            raise InvalidRequest("ORDER BY requires the partition key to be restricted by = or IN")
+        for col, _ in q.order_by:
+            if col not in cc:
+                raise InvalidRequest(f"ORDER BY is only supported on clustering columns, got {col!r}")
+    if q.per_partition_limit is not None and not cc:
+        raise InvalidRequest("PER PARTITION LIMIT requires clustering columns")
+
+
+def _condition(col: str, op: str, lit) -> Column:
+    c = F.col(col)
+    if op == "=":
+        return c == lit
+    if op == "!=":
+        return c != lit
+    if op == "<":
+        return c < lit
+    if op == "<=":
+        return c <= lit
+    if op == ">":
+        return c > lit
+    if op == ">=":
+        return c >= lit
+    if op == "in":
+        return c.isin(lit)
+    raise InvalidRequest(f"unknown operator {op}")
+
+
+def cql(spark: SparkSession, sf_dir: str, statement: str) -> DataFrame:
+    """Execute a CQL SELECT against the catalog; returns a DataFrame."""
+    q = parse(statement)
+    _check_restrictions(q)
+    pk, cc = TABLE_KEYS[q.table]
+    df = table(spark, sf_dir, q.table)
+
+    for col, op, lit in q.conds:
+        if op == "contains":
+            # CQL CONTAINS targets collection columns; a text column is
+            # treated as its token list (the list<text> mapping, SURVEY §1.2)
+            dtype = dict(df.dtypes).get(col, "")
+            target = F.split(F.col(col), " ") if dtype == "string" else F.col(col)
+            df = df.filter(F.array_contains(target, lit))
+        else:
+            df = df.filter(_condition(col, op, lit))
+
+    if q.per_partition_limit is not None:
+        w = Window.partitionBy(*pk).orderBy(*[F.asc(c) for c in cc])
+        df = (
+            df.withColumn("_pprn", F.row_number().over(w))
+            .filter(F.col("_pprn") <= q.per_partition_limit)
+            .drop("_pprn")
+        )
+
+    aggs = [s for s in q.selectors if s[0].startswith("agg:")]
+    if aggs:
+        exprs = []
+        for kind, arg, alias in aggs:
+            fn = kind.split(":", 1)[1]
+            name = alias or (f"{fn}_{arg}" if arg != "*" else fn)
+            col = F.count(F.lit(1)) if arg == "*" else getattr(F, fn)(arg)
+            if fn == "count" and arg != "*":
+                col = F.count(arg)
+            exprs.append(col.alias(name))
+        df = df.groupBy(*q.group_by).agg(*exprs) if q.group_by else df.agg(*exprs)
+    else:
+        cols: list[Column] = []
+        for kind, arg, alias in q.selectors:
+            if kind == "star":
+                cols.extend(F.col(c) for c in df.columns)
+            elif kind == "col":
+                cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
+            elif kind == "writetime":
+                src = WRITETIME_COL.get(q.table)
+                if src is None:
+                    raise InvalidRequest(f"writetime unsupported on {q.table}")
+                cols.append(F.unix_micros(F.col(src)).alias(alias or f"writetime_{arg}"))
+        df = df.select(*cols)
+        if q.distinct:
+            df = df.distinct()
+
+    if q.order_by:
+        df = df.orderBy(*[F.desc(c) if d else F.asc(c) for c, d in q.order_by])
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    if q.json:
+        df = df.select(F.to_json(F.struct(*df.columns)).alias("[json]"))
+    return df

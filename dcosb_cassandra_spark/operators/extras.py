@@ -211,3 +211,58 @@ def d2e_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bucket_pairs"),
         F.count(F.when(F.col("sim") >= 0.5, 1)).alias("n_near_dup"),
     )
+
+
+@query(
+    "a_static_column",
+    oracle="""
+        WITH static AS (
+            SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id
+        )
+        SELECT event_id, user_id, first_seen, n_rows_sharing FROM (
+            SELECT e.event_id, e.user_id, s.first_seen,
+                   count(*) OVER (PARTITION BY e.user_id) AS n_rows_sharing
+            FROM events e JOIN static s ON s.user_id = e.user_id
+        ) WHERE event_id <= 80
+    """,
+    tags=("A-static", "P1"),
+)
+def a_static_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra static column (one value per partition, shared by all
+    clustering rows — SURVEY §1.2): the per-key static table is derived
+    once and broadcast-joined back onto every row of the partition."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    static = e.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    w = Window.partitionBy("user_id")
+    return (
+        e.join(F.broadcast(static), "user_id")
+        .withColumn("n_rows_sharing", F.count(F.lit(1)).over(w))
+        .filter(F.col("event_id") <= 80)
+        .select("event_id", "user_id", "first_seen", "n_rows_sharing")
+    )
+
+
+@query(
+    "b21b_scalar_subquery",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    tags=("B21", "P1"),
+)
+def b21b_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (global-average filter) — planned as a
+    broadcast of the 1-row subquery result, reused across all partitions."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )

@@ -121,3 +121,30 @@ def c9_foreach_batch_view_maintenance(events: DataFrame, state: dict):
 def parse_props_stream(events: DataFrame) -> DataFrame:
     """JSON props parsing on the stream (A28 streaming form)."""
     return events.withColumn("k", F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k"))
+
+
+def c6_stateful_running_counts(events: DataFrame) -> DataFrame:
+    """C6: custom stateful per-key operator (applyInPandasWithState):
+    emits each user's running event count and running value sum once per
+    micro-batch — the hand-rolled form of a keyed state-store aggregate.
+    State is two numbers per key: O(keys), never O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        stateStructType="n LONG, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,115 @@
+"""Mini-CQL front-end tests: statements compile to the same results as the
+hand-built DataFrame plans, and Cassandra's API restrictions are enforced
+(ALLOW FILTERING, ORDER BY rules, no OR)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcosb_cassandra_spark.catalog import table
+from dcosb_cassandra_spark.cql import InvalidRequest, cql
+
+from .conftest import SMOKE_SF_DIR
+
+SF = SMOKE_SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_point_read(spark):
+    got = cql(spark, SF, "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42")
+    want = (
+        table(spark, SF, "customer").filter(F.col("c_custkey") == 42).select("c_name", "c_acctbal")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_clustering_slice_with_order_and_limit(spark):
+    got = cql(
+        spark,
+        SF,
+        "SELECT l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_orderkey = 7 AND l_linenumber >= 2 ORDER BY l_linenumber DESC LIMIT 3",
+    )
+    l = table(spark, SF, "lineitem")
+    want = (
+        l.filter((F.col("l_orderkey") == 7) & (F.col("l_linenumber") >= 2))
+        .select("l_linenumber", "l_quantity")
+        .orderBy(F.desc("l_linenumber"))
+        .limit(3)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_in_and_aggregates_group_by(spark):
+    got = cql(
+        spark,
+        SF,
+        "SELECT count(*) AS n, avg(l_quantity) AS aq FROM lineitem "
+        "WHERE l_orderkey IN (1, 2, 3) GROUP BY l_orderkey",
+    )
+    assert got.columns == ["l_orderkey", "n", "aq"] or set(got.columns) == {"l_orderkey", "n", "aq"}
+    assert got.count() == 3
+
+
+def test_distinct_partition_keys(spark):
+    got = cql(spark, SF, "SELECT DISTINCT user_id FROM events")
+    assert got.count() == table(spark, SF, "events").select("user_id").distinct().count()
+
+
+def test_per_partition_limit(spark):
+    got = cql(spark, SF, "SELECT l_orderkey, l_linenumber FROM lineitem PER PARTITION LIMIT 2")
+    per_key = got.groupBy("l_orderkey").count().agg(F.max("count")).head()[0]
+    assert per_key <= 2
+
+
+def test_select_json(spark):
+    got = cql(spark, SF, "SELECT JSON n_nationkey, n_name FROM nation LIMIT 1")
+    assert got.columns == ["[json]"]
+    assert got.head()[0].startswith('{"n_nationkey":')
+
+
+def test_writetime(spark):
+    got = cql(spark, SF, "SELECT event_id, writetime(value) FROM events WHERE user_id = 3")
+    row = got.head()
+    assert row["writetime_value"] > 1_700_000_000_000_000  # epoch micros
+
+
+def test_secondary_index_equality_allowed(spark):
+    got = cql(spark, SF, "SELECT count(*) AS n FROM events WHERE event_type = 'click'")
+    want = table(spark, SF, "events").filter(F.col("event_type") == "click").count()
+    assert got.head()["n"] == want
+
+
+def test_allow_filtering_enforced(spark):
+    with pytest.raises(InvalidRequest, match="ALLOW FILTERING"):
+        cql(spark, SF, "SELECT event_id FROM events WHERE value > 50")
+    # same statement with ALLOW FILTERING executes
+    got = cql(spark, SF, "SELECT event_id FROM events WHERE value > 50 ALLOW FILTERING")
+    assert got.count() == table(spark, SF, "events").filter(F.col("value") > 50).count()
+
+
+def test_order_by_requires_restricted_pk(spark):
+    with pytest.raises(InvalidRequest, match="ORDER BY"):
+        cql(spark, SF, "SELECT l_linenumber FROM lineitem ORDER BY l_linenumber")
+    with pytest.raises(InvalidRequest, match="clustering"):
+        cql(spark, SF, "SELECT l_quantity FROM lineitem WHERE l_orderkey = 1 ORDER BY l_quantity")
+
+
+def test_no_or_predicates(spark):
+    with pytest.raises(InvalidRequest, match="OR"):
+        cql(spark, SF, "SELECT event_id FROM events WHERE user_id = 1 OR user_id = 2")
+
+
+def test_contains_on_collection(spark):
+    # embeddings.label is not a collection; use a tokenized view via documents
+    with pytest.raises(InvalidRequest):
+        cql(spark, SF, "SELECT doc_id FROM documents WHERE text CONTAINS 'database'")
+    got = cql(
+        spark, SF, "SELECT doc_id FROM documents WHERE text CONTAINS 'database' ALLOW FILTERING"
+    )
+    # CONTAINS on a text column behaves like collection-contains on tokens
+    assert got.count() >= 0

@@ -108,3 +108,45 @@ def test_parse_props_stream(spark, events_dir):
     stream = streams.read_events_stream(spark, events_dir)
     out = _run_to_memory(spark, streams.parse_props_stream(stream), "props_sink", mode="append")
     assert out.filter(F.col("k").isNull()).count() == 0
+
+
+def test_c6_stateful_running_counts_across_batches(spark, events_dir):
+    """Split the events into two files → two micro-batches; the stateful
+    operator's final running counts must equal the batch groupBy."""
+    two_batch_dir = os.path.join(os.path.dirname(events_dir), "stream_events_2batch")
+    if not os.path.exists(two_batch_dir):
+        # write ts back as nanos longs, matching the raw events layout the
+        # stream schema expects
+        e = table(spark, SMOKE_SF_DIR, "events").withColumn(
+            "ts", F.unix_micros("ts") * 1000
+        )
+        half = e.count() // 2
+        e.filter(e.event_id < half).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(two_batch_dir, "b0")
+        )
+        e.filter(e.event_id >= half).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(two_batch_dir, "b1")
+        )
+    raw = (
+        spark.readStream.schema(streams.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(two_batch_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = _run_to_memory(spark, streams.c6_stateful_running_counts(stream), "c6_sink")
+    # memory sink in update mode accumulates emissions; final per key = max
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    e = table(spark, SMOKE_SF_DIR, "events")
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in final.items()} == {k: v[0] for k, v in want.items()}
