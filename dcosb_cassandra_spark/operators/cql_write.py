@@ -239,3 +239,58 @@ def a26_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_keys"), F.round(F.avg("payload"), 6).alias("avg_payload"))
     )
+
+
+@query(
+    "a19b_range_tombstones",
+    oracle="""
+        WITH dels AS (
+            SELECT DISTINCT user_id,
+                   TIMESTAMP '2024-01-10 00:00:00' AS del_from,
+                   TIMESTAMP '2024-01-15 00:00:00' AS del_to,
+                   epoch_us(TIMESTAMP '2024-01-20 00:00:00') AS del_wt
+            FROM events WHERE user_id % 3 = 0
+        )
+        SELECT e.user_id, count(*) AS n_live, round(sum(e.value), 4) AS live_value
+        FROM events e LEFT JOIN dels d
+          ON d.user_id = e.user_id
+         AND e.ts >= d.del_from AND e.ts < d.del_to
+         AND epoch_us(e.ts) < d.del_wt
+        WHERE d.user_id IS NULL
+        GROUP BY e.user_id
+    """,
+    tags=("A19", "P1"),
+)
+def a19b_range_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range tombstones (SURVEY §7 hard part): a range delete shadows only
+    cells inside the clustering range with OLDER writetime — NOT a plain
+    window: it needs the interval join + writetime comparison. Fixture:
+    every user_id % 3 == 0 gets a delete of clustering range
+    [Jan 10, Jan 15) issued at Jan 20; all event cells predate the delete,
+    so in-range cells vanish and out-of-range cells survive.
+
+    Scale: the delete set is broadcast (range tombstones are rare relative
+    to cells); the probe side streams — no shuffle of the big side."""
+    e = table(spark, sf_dir, "events")
+    dels = (
+        e.filter(F.col("user_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.lit("2024-01-10 00:00:00").cast("timestamp").alias("del_from"),
+            F.lit("2024-01-15 00:00:00").cast("timestamp").alias("del_to"),
+            F.unix_micros(F.lit("2024-01-20 00:00:00").cast("timestamp")).alias("del_wt"),
+        )
+    )
+    shadowed = (
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("del_from"))
+        & (F.col("ts") < F.col("del_to"))
+        & (F.unix_micros("ts") < F.col("del_wt"))
+    )
+    return (
+        e.join(F.broadcast(dels), shadowed, "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_live"), F.round(F.sum("value"), 4).alias("live_value"))
+    )

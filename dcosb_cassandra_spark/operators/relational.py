@@ -434,3 +434,28 @@ def b24_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
     )
+
+
+@query(
+    "b09b_salted_aggregate",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        FROM events GROUP BY event_type
+    """,
+    tags=("B9", "P1", "skew"),
+)
+def b09b_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting recipe for skewed keys (SURVEY §2 scale rules): stage 1
+    groups on (key, salt) — spreading one hot key over 16 reducers — then
+    stage 2 merges the partials. Result is provably identical to the plain
+    groupBy (the oracle IS the plain form); sums are re-rounded only at the
+    final merge. event_type has only 5 values = maximal skew per key, the
+    exact shape that melts a single reducer at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 4).alias("total")
+    )
