@@ -172,3 +172,54 @@ def d6_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("doc_score"), 6).alias("avg_sentiment"),
     )
+
+
+@query(
+    "d5e_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+            FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token) AS rn
+            FROM scored
+        ) WHERE rn <= 3 AND doc_id < 50
+    """,
+    tags=("D5", "P1"),
+)
+def d5e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf, hand-rolled relationally (SURVEY D5): term frequency per doc
+    ⋈ document frequency (broadcast — vocabulary << corpus) × ln(N/df);
+    top-3 terms per doc. The df table and the N scalar both broadcast, so
+    the only shuffles are the two token aggregations."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tfidf")
+    )

@@ -459,3 +459,29 @@ def b09b_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("pv"), 4).alias("total")
     )
+
+
+@query(
+    "b16b_null_ordering",
+    oracle="""
+        SELECT c.c_custkey, max(o.o_orderdate) AS last_order
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+        ORDER BY last_order DESC NULLS LAST, c.c_custkey
+        LIMIT 40
+    """,
+    tags=("B16", "P1"),
+)
+def b16b_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering under a LIMIT — engines default
+    differently (FIXTURES.md gotcha), so null placement must be declared on
+    both sides whenever nulls can reach a sort that feeds a limit."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"))
+        .orderBy(F.desc_nulls_last("last_order"), F.asc("c_custkey"))
+        .limit(40)
+    )

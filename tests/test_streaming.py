@@ -150,3 +150,48 @@ def test_c6_stateful_running_counts_across_batches(spark, events_dir):
         .collect()
     }
     assert {k: v[0] for k, v in final.items()} == {k: v[0] for k, v in want.items()}
+
+
+def test_c4_watermark_bounds_state(spark, events_dir):
+    """Watermark contract under late data (measured, not assumed): batch 0
+    (newest quarter) advances the watermark to max(ts)-10m; batch 1 replays
+    events from weeks earlier. Spark aggregates the late rows but finalizes
+    their windows immediately — the watermark's hard guarantee is BOUNDED
+    STATE (eviction), not strict input dropping. The scale property is the
+    state bound: after the late batch, the store holds only the open
+    windows, not one per historical hour."""
+    late_dir = os.path.join(os.path.dirname(events_dir), "stream_events_late")
+    e = table(spark, SMOKE_SF_DIR, "events").withColumn("ts", F.unix_micros("ts") * 1000)
+    max_id = e.agg(F.max("event_id")).head()[0]
+    if not os.path.exists(late_dir):
+        # batch 0: the NEWEST quarter of events (advances watermark far)
+        e.filter(e.event_id >= 3 * max_id // 4).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(late_dir, "b0")
+        )
+        # batch 1: the OLDEST quarter (days earlier -> all late)
+        e.filter(e.event_id < max_id // 4).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(late_dir, "b1")
+        )
+    raw = (
+        spark.readStream.schema(streams.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(late_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    q = streams.c8_write_stream(streams.c1_tumbling_stream(stream), "c4_late_sink", "append")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM c4_late_sink")
+    assert out.count() > 0, "append-mode sink should contain finalized windows"
+
+    progress = {p["batchId"]: p for p in q.recentProgress}
+    assert len(progress) >= 2, "late file must arrive in a second micro-batch"
+    first, last = progress[min(progress)], progress[max(progress)]
+    # watermark advanced past the late data before the late batch ran
+    assert last["eventTime"]["watermark"] > "2024-01-22"
+    # state is bounded: late windows were finalized+evicted, not retained
+    state_rows = last["stateOperators"][0]["numRowsTotal"]
+    open_after_first = first["stateOperators"][0]["numRowsTotal"]
+    assert state_rows < open_after_first / 10, (
+        f"state not cleaned: {state_rows} rows retained vs {open_after_first} open earlier"
+    )
