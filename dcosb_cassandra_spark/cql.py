@@ -227,12 +227,15 @@ def _condition(col: str, op: str, lit) -> Column:
     raise InvalidRequest(f"unknown operator {op}")
 
 
-def cql(spark: SparkSession, sf_dir: str, statement: str) -> DataFrame:
-    """Execute a CQL SELECT against the catalog; returns a DataFrame."""
+def cql(
+    spark: SparkSession, sf_dir: str, statement: str, source_df: DataFrame | None = None
+) -> DataFrame:
+    """Execute a CQL SELECT against the catalog (or an injected source —
+    the CqlSession merged view); returns a DataFrame."""
     q = parse(statement)
     _check_restrictions(q)
     pk, cc = TABLE_KEYS[q.table]
-    df = table(spark, sf_dir, q.table)
+    df = source_df if source_df is not None else table(spark, sf_dir, q.table)
 
     for col, op, lit in q.conds:
         if op == "contains":

@@ -1,0 +1,263 @@
+"""CQL write path: a session that accepts INSERT / UPDATE / DELETE and
+serves SELECTs over (parquet snapshot + in-session mutations), with
+Cassandra's real cell model (SURVEY.md §1.1, §3.2):
+
+- every written column is an independent **cell** carrying its own
+  writetime and optional TTL [PK `db/rows/Cell.java`];
+- UPDATE writes only the named cells — unnamed columns keep older values
+  (cell-level, not row-level, last-write-wins);
+- INSERT additionally writes a **row marker**, which is why an INSERT with
+  only the primary key makes the row visible but an UPDATE does not;
+- DELETE FROM t WHERE pk=… writes a row tombstone shadowing all older
+  cells; DELETE col FROM t … writes a cell tombstone;
+- reads compact cells per (key, column) by writetime (functions/lww.py
+  semantics), fold tombstones/TTL, and pivot back to wide rows.
+
+The mutation buffer is driver-side (mutations arrive through the API one
+statement at a time — inherently small); the read path is pure DataFrame:
+melt snapshot → union mutation cells → window compaction → pivot. At scale
+the same plan runs over a persisted cell log instead of the in-memory list
+(this is exactly an LSM memtable/SSTable split: parquet snapshot =
+compacted SSTables, session buffer = memtable).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import table
+from .cql import InvalidRequest, TABLE_KEYS, _literal, cql
+
+ROW_MARKER = "__row__"
+ROW_TOMBSTONE = "*"
+
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*\((?P<cols>[^)]*)\)\s*"
+    r"VALUES\s*\((?P<vals>.*)\)\s*(?:USING\s+TTL\s+(?P<ttl>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)(?:\s+USING\s+TTL\s+(?P<ttl>\d+))?"
+    r"\s+SET\s+(?P<sets>.*?)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside quotes."""
+    out, depth, cur, in_q = [], 0, [], False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+        if ch == "," and not in_q and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+class CqlSession:
+    """Executes CQL statements against the parquet snapshot + a session
+    mutation buffer. ``now_micros`` is injectable for deterministic TTL."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, now_micros: int = 1_800_000_000_000_000):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.now_micros = now_micros
+        self._seq = 0
+        #: table -> list of cell dicts (keys json, column, value str|None,
+        #: writetime, expires_at micros|None, tombstone)
+        self._cells: dict[str, list[dict]] = {}
+
+    # -- write path ---------------------------------------------------------
+
+    def _next_writetime(self) -> int:
+        self._seq += 1
+        return self.now_micros + self._seq
+
+    def _key_of(self, tbl: str, where: str) -> dict:
+        pk, cc = TABLE_KEYS[tbl]
+        key: dict = {}
+        for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+            m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
+            if not m:
+                raise InvalidRequest(f"write WHERE must be key equality: {part!r}")
+            key[m.group(1).lower()] = _literal(m.group(2))
+        missing = [c for c in (*pk, *cc) if c not in key]
+        if missing:
+            raise InvalidRequest(f"write requires full primary key; missing {missing}")
+        extra = set(key) - set(pk) - set(cc)
+        if extra:
+            raise InvalidRequest(f"non-key columns in write WHERE: {sorted(extra)}")
+        return key
+
+    def _emit(self, tbl: str, key: dict, column: str, value, wt: int, ttl: int | None, tombstone: bool) -> None:
+        self._cells.setdefault(tbl, []).append(
+            {
+                "key": key,
+                "column": column,
+                "value": None if value is None else str(value),
+                "writetime": wt,
+                "expires_at": (wt + ttl * 1_000_000) if ttl else None,
+                "tombstone": tombstone,
+            }
+        )
+
+    def execute(self, statement: str) -> DataFrame | None:
+        s = statement.strip()
+        if re.match(r"^SELECT\b", s, re.IGNORECASE):
+            return self._select(s)
+        m = _INSERT.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            if tbl not in TABLE_KEYS:
+                raise InvalidRequest(f"unknown table {tbl}")
+            cols = [c.strip().lower() for c in m.group("cols").split(",")]
+            vals = [_literal(v) for v in _split_top_level(m.group("vals"))]
+            if len(cols) != len(vals):
+                raise InvalidRequest("column/value count mismatch")
+            ttl = int(m.group("ttl")) if m.group("ttl") else None
+            row = dict(zip(cols, vals))
+            pk, cc = TABLE_KEYS[tbl]
+            key = {c: row[c] for c in (*pk, *cc) if c in row}
+            if len(key) != len(pk) + len(cc):
+                raise InvalidRequest("INSERT requires the full primary key")
+            wt = self._next_writetime()
+            self._emit(tbl, key, ROW_MARKER, "1", wt, ttl, False)
+            for c, v in row.items():
+                if c not in key:
+                    self._emit(tbl, key, c, v, wt, ttl, False)
+            return None
+        m = _UPDATE.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            ttl = int(m.group("ttl")) if m.group("ttl") else None
+            if tbl not in TABLE_KEYS:
+                raise InvalidRequest(f"unknown table {tbl}")
+            key = self._key_of(tbl, m.group("where"))
+            wt = self._next_writetime()
+            for part in _split_top_level(m.group("sets")):
+                sm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
+                if not sm:
+                    raise InvalidRequest(f"unparseable SET clause: {part!r}")
+                col = sm.group(1).lower()
+                if col in dict.fromkeys(key):
+                    raise InvalidRequest(f"cannot SET primary-key column {col}")
+                # UPDATE writes cells only — deliberately NO row marker
+                self._emit(tbl, key, col, _literal(sm.group(2)), wt, ttl, False)
+            return None
+        m = _DELETE.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            if tbl not in TABLE_KEYS:
+                raise InvalidRequest(f"unknown table {tbl}")
+            key = self._key_of(tbl, m.group("where"))
+            wt = self._next_writetime()
+            cols = [c.strip().lower() for c in m.group("cols").split(",") if c.strip()]
+            if cols:  # cell tombstones
+                for c in cols:
+                    self._emit(tbl, key, c, None, wt, None, True)
+            else:  # row tombstone
+                self._emit(tbl, key, ROW_TOMBSTONE, None, wt, None, True)
+            return None
+        raise InvalidRequest(f"unparseable statement: {statement!r}")
+
+    # -- read path ----------------------------------------------------------
+
+    def snapshot(self, tbl: str) -> DataFrame:
+        """The merged live view of a table: snapshot + mutations, compacted
+        cell-wise. Pure DataFrame plan; no driver-side row materialization."""
+        base = table(self.spark, self.sf_dir, tbl)
+        pk, cc = TABLE_KEYS[tbl]
+        keys = [*pk, *cc]
+        payload = [c for c in base.columns if c not in keys]
+        dtypes = dict(base.dtypes)
+
+        # melt the snapshot into cells (writetime 0 = pre-session history)
+        stack_cols = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in payload)
+        cells = base.selectExpr(
+            *keys, f"stack({len(payload)}, {stack_cols}) AS (column, value)"
+        ).select(
+            *keys,
+            "column",
+            "value",
+            F.lit(0).cast("long").alias("writetime"),
+            F.lit(None).cast("long").alias("expires_at"),
+            F.lit(False).alias("tombstone"),
+        )
+        marker = base.select(
+            *keys,
+            F.lit(ROW_MARKER).alias("column"),
+            F.lit("1").alias("value"),
+            F.lit(0).cast("long").alias("writetime"),
+            F.lit(None).cast("long").alias("expires_at"),
+            F.lit(False).alias("tombstone"),
+        )
+        cells = cells.unionByName(marker)
+
+        muts = self._cells.get(tbl, [])
+        if muts:
+            rows = [
+                tuple(m["key"][k] for k in keys)
+                + (m["column"], m["value"], m["writetime"], m["expires_at"], m["tombstone"])
+                for m in muts
+            ]
+            schema = (
+                ", ".join(f"{k} {dtypes[k]}" for k in keys)
+                + ", column STRING, value STRING, writetime LONG, expires_at LONG, tombstone BOOLEAN"
+            )
+            cells = cells.unionByName(self.spark.createDataFrame(rows, schema))
+
+        # row tombstones shadow all older cells of the key
+        w_key = Window.partitionBy(*keys)
+        row_del_wt = F.max(
+            F.when(F.col("column") == ROW_TOMBSTONE, F.col("writetime"))
+        ).over(w_key)
+        cells = cells.withColumn("_row_del", F.coalesce(row_del_wt, F.lit(-1))).filter(
+            (F.col("column") == ROW_TOMBSTONE) | (F.col("writetime") > F.col("_row_del"))
+        )
+
+        # cell-level LWW + tombstone/TTL fold
+        w_cell = Window.partitionBy(*keys, "column").orderBy(F.desc("writetime"))
+        live = (
+            cells.withColumn("_rn", F.row_number().over(w_cell))
+            .filter(F.col("_rn") == 1)
+            .filter(~F.col("tombstone"))
+            .filter(
+                F.col("expires_at").isNull() | (F.col("expires_at") > F.lit(self.now_micros))
+            )
+            .filter(F.col("column") != ROW_TOMBSTONE)
+        )
+
+        # pivot back to wide; a row is visible if ANY live cell remains
+        wide = (
+            live.groupBy(*keys)
+            .pivot("column", [ROW_MARKER, *payload])
+            .agg(F.first("value"))
+        )
+        return wide.select(
+            *keys,
+            *[F.col(c).cast(dtypes[c]).alias(c) for c in payload],
+        )
+
+    def _select(self, statement: str) -> DataFrame:
+        m = re.search(r"\bFROM\s+(\w+)", statement, re.IGNORECASE)
+        if not m:
+            raise InvalidRequest("SELECT needs FROM")
+        tbl = m.group(1).lower()
+        return cql(self.spark, self.sf_dir, statement, source_df=self.snapshot(tbl))

@@ -1,0 +1,105 @@
+"""CqlSession write-path tests: Cassandra cell semantics end-to-end through
+CQL statements — INSERT/UPDATE/DELETE/TTL, cell-level LWW, row markers,
+tombstone shadowing and resurrection."""
+
+from __future__ import annotations
+
+import pytest
+
+from dcosb_cassandra_spark.cql import InvalidRequest
+from dcosb_cassandra_spark.cql_session import CqlSession
+
+from .conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture()
+def sess(spark):
+    return CqlSession(spark, SMOKE_SF_DIR)
+
+
+def _row(sess, key):
+    return (
+        sess.execute(f"SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = {key}")
+        .collect()
+    )
+
+
+def test_insert_new_row_visible(sess):
+    sess.execute("INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (999999, 'NEW CUST', 12.5)")
+    rows = _row(sess, 999999)
+    assert len(rows) == 1
+    assert rows[0]["c_name"] == "NEW CUST" and rows[0]["c_acctbal"] == 12.5
+
+
+def test_upsert_overwrites_snapshot_value(sess):
+    before = _row(sess, 1)[0]
+    sess.execute("INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (1, 'RENAMED', 0.0)")
+    after = _row(sess, 1)[0]
+    assert before["c_name"] != "RENAMED"
+    assert after["c_name"] == "RENAMED" and after["c_acctbal"] == 0.0
+
+
+def test_update_touches_only_named_cells(sess):
+    before = _row(sess, 2)[0]
+    sess.execute("UPDATE customer SET c_acctbal = 777.75 WHERE c_custkey = 2")
+    after = _row(sess, 2)[0]
+    assert after["c_acctbal"] == 777.75
+    assert after["c_name"] == before["c_name"], "unnamed cell must keep its older value"
+
+
+def test_row_marker_semantics(sess):
+    """The INSERT row marker vs UPDATE-only rows — Cassandra's subtlest
+    liveness rule: both upsert a visible row, but deleting the only cell of
+    an UPDATE-created row erases it, while an INSERTed row survives on its
+    marker."""
+    sess.execute("UPDATE customer SET c_acctbal = 5.0 WHERE c_custkey = 888888")
+    assert _row(sess, 888888)[0]["c_acctbal"] == 5.0, "UPDATE upserts a visible row"
+    sess.execute("DELETE c_acctbal FROM customer WHERE c_custkey = 888888")
+    assert _row(sess, 888888) == [], "no marker + no live cells -> row gone"
+
+    sess.execute("INSERT INTO customer (c_custkey, c_acctbal) VALUES (777777, 5.0)")
+    sess.execute("DELETE c_acctbal FROM customer WHERE c_custkey = 777777")
+    rows = _row(sess, 777777)
+    assert len(rows) == 1 and rows[0]["c_acctbal"] is None, "row marker keeps the row visible"
+
+
+def test_delete_row_then_resurrect(sess):
+    sess.execute("DELETE FROM customer WHERE c_custkey = 3")
+    assert _row(sess, 3) == []
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (3, 'BACK')")
+    rows = _row(sess, 3)
+    assert len(rows) == 1 and rows[0]["c_name"] == "BACK"
+    assert rows[0]["c_acctbal"] is None, "row tombstone must shadow the pre-delete cells"
+
+
+def test_delete_single_cell(sess):
+    sess.execute("DELETE c_acctbal FROM customer WHERE c_custkey = 4")
+    row = _row(sess, 4)[0]
+    assert row["c_acctbal"] is None and row["c_name"] is not None
+
+
+def test_ttl_expiry_boundary(spark):
+    sess = CqlSession(spark, SMOKE_SF_DIR, now_micros=1_800_000_000_000_000)
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (555555, 'EPHEMERAL') USING TTL 60")
+    assert len(_row(sess, 555555)) == 1, "within TTL the cell is live"
+    sess.now_micros += 61 * 1_000_000  # advance the clock past expiry
+    assert _row(sess, 555555) == [], "expired row marker + cells must vanish"
+
+
+def test_clustered_table_full_key_required(sess):
+    with pytest.raises(InvalidRequest, match="full primary key"):
+        sess.execute("UPDATE lineitem SET l_quantity = 1.0 WHERE l_orderkey = 1")
+    sess.execute(
+        "UPDATE lineitem SET l_quantity = 99.0 WHERE l_orderkey = 1 AND l_linenumber = 1"
+    )
+    rows = sess.execute(
+        "SELECT l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = 1"
+    ).collect()
+    assert any(r["l_quantity"] == 99.0 for r in rows)
+
+
+def test_cell_lww_latest_wins(sess):
+    sess.execute("UPDATE customer SET c_acctbal = 1.0 WHERE c_custkey = 6")
+    sess.execute("UPDATE customer SET c_acctbal = 2.0 WHERE c_custkey = 6")
+    sess.execute("UPDATE customer SET c_acctbal = 3.0 WHERE c_custkey = 6")
+    assert _row(sess, 6)[0]["c_acctbal"] == 3.0
