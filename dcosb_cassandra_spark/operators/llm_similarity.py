@@ -204,3 +204,64 @@ def d4b_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("cand") == F.col("true_label"), 1)).alias("n_match"),
         )
     )
+
+
+@query(
+    "d8b_int8_quantization",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12)
+                       AS scale
+            FROM embeddings WHERE vec_id < 200
+        ),
+        quant AS (
+            SELECT vec_id, scale,
+                   list_transform(e, x -> round(x / scale * 127)) AS qe,
+                   e
+            FROM q
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CAST(qe[1] AS BIGINT) AS q0,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> abs(e[i] - qe[i] * scale / 127))) / 64, 6) AS mean_abs_err
+        FROM quant
+    """,
+    tags=("D8", "P2"),
+)
+def d8b_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (absmax scaling) +
+    round-trip error — the storage-side half of similarity at 100 TB: 4×
+    smaller vectors, dot products in int8 with one dequant multiply. Pure
+    higher-order expressions; the mean reconstruction error is the
+    quality gate a pipeline would threshold on."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = as_double(F.col("embedding"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    quant = e.select(
+        "vec_id",
+        v.alias("e"),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale * 127)).alias("qe"),
+    )
+    err = (
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.col("qe"),
+                lambda x, qx: F.abs(x - qx * F.col("scale") / 127),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / 64
+    )
+    return quant.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.element_at("qe", 1).cast("long").alias("q0"),
+        F.round(err, 6).alias("mean_abs_err"),
+    )
