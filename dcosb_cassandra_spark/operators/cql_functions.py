@@ -77,10 +77,10 @@ def a29_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("event_id") <= 50).select(
         "event_id",
         F.to_date("ts").alias("d"),
-        F.year("ts").alias("y"),
-        F.month("ts").alias("mo"),
-        F.hour("ts").alias("h"),
-        F.dayofweek("ts").alias("dow"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.hour("ts").cast("long").alias("h"),
+        F.dayofweek("ts").cast("long").alias("dow"),
         F.unix_timestamp("ts").alias("unix_s"),
         F.date_trunc("minute", "ts").alias("minute_ts"),
     )
@@ -119,7 +119,7 @@ def a31_blob_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.md5(blob).alias("name_md5"),
         F.hex(blob).alias("name_hex"),
-        F.octet_length(blob).alias("n_bytes"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
     )
 
 
@@ -178,11 +178,11 @@ def b25_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_mktsegment").alias("lo"),
         F.substring("c_name", 1, 8).alias("pre"),
         F.concat_ws("", F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("joined"),
-        F.length("c_name").alias("len"),
+        F.length("c_name").cast("long").alias("len"),
         F.regexp_replace("c_name", "#", "-").alias("repl"),
         F.trim(F.col("c_name")).alias("trimmed"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
-        F.levenshtein(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("lev"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("MACHINERY")).cast("long").alias("lev"),
     )
 
 
@@ -206,9 +206,9 @@ def b26_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(F.col("o_orderkey") <= 40).select(
         "o_orderkey",
         F.date_trunc("month", "o_orderdate").alias("order_month"),
-        F.year("o_orderdate").alias("y"),
-        F.quarter("o_orderdate").alias("q"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_2002"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).cast("long").alias("days_to_2002"),
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due"),
         F.last_day("o_orderdate").alias("month_end"),
     )
@@ -296,8 +296,8 @@ def b29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.filter(F.col("doc_id") <= 20).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.array_sort(F.array_distinct(toks)).getItem(0).alias("first_token"),
         F.array_contains(toks, "index").alias("has_index"),
         F.array_sort(F.transform(F.array_distinct(toks), lambda t: F.upper(t))).alias("tokens_upper"),
@@ -329,5 +329,5 @@ def b30_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "type").alias("k_type"),
         F.element_at(m, "value").cast("double").alias("v_value"),
-        F.size(m).alias("n_keys"),
+        F.size(m).cast("long").alias("n_keys"),
     )

@@ -18,7 +18,8 @@ from ..registry import query
     "b12c_grouping_sets",
     oracle="""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -31,7 +32,8 @@ def b12c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -76,7 +78,7 @@ def b20b_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b22b_posexplode",
     oracle="""
-        SELECT doc_id, i - 1 AS pos, token
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, token
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
                      unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
               FROM documents WHERE doc_id < 10)
@@ -151,8 +153,8 @@ def a29b_timeuuid_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "event_id",
         "timeuuid",
-        F.rank().over(Window.orderBy("t_micros")).alias("time_order"),
-        F.rank().over(Window.orderBy("timeuuid")).alias("lexical_order"),
+        F.rank().over(Window.orderBy("t_micros")).cast("long").alias("time_order"),
+        F.rank().over(Window.orderBy("timeuuid")).cast("long").alias("lexical_order"),
     )
 
 

@@ -160,7 +160,7 @@ def window_top2_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 2)
     )
 
@@ -269,8 +269,8 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_token_counts",
     oracle="""
-        SELECT lang, count(*) AS docs, sum(n_chars) AS chars,
-               sum(length(text) - length(replace(text, ' ', '')) + 1) AS approx_tokens
+        SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS approx_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """,
     tags=("B25", "D5", "P0"),

@@ -21,7 +21,7 @@ from ..sources.multimodal import DECODE_SCHEMA, decode_image_stub, multimodal_fr
     "d7_multimodal_metadata",
     oracle="""
         SELECT lang, count(*) AS n_payloads,
-               sum(octet_length(text::BLOB)) AS total_bytes,
+               CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
                max(octet_length(text::BLOB)) AS max_bytes
         FROM documents GROUP BY lang
     """,
@@ -43,7 +43,7 @@ def d7_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d7b_decode_pipeline",
     oracle="""
         SELECT kind, count(*) AS n,
-               sum(width) AS total_w, max(height) AS max_h
+               CAST(sum(width) AS BIGINT) AS total_w, max(height) AS max_h
         FROM (
             SELECT 'text/plain' AS kind,
                    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16

@@ -27,8 +27,8 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
     "d5_quality_scores",
     oracle=f"""
         SELECT doc_id, lang,
-               len(string_split(text, ' '))                              AS n_tokens,
-               len(list_distinct(string_split(text, ' ')))               AS n_unique,
+               CAST(len(string_split(text, ' ')) AS BIGINT)               AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
                round(len(list_distinct(string_split(text, ' '))) * 1.0
                      / len(string_split(text, ' ')), 6)                  AS uniq_ratio,
                round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
@@ -51,8 +51,8 @@ def d5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        n_unique.alias("n_unique"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_unique.cast("long").alias("n_unique"),
         F.round(n_unique / n_tokens, 6).alias("uniq_ratio"),
         F.round((F.length("text") - n_tokens + 1) / n_tokens, 6).alias("avg_token_len"),
         F.round(stopword_hits(F.col("text")) / n_tokens, 6).alias("stopword_ratio"),
@@ -88,8 +88,8 @@ def d5b_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d5c_token_count_bpe",
     oracle=rf"""
         SELECT lang,
-               sum(len(string_split(text, ' ')))                         AS ws_tokens,
-               sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))   AS bpe_ish_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)          AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_ish_tokens
         FROM documents GROUP BY lang
     """,
     tags=("D5", "P1"),

@@ -37,10 +37,10 @@ def b13_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
         F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
     )
 
 
