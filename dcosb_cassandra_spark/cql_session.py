@@ -42,9 +42,11 @@ _INSERT = re.compile(
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)(?:\s+USING\s+TTL\s+(?P<ttl>\d+))?"
-    r"\s+SET\s+(?P<sets>.*?)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
+    r"\s+SET\s+(?P<sets>.*?)\s+WHERE\s+(?P<where>.*?)"
+    r"(?:\s+IF\s+(?P<cond>(?!NOT\s+EXISTS).+?))?(?:\s+IF\s+(?P<ine>NOT\s+EXISTS))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_INE = re.compile(r"\s+IF\s+NOT\s+EXISTS\s*;?\s*$", re.IGNORECASE)
 _DELETE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -118,10 +120,59 @@ class CqlSession:
             }
         )
 
+    def _row_exists(self, tbl: str, key: dict) -> bool:
+        df = self.snapshot(tbl)
+        for k, v in key.items():
+            df = df.filter(F.col(k) == v)
+        return df.limit(1).count() > 0
+
+    def _cell_value(self, tbl: str, key: dict, col: str):
+        df = self.snapshot(tbl)
+        for k, v in key.items():
+            df = df.filter(F.col(k) == v)
+        rows = df.select(col).limit(1).collect()
+        return rows[0][0] if rows else None
+
     def execute(self, statement: str) -> DataFrame | None:
+        """Execute a statement. LWT forms (IF NOT EXISTS / IF col = v) return
+        a 1-row DataFrame with an ``[applied]`` boolean, like Cassandra
+        [PK `service/paxos/`; single-engine: the condition check is a point
+        read, no consensus needed — SURVEY A25]."""
         s = statement.strip()
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
+
+        ine = _INSERT_INE.search(s)
+        if ine and re.match(r"^\s*INSERT\b", s, re.IGNORECASE):
+            bare = s[: ine.start()]
+            m = _INSERT.match(bare)
+            if not m:
+                raise InvalidRequest(f"unparseable statement: {statement!r}")
+            tbl = m.group("table").lower()
+            cols = [c.strip().lower() for c in m.group("cols").split(",")]
+            vals = [_literal(v) for v in _split_top_level(m.group("vals"))]
+            pk, cc = TABLE_KEYS[tbl]
+            row = dict(zip(cols, vals))
+            key = {c: row[c] for c in (*pk, *cc) if c in row}
+            if self._row_exists(tbl, key):
+                return self.spark.createDataFrame([(False,)], "`[applied]` BOOLEAN")
+            self.execute(bare)
+            return self.spark.createDataFrame([(True,)], "`[applied]` BOOLEAN")
+
+        m = _UPDATE.match(s)
+        if m and m.group("cond"):
+            cm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", m.group("cond"))
+            if not cm:
+                raise InvalidRequest(f"unparseable IF condition: {m.group('cond')!r}")
+            tbl = m.group("table").lower()
+            key = self._key_of(tbl, m.group("where"))
+            current = self._cell_value(tbl, key, cm.group(1).lower())
+            if current != _literal(cm.group(2)):
+                return self.spark.createDataFrame([(False,)], "`[applied]` BOOLEAN")
+            bare = s[: s.upper().rindex(" IF ")]
+            self.execute(bare)
+            return self.spark.createDataFrame([(True,)], "`[applied]` BOOLEAN")
+
         m = _INSERT.match(s)
         if m:
             tbl = m.group("table").lower()

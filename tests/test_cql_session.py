@@ -103,3 +103,24 @@ def test_cell_lww_latest_wins(sess):
     sess.execute("UPDATE customer SET c_acctbal = 2.0 WHERE c_custkey = 6")
     sess.execute("UPDATE customer SET c_acctbal = 3.0 WHERE c_custkey = 6")
     assert _row(sess, 6)[0]["c_acctbal"] == 3.0
+
+
+def test_lwt_insert_if_not_exists(sess):
+    r1 = sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (444444, 'FIRST') IF NOT EXISTS")
+    assert r1.head()["[applied]"] is True
+    r2 = sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (444444, 'SECOND') IF NOT EXISTS")
+    assert r2.head()["[applied]"] is False
+    assert _row(sess, 444444)[0]["c_name"] == "FIRST", "losing LWT must not write"
+
+
+def test_lwt_conditional_update(sess):
+    sess.execute("INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (333333, 'CAS', 10.0)")
+    r1 = sess.execute(
+        "UPDATE customer SET c_acctbal = 20.0 WHERE c_custkey = 333333 IF c_acctbal = 10.0"
+    )
+    assert r1.head()["[applied]"] is True
+    r2 = sess.execute(
+        "UPDATE customer SET c_acctbal = 30.0 WHERE c_custkey = 333333 IF c_acctbal = 10.0"
+    )
+    assert r2.head()["[applied]"] is False
+    assert _row(sess, 333333)[0]["c_acctbal"] == 20.0
