@@ -1,0 +1,77 @@
+"""Semantic validation of the dedup operators — beyond oracle parity:
+does MinHash-LSH actually catch near-duplicates it should, and does exact
+dedup find the known duplicates in the corpus (FIXTURES.md: 8 duplicate
+texts exist at sf0.1, none below)?"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcosb_cassandra_spark.catalog import table
+from dcosb_cassandra_spark.functions.minhash import (
+    lsh_bands,
+    minhash_signature,
+    tokens_of,
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_exact_dedup_finds_known_duplicates_at_sf01(spark):
+    d = table(spark, SF01, "documents")
+    n_docs = d.count()
+    n_unique = d.select("text").distinct().count()
+    assert n_docs - n_unique == 8, "FIXTURES.md: exactly 8 duplicate rows at sf0.1"
+    groups = d.groupBy("text").count().filter(F.col("count") > 1)
+    assert groups.agg(F.sum(F.col("count") - 1)).head()[0] == 8
+
+
+def test_minhash_lsh_catches_constructed_near_dups(spark):
+    """Plant near-duplicates with known overlap: B = A with 2 of ~20 tokens
+    changed (Jaccard ≈ 0.82) must share at least one LSH band with A;
+    unrelated random docs must not collide with everything."""
+    base = [f"tok{i}" for i in range(20)]
+    docs = []
+    for d in range(25):
+        a = [f"d{d}_{t}" for t in base]
+        b = list(a)
+        b[0], b[1] = f"d{d}_changed0", f"d{d}_changed1"
+        docs.append((2 * d, " ".join(a)))
+        docs.append((2 * d + 1, " ".join(b)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    sigs = minhash_signature(df, "doc_id", "text")
+    bands = lsh_bands(sigs, "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = {
+        (r["x"], r["y"])
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    }
+    planted = {(2 * d, 2 * d + 1) for d in range(25)}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall} too low for Jaccard≈0.82 pairs"
+    false_pairs = pairs - planted
+    assert len(false_pairs) <= 5, f"too many spurious candidates: {len(false_pairs)}"
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate ≈ true Jaccard (the MinHash estimator):
+    with 8 hashes expect coarse agreement — within ±0.35 absolute."""
+    a_toks = [f"t{i}" for i in range(30)]
+    b_toks = a_toks[:15] + [f"u{i}" for i in range(15)]  # true J = 15/45 = 1/3
+    df = spark.createDataFrame(
+        [(0, " ".join(a_toks)), (1, " ".join(b_toks))], "doc_id LONG, text STRING"
+    )
+    sigs = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
+            minhash_signature(df, "doc_id", "text").collect()}
+    agree = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 8
+    assert abs(agree - 1 / 3) <= 0.35
