@@ -40,7 +40,6 @@ def audit(df: DataFrame) -> dict:
         "n_shuffle_exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
         "has_cartesian": "CartesianProduct" in plan,
-        "has_codegen": "WholeStageCodegen" in plan,
         "has_partial_agg": "HashAggregate" in plan or "SortAggregate" in plan,
         "read_schemas": [
             line.split("ReadSchema:", 1)[1].strip()
