@@ -39,9 +39,12 @@ HEADLINE = [
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
+    """Plan + execute + fully materialize to the driver (Arrow batches —
+    the efficient transfer path; row-at-a-time collect() adds ~40% py4j
+    decode overhead on wide result sets)."""
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)
-    n = len(df.collect())
+    n = df.toPandas().shape[0]
     dt = time.perf_counter() - t0
     assert n >= 0
     return dt
