@@ -237,3 +237,116 @@ def d2d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(1, 17)
     ]
     return tok.groupBy("doc_id").agg(F.concat(*bit).alias("simhash16"))
+
+
+_EDGES_SQL = """
+        tok AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        pair AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS both_n
+            FROM tok a JOIN tok b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT p.id_a, p.id_b
+            FROM pair p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE p.both_n * 1.0 / (sa.n + sb.n - p.both_n) >= 0.5
+        )
+"""
+
+
+@query(
+    "d2f_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+        undirected AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges
+        ),
+        reach(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.dst, r.root FROM reach r JOIN undirected u ON u.src = r.node
+        )
+        SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("D1", "D2", "P1"),
+)
+def d2f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the Jaccard≥0.5
+    edge set (blocked by lang+source), via iterative min-label propagation —
+    each doc ends labeled with the smallest doc_id reachable from it; the
+    canonical keeper per cluster. The oracle twin is a recursive CTE
+    (transitive closure) in DuckDB.
+
+    Scale: label propagation is the standard distributed CC algorithm
+    (O(diameter) rounds of join+min-agg, each one shuffle on doc_id);
+    diameter of dup clusters is tiny in practice. The driver loop carries
+    only a 1-row convergence count per round — no data leaves the cluster."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    edges = (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    undirected = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        undirected.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    ).localCheckpoint()
+    undirected = undirected.localCheckpoint()
+    for _ in range(16):  # diameter bound; converges in 1-2 rounds here
+        neighbor_min = (
+            undirected.join(labels, undirected.id_b == labels.doc_id)
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

@@ -485,3 +485,86 @@ def b16b_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_last("last_order"), F.asc("c_custkey"))
         .limit(40)
     )
+
+
+@query(
+    "b09c_having",
+    oracle="""
+        SELECT l_suppkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING count(*) > 620 AND sum(l_quantity) > 14000
+    """,
+    tags=("B9", "P1"),
+)
+def b09c_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING (post-aggregation filter) — Catalyst plans it as a filter above
+    the final aggregate, so it never blocks partial aggregation."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter((F.col("n_lines") > 620) & (F.col("total_qty") > 14000))
+    )
+
+
+@query(
+    "b09d_count_histogram",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        ) GROUP BY n_orders
+    """,
+    tags=("B9", "B3", "P1"),
+)
+def b09d_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts (count of
+    counts). Two cascaded aggregations — the second is tiny (distinct count
+    values), so the heavy shuffle happens exactly once."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "b14b_nth_value",
+    oracle="""
+        SELECT user_id,
+               max(CASE WHEN rn = 2 THEN event_id END) AS second_event,
+               max(CASE WHEN rn = 2 THEN ts END)       AS second_ts
+        FROM (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) GROUP BY user_id
+    """,
+    tags=("B14", "P1"),
+)
+def b14b_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value (second event per user) — the 'onboarding second touch'
+    query; expressed via nth_value over the full frame, reduced per key."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.nth_value("event_id", 2).over(w).alias("second_event"),
+            F.nth_value("ts", 2).over(w).alias("second_ts"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("second_event").alias("second_event"),
+            F.max("second_ts").alias("second_ts"),
+        )
+    )
