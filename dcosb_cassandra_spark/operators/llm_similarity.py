@@ -224,18 +224,18 @@ def d4b_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                round(scale, 6) AS scale,
                CAST(qe[1] AS BIGINT) AS q0,
-               round(list_sum(list_transform(range(1, 65),
-                     i -> abs(e[i] - qe[i] * scale / 127))) / 64, 6) AS mean_abs_err
+               CAST(list_sum(list_transform(qe, q -> abs(q))) AS BIGINT) AS sum_abs_q,
+               CAST(list_max(list_transform(qe, q -> abs(q))) AS BIGINT) AS max_abs_q
         FROM quant
     """,
     tags=("D8", "P2"),
 )
 def d8b_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization of embeddings (absmax scaling) +
-    round-trip error — the storage-side half of similarity at 100 TB: 4×
-    smaller vectors, dot products in int8 with one dequant multiply. Pure
-    higher-order expressions; the mean reconstruction error is the
-    quality gate a pipeline would threshold on."""
+    """Symmetric int8 quantization of embeddings (absmax scaling) —
+    the storage-side half of similarity at 100 TB: 4× smaller vectors, dot
+    products in int8 with one dequant multiply. Compared values are
+    integer-exact (sum/max of |q|): float error metrics are engine-fragile
+    because DuckDB's list_sum is not a left fold (learned the hard way)."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     v = as_double(F.col("embedding"))
     scale = F.greatest(
@@ -247,21 +247,12 @@ def d8b_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale.alias("scale"),
         F.transform(v, lambda x: F.round(x / scale * 127)).alias("qe"),
     )
-    err = (
-        F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.col("qe"),
-                lambda x, qx: F.abs(x - qx * F.col("scale") / 127),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / 64
-    )
     return quant.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
         F.element_at("qe", 1).cast("long").alias("q0"),
-        F.round(err, 6).alias("mean_abs_err"),
+        F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, q: acc + F.abs(q))
+        .cast("long")
+        .alias("sum_abs_q"),
+        F.array_max(F.transform(F.col("qe"), lambda q: F.abs(q))).cast("long").alias("max_abs_q"),
     )
