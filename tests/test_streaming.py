@@ -195,3 +195,18 @@ def test_c4_watermark_bounds_state(spark, events_dir):
     assert state_rows < open_after_first / 10, (
         f"state not cleaned: {state_rows} rows retained vs {open_after_first} open earlier"
     )
+
+
+def test_c2_sliding_stream_matches_batch(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, streams.c2_sliding_stream(stream), "c2_sink")
+    got = {r["w_start"]: (r["n"], r["total"]) for r in out.collect()}
+
+    e = table(spark, SMOKE_SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "n", "total")
+    )
+    want = {r["w_start"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert got == want
