@@ -1,0 +1,192 @@
+"""Second coverage sweep: unpivot/melt, extended string & bitwise function
+buckets, boolean/conditional aggregates, and a sessionized conversion
+funnel (the composition query a real events pipeline runs daily).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "b23b_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+            FROM lineitem WHERE l_orderkey <= 5
+        ) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    tags=("B23", "P2"),
+)
+def b23b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) — the inverse of pivot; no shuffle, pure
+    row expansion (Catalyst Expand)."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 5)
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .select("l_orderkey", "l_linenumber", "metric", F.round("val", 4).alias("val"))
+    )
+
+
+@query(
+    "b25b_string_functions_2",
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               reverse(c_mktsegment)                    AS rev,
+               repeat('ab', 3)                          AS rep,
+               split_part(c_name, '#', 1)               AS name_head,
+               left(c_name, 4)                          AS l4,
+               right(c_name, 3)                         AS r3,
+               contains(c_name, '1')                    AS has_one,
+               starts_with(c_mktsegment, 'MACH')        AS is_mach
+        FROM customer WHERE c_custkey <= 30
+    """,
+    tags=("B25", "P1"),
+)
+def b25b_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String bucket 2: pad/reverse/repeat/split_part/left/right/contains/
+    starts_with."""
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 30).select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.col("c_name").substr(F.length("c_name") - 2, F.lit(3)).alias("r3"),
+        F.contains(F.col("c_name"), F.lit("1")).alias("has_one"),
+        F.startswith(F.col("c_mktsegment"), F.lit("MACH")).alias("is_mach"),
+    )
+
+
+@query(
+    "b27b_bitwise_ops",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255        AS low_byte,
+               o_orderkey | 4096       AS with_flag,
+               xor(o_orderkey, 21845)  AS xored,
+               o_orderkey << 2         AS shl,
+               o_orderkey >> 3         AS shr
+        FROM orders WHERE o_orderkey <= 60
+    """,
+    tags=("B27", "A5", "P2"),
+)
+def b27b_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise bucket (& | xor << >>) — the primitives behind token-range
+    bucketing and simhash bit math."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.filter(k <= 60).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@query(
+    "b28b_bool_aggregates",
+    oracle="""
+        SELECT user_id,
+               bool_or(event_type = 'purchase')  AS ever_purchased,
+               bool_and(value >= 0)              AS all_nonneg,
+               count_if(event_type = 'error')    AS n_errors,
+               count_if(value > 95)              AS n_high
+        FROM events GROUP BY user_id
+    """,
+    tags=("B28", "B9", "P1"),
+)
+def b28b_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_or/bool_and/count_if — the
+    cohort-flag aggregation idiom (one pass, partial-aggregatable)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.count_if(F.col("value") > 95).alias("n_high"),
+    )
+
+
+@query(
+    "c3b_session_funnel",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_type, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   bool_or(event_type = 'view')     AS saw,
+                   bool_or(event_type = 'click')    AS clicked,
+                   bool_or(event_type = 'purchase') AS purchased
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT count(*)                                        AS n_sessions,
+               count_if(saw)                                   AS with_view,
+               count_if(saw AND clicked)                       AS view_click,
+               count_if(saw AND clicked AND purchased)         AS full_funnel,
+               round(count_if(saw AND clicked AND purchased) * 1.0
+                     / count(*), 6)                            AS conversion
+        FROM per_session
+    """,
+    tags=("C3", "D5", "P1"),
+)
+def c3b_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel (view→click→purchase within a 30-min
+    session): gaps-and-islands sessionization composed with boolean
+    aggregates — the canonical events-pipeline KPI query. Two window passes
+    + two aggregations, all keyed on user_id (one shuffle)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap >= 1_800_000_000), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(running)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.bool_or(F.col("event_type") == "view").alias("saw"),
+        F.bool_or(F.col("event_type") == "click").alias("clicked"),
+        F.bool_or(F.col("event_type") == "purchase").alias("purchased"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(F.col("saw")).alias("with_view"),
+        F.count_if(F.col("saw") & F.col("clicked")).alias("view_click"),
+        F.count_if(F.col("saw") & F.col("clicked") & F.col("purchased")).alias("full_funnel"),
+        F.round(
+            F.count_if(F.col("saw") & F.col("clicked") & F.col("purchased"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conversion"),
+    )

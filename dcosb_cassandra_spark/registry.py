@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "dcosb_cassandra_spark.operators.llm_multimodal",
     "dcosb_cassandra_spark.operators.extras",
     "dcosb_cassandra_spark.operators.stats",
+    "dcosb_cassandra_spark.operators.extras2",
 )
 
 
