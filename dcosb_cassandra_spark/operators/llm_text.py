@@ -223,3 +223,108 @@ def d5e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "token", "tfidf")
     )
+
+
+@query(
+    "d5f_document_chunking",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 40
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(n / 8.0) AS BIGINT))) AS chunk_idx,
+                   toks, n
+            FROM tok
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               array_to_string(toks[(chunk_idx * 8 + 1):(LEAST(chunk_idx * 8 + 10, n))], ' ')
+                   AS chunk_text,
+               LEAST(chunk_idx * 8 + 10, n) - (chunk_idx * 8 + 1) + 1 AS chunk_len
+        FROM chunks
+    """,
+    tags=("D5", "P1"),
+)
+def d5f_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (stride 8, window 10 → 2-token
+    overlap) — the context-window preprocessing op for LLM training. One
+    explode per chunk index, slices via built-in `slice`; no UDF, no
+    per-row Python. Scale: output rows = tokens/stride, embarrassingly
+    parallel, no shuffle at all."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(8.0)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * 8 + 1
+    length = F.least(F.col("chunk_idx") * 8 + 10, F.col("n")) - start + 1
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(F.slice("toks", start, length), " ").alias("chunk_text"),
+        length.cast("long").alias("chunk_len"),
+    )
+
+
+@query(
+    "d_split_train_val_test",
+    oracle="""
+        SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM (
+            SELECT n_chars,
+                   CASE WHEN h < 204 THEN 'train'
+                        WHEN h < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT n_chars,
+                         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                         + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 17 AS h
+                  FROM documents)
+        ) GROUP BY split
+    """,
+    tags=("D1", "D5", "P1"),
+)
+def d_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash
+    (~80/10/10 via the first md5 byte of the id) — reproducible across
+    runs, engines, and re-partitioning; never random() (which breaks
+    resumability at scale). Identical byte arithmetic on both engines."""
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(
+        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
+        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
+    )
+    split = (
+        F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+@query(
+    "d_systematic_sample",
+    oracle="""
+        SELECT count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
+               min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM documents WHERE doc_id % 10 = 3
+    """,
+    tags=("B24", "D5", "P1"),
+)
+def d_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-nth-key) sampling — deterministic, oracle-checkable
+    twin of Bernoulli sampling (b24); the right sample for reproducible
+    eval sets."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 10 == 3).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
