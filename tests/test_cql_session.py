@@ -124,3 +124,16 @@ def test_lwt_conditional_update(sess):
     )
     assert r2.head()["[applied]"] is False
     assert _row(sess, 333333)[0]["c_acctbal"] == 20.0
+
+
+def test_update_using_ttl(spark):
+    sess = CqlSession(spark, SMOKE_SF_DIR, now_micros=1_800_000_000_000_000)
+    sess.execute("UPDATE customer USING TTL 30 SET c_acctbal = 42.0 WHERE c_custkey = 7")
+    assert _row(sess, 7)[0]["c_acctbal"] == 42.0
+    sess.now_micros += 31 * 1_000_000
+    row = _row(sess, 7)[0]
+    # Cassandra semantics: an expired TTL cell becomes a tombstone at its
+    # own writetime — it still SHADOWS the older snapshot cell (no
+    # resurrection); the column reads null, the row stays visible.
+    assert row["c_acctbal"] is None
+    assert row["c_name"] is not None
