@@ -148,3 +148,44 @@ def c6_stateful_running_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def c9b_incremental_lww_sink(events: DataFrame, state_dir: str):
+    """Incremental LWW compaction with persisted state — the full LSM write
+    path: each micro-batch of upserts merges into a compacted parquet state
+    (read old state → union batch → lww_compact → atomic swap). This is
+    Cassandra's memtable-flush + compaction cycle expressed as foreachBatch;
+    at scale the same merge runs against a partitioned table (or Delta/
+    Iceberg MERGE INTO) instead of a directory swap."""
+    import os
+    import shutil
+
+    from ..functions.lww import lww_compact
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        log = batch_df.select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("payload"),
+            F.unix_micros("ts").alias("writetime"),
+            F.col("event_id").alias("mutation_id"),
+        )
+        cur = os.path.join(state_dir, "current")
+        if os.path.exists(cur):
+            log = spark.read.parquet(cur).unionByName(log)
+        compacted = lww_compact(
+            log, ["user_id", "event_type"], tombstone_col=None, tiebreak_col="mutation_id"
+        )
+        tmp = os.path.join(state_dir, f"stage_{batch_id}")
+        compacted.repartition(4, "user_id").write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur):
+            shutil.rmtree(cur)
+        os.rename(tmp, cur)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

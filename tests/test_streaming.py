@@ -210,3 +210,41 @@ def test_c2_sliding_stream_matches_batch(spark, events_dir):
     )
     want = {r["w_start"]: (r["n"], r["total"]) for r in batch.collect()}
     assert got == want
+
+
+def test_c9b_incremental_lww_sink(spark, events_dir):
+    """Replaying events in two micro-batches through the persisted LWW sink
+    must produce exactly the batch lww_compact over the whole log."""
+    import shutil
+
+    from dcosb_cassandra_spark.functions.lww import lww_compact
+    from dcosb_cassandra_spark.sources.mutations import upsert_log
+
+    state_dir = os.path.join(os.path.dirname(events_dir), "lww_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.makedirs(state_dir)
+    two_batch_dir = os.path.join(os.path.dirname(events_dir), "stream_events_2batch")
+    assert os.path.exists(two_batch_dir), "c6 test creates the 2-batch layout first"
+
+    raw = (
+        spark.readStream.schema(streams.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(two_batch_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    q = streams.c9b_incremental_lww_sink(stream, state_dir)
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["payload"], r["writetime"])
+        for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+    }
+    want_df = lww_compact(
+        upsert_log(spark, SMOKE_SF_DIR), ["user_id", "event_type"], tiebreak_col="mutation_id"
+    )
+    want = {
+        (r["user_id"], r["event_type"]): (r["payload"], r["writetime"])
+        for r in want_df.collect()
+    }
+    assert got == want
