@@ -42,7 +42,6 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 #: schema for the JSON `events.props` payload (FIXTURES.md: shape {"k": int})
 EVENTS_PROPS_SCHEMA = "k INT"
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 #: DataFrame memo — ``spark.read.parquet`` costs ~100-160 ms per call in
