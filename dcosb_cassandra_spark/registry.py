@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "dcosb_cassandra_spark.operators.extras",
     "dcosb_cassandra_spark.operators.stats",
     "dcosb_cassandra_spark.operators.extras2",
+    "dcosb_cassandra_spark.operators.mllib_variants",
 )
 
 

@@ -189,3 +189,39 @@ def c9b_incremental_lww_sink(events: DataFrame, state_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def c10_stream_stream_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ clicks by the same user
+    within the preceding 2 hours. Both sides carry watermarks so Spark can
+    bound the join state (clicks retained only 2h+watermark) — without the
+    time bound this would be an unbounded state explosion. The batch twin
+    is a plain range join (tests compare them)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 2 HOURS
+            """
+        ),
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")

@@ -248,3 +248,28 @@ def test_c9b_incremental_lww_sink(spark, events_dir):
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_c10_stream_stream_join_matches_batch(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, streams.c10_stream_stream_join(stream), "c10_sink", mode="append")
+    got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+
+    e = table(spark, SMOKE_SF_DIR, "events")
+    clicks = e.filter(e.event_type == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(e.event_type == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
