@@ -45,3 +45,31 @@ def lww_compact(
     if tombstone_col is not None and tombstone_col in log.columns:
         compacted = compacted.filter(~F.col(tombstone_col)).drop(tombstone_col)
     return compacted
+
+
+def compact_with_grace(
+    log: DataFrame,
+    keys: Sequence[str],
+    gc_grace_writetime: int,
+    writetime_col: str = "writetime",
+    tombstone_col: str = "tombstone",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Compaction with tombstone GC [PK `db/compaction/`, gc_grace_seconds]:
+    winning tombstones NEWER than ``gc_grace_writetime`` are retained in the
+    output (still flagged) so later merges keep shadowing stragglers;
+    winning tombstones at-or-older than the grace bound are purged outright.
+
+    This reproduces Cassandra's deliberate trade-off — and its hazard: a
+    write older than a PURGED tombstone that arrives after the purge will
+    resurrect the row (the 'zombie' problem; Cassandra requires repair
+    within gc_grace for exactly this reason). The property test pins both
+    sides of that behavior."""
+    order: list[Column] = [F.desc(writetime_col)]
+    if tiebreak_col:
+        order.append(F.desc(tiebreak_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    winners = log.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return winners.filter(
+        (~F.col(tombstone_col)) | (F.col(writetime_col) > F.lit(gc_grace_writetime))
+    )

@@ -67,3 +67,38 @@ def test_tombstone_shadows_older_but_not_newer(spark):
     ]
     out = _compact_rows(spark, rows)
     assert out == [(2, 30, 2, 4)]
+
+
+def test_gc_grace_purge_and_zombie_hazard(spark):
+    """Tombstone GC semantics: within grace the tombstone persists and keeps
+    shadowing late writes; after purge, a late OLDER write resurrects the
+    row — the documented Cassandra zombie hazard compact_with_grace
+    reproduces faithfully."""
+    from dcosb_cassandra_spark.functions.lww import compact_with_grace, lww_compact
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, 5, 0, False),
+            (1, 0, 8, 1, True),   # tombstone at wt=8
+            (2, 20, 5, 2, False),
+        ],
+        SCHEMA,
+    )
+    # tombstone still within grace (grace bound 7 < wt 8): retained, flagged
+    within = compact_with_grace(log, ["k"], gc_grace_writetime=7, tiebreak_col="mutation_id")
+    rows = {r["k"]: (r["payload"], r["tombstone"]) for r in within.collect()}
+    assert rows[1][1] is True, "in-grace tombstone must be retained"
+    assert rows[2] == (20, False)
+
+    # late write OLDER than the retained tombstone arrives -> still shadowed
+    late = spark.createDataFrame([(1, 99, 6, 3, False)], SCHEMA)
+    merged = lww_compact(within.unionByName(late), ["k"], tiebreak_col="mutation_id")
+    assert {r["k"] for r in merged.collect()} == {2}, "retained tombstone shadows the late write"
+
+    # tombstone past grace (bound 9 >= wt 8): purged entirely
+    purged = compact_with_grace(log, ["k"], gc_grace_writetime=9, tiebreak_col="mutation_id")
+    assert {r["k"]: r["tombstone"] for r in purged.collect()} == {2: False}
+
+    # the SAME late write now resurrects k=1 — the zombie
+    zombie = lww_compact(purged.unionByName(late), ["k"], tiebreak_col="mutation_id")
+    assert {r["k"]: r["payload"] for r in zombie.collect()} == {1: 99, 2: 20}
