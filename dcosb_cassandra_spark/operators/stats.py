@@ -166,3 +166,42 @@ def c1b_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total", F.lit(0.0)).alias("total"),
         )
     )
+
+
+@query(
+    "c1c_ohlc_downsample",
+    oracle="""
+        WITH ranked AS (
+            SELECT date_trunc('hour', ts) AS h, event_type, value, ts, event_id,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                      ORDER BY ts ASC, event_id ASC)  AS r_open,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                      ORDER BY ts DESC, event_id DESC) AS r_close
+            FROM events
+        )
+        SELECT h, event_type,
+               round(max(CASE WHEN r_open = 1 THEN value END), 4)  AS open,
+               round(max(value), 4)                                AS high,
+               round(min(value), 4)                                AS low,
+               round(max(CASE WHEN r_close = 1 THEN value END), 4) AS close,
+               count(*)                                            AS n
+        FROM ranked GROUP BY h, event_type
+    """,
+    tags=("C1", "B14", "P1"),
+)
+def c1c_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per hour per type) — the
+    canonical time-series rollup, via min_by/max_by on the (ts, event_id)
+    compound key: one aggregation pass, no window shuffle, fully
+    partial-aggregatable (the arg-extreme carries its sort key in the
+    partial state)."""
+    e = table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", "ts")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(h.alias("h"), F.col("event_type")).agg(
+        F.round(F.min_by("value", key), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", key), 4).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
