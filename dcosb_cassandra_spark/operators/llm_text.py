@@ -328,3 +328,81 @@ def d_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_id"),
         F.max("doc_id").alias("last_id"),
     )
+
+
+@query(
+    "d_pipeline_end_to_end",
+    oracle="""
+        WITH quality AS (
+            SELECT doc_id, text, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 10
+              AND len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')) >= 0.3
+        ),
+        exact_kept AS (
+            SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+        ),
+        survivors AS (
+            SELECT q.* FROM quality q JOIN exact_kept k ON k.doc_id = q.doc_id
+        ),
+        fp_kept AS (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                             AS fp
+                  FROM survivors)
+            GROUP BY fp
+        ),
+        final AS (
+            SELECT s.* FROM survivors s JOIN fp_kept k ON k.doc_id = s.doc_id
+        )
+        SELECT CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT)  AS total_chars
+        FROM (SELECT n_tokens, n_chars,
+                     strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                     + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 17 AS h
+              FROM final)
+        GROUP BY 1
+    """,
+    tags=("D1", "D5", "P1", "pipeline"),
+)
+def d_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data pipeline as ONE composed plan: quality
+    filter → exact dedup (keep-min) → bag-of-words fingerprint dedup →
+    content-stable train/val/test split → per-split token accounting.
+    Five stages, three shuffles (two dedup groupings + final split agg),
+    zero UDFs, zero driver materialization between stages — Catalyst sees
+    the whole pipeline and prunes text out of the final aggregation."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    quality = d.filter(
+        (n_tokens >= 10) & (F.size(F.array_distinct(toks)) / n_tokens >= 0.3)
+    ).select("doc_id", "text", "n_chars", n_tokens.cast("long").alias("n_tokens"))
+
+    exact_kept = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    survivors = quality.join(exact_kept, "doc_id")
+
+    fp = fingerprint(F.col("text"))
+    fp_kept = (
+        survivors.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = survivors.join(fp_kept, "doc_id")
+
+    h = F.expr(
+        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
+        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
+    )
+    split = F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    return final.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
