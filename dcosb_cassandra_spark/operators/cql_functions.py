@@ -104,6 +104,7 @@ def a30_uuid_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey,
                md5(c_name)                        AS name_md5,
                hex(c_name::BLOB)                  AS name_hex,
+               to_base64(c_name::BLOB)            AS name_b64,
                octet_length(c_name::BLOB)         AS n_bytes
         FROM customer WHERE c_custkey <= 20
     """,
@@ -119,6 +120,7 @@ def a31_blob_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.md5(blob).alias("name_md5"),
         F.hex(blob).alias("name_hex"),
+        F.base64(blob).alias("name_b64"),
         F.octet_length(blob).cast("long").alias("n_bytes"),
     )
 
