@@ -86,15 +86,27 @@ def a29_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a30_uuid_generation", oracle=None, tags=("A30", "P2", "rows-only"))
+@query(
+    "a30_uuid_generation",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               true     AS all_wellformed,
+               true     AS all_distinct
+        FROM nation
+    """,
+    tags=("A30", "P2"),
+)
 def a30_uuid_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """uuid(): nondeterministic → rows-only check (count of well-formed v4
-    uuids generated per row). [PK `cql3/functions/UuidFcts.java`]"""
+    """uuid(): nondeterministic values, so the oracle checks the checkable
+    invariants instead of raw uuids — one uuid per source row, every one a
+    well-formed RFC-4122 v4 (regexp), all distinct. [PK
+    `cql3/functions/UuidFcts.java`]"""
     n = table(spark, sf_dir, "nation")
-    u = F.expr("uuid()")
-    return n.select(u.alias("u")).agg(
-        F.count(F.when(F.length("u") == 36, 1)).alias("n_wellformed"),
-        F.countDistinct("u").alias("n_distinct"),
+    rx = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    return n.select(F.expr("uuid()").alias("u")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.when(F.col("u").rlike(rx), 1)) == F.count(F.lit(1))).alias("all_wellformed"),
+        (F.countDistinct("u") == F.count(F.lit(1))).alias("all_distinct"),
     )
 
 
@@ -285,15 +297,17 @@ def b28_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_distinct(string_split(text, ' ')))           AS n_unique,
                list_sort(list_distinct(string_split(text, ' ')))[1]  AS first_token,
                list_contains(string_split(text, ' '), 'index')       AS has_index,
-               list_sort(list_transform(list_distinct(string_split(text, ' ')), t -> upper(t))) AS tokens_upper
+               array_to_string(list_sort(list_transform(list_distinct(string_split(text, ' ')), t -> upper(t))), '|') AS tokens_upper
         FROM documents WHERE doc_id <= 20
     """,
     tags=("B29", "A23", "P1"),
 )
 def b29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order bucket (CQL list/set analogues): size, distinct,
-    sort, contains, transform. Arrays are sorted before emission so the
-    value-hash is order-stable on both engines."""
+    sort, contains, transform. Arrays are sorted AND serialized with
+    array_join before emission: raw array columns crash the driver's
+    pandas canonicalizer (unhashable list in sort_values), so only
+    scalars reach the output projection."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.filter(F.col("doc_id") <= 20).select(
@@ -302,7 +316,9 @@ def b29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.array_sort(F.array_distinct(toks)).getItem(0).alias("first_token"),
         F.array_contains(toks, "index").alias("has_index"),
-        F.array_sort(F.transform(F.array_distinct(toks), lambda t: F.upper(t))).alias("tokens_upper"),
+        F.array_join(
+            F.array_sort(F.transform(F.array_distinct(toks), lambda t: F.upper(t))), "|"
+        ).alias("tokens_upper"),
     )
 
 

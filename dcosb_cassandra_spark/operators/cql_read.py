@@ -88,18 +88,35 @@ def a04_in_partition_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a05_token_range_scan", oracle=None, tags=("A5", "P2", "rows-only"))
+@query(
+    "a05_token_range_scan",
+    oracle="""
+        SELECT count(*) AS rows_in_bucket,
+               min(md5(CAST(o_orderkey AS VARCHAR))) AS min_token,
+               max(md5(CAST(o_orderkey AS VARCHAR))) AS max_token
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+    tags=("A5", "P2"),
+)
 def a05_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token() range scan — the split mechanism of the Spark-Cassandra
-    connector. Murmur3 token ≈ xxhash64 here; hash differs from any SQL
-    oracle, so rows-only. Selects one of 16 hash buckets — exactly how a
-    connector partitions a 100 TB keyspace scan into independent tasks.
+    connector. The token is md5(key) here (bit-identical in Spark and
+    DuckDB, so the oracle is exact) standing in for Murmur3: same
+    semantics — a uniform hash partitions the keyspace into disjoint
+    ranges, and one of 16 buckets (first hex nibble) is scanned — exactly
+    how a connector splits a 100 TB keyspace scan into independent tasks.
     [PK `cql3/functions/TokenFct.java`, `dht/Murmur3Partitioner.java`]"""
     o = table(spark, sf_dir, "orders")
-    tok = F.xxhash64(F.col("o_orderkey"))
+    tok = F.md5(F.col("o_orderkey").cast("string"))
     return (
-        o.filter(tok % 16 == 0)
-        .agg(F.count(F.lit(1)).alias("rows_in_bucket"))
+        o.select(tok.alias("tok"))
+        .filter(F.substring("tok", 1, 1) == "0")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in_bucket"),
+            F.min("tok").alias("min_token"),
+            F.max("tok").alias("max_token"),
+        )
     )
 
 
@@ -184,13 +201,18 @@ def a09_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_quantity AS INTEGER)  AS qty_int,
                CAST(l_orderkey AS VARCHAR)  AS key_str,
                CAST(l_shipdate AS DATE)     AS ship_day,
-               CAST(l_discount AS DECIMAL(10, 2)) AS disc_dec
+               CAST(CAST(l_discount AS DECIMAL(10, 2)) AS VARCHAR) AS disc_dec_str,
+               round(l_discount, 2)         AS disc_rnd
         FROM lineitem WHERE l_orderkey <= 10
     """,
     tags=("A10", "P0"),
 )
 def a10_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAST across the CQL primitive-type lattice (SURVEY §1.2 type map).
+    The decimal cast is exercised but re-cast to string in the output
+    projection: a raw DecimalType column hashes differently under the
+    driver's pandas canonicalizer (DuckDB decimal -> float64, Spark
+    toPandas -> object Decimal) even when values are identical.
     [PK `cql3/functions/CastFcts.java`]"""
     l = table(spark, sf_dir, "lineitem")
     return l.filter(F.col("l_orderkey") <= 10).select(
@@ -198,7 +220,8 @@ def a10_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
-        F.col("l_discount").cast("decimal(10,2)").alias("disc_dec"),
+        F.col("l_discount").cast("decimal(10,2)").cast("string").alias("disc_dec_str"),
+        F.round("l_discount", 2).alias("disc_rnd"),
     )
 
 

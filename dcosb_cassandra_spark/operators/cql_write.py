@@ -154,7 +154,7 @@ def a22_counter_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a23_collection_mutations",
     oracle="""
         SELECT user_id,
-               list_sort(list_distinct(list(event_type))) AS type_set,
+               array_to_string(list_sort(list_distinct(list(event_type))), '|') AS type_set,
                count(*) AS n_appends
         FROM events GROUP BY user_id
     """,
@@ -163,10 +163,12 @@ def a22_counter_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a23_collection_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection mutations: set<text> built by repeated `s = s + {v}`
     updates → distinct-accumulate per key; list append count alongside.
-    Sorted before emission so the value-hash is order-stable."""
+    Sorted, then serialized with array_join: no raw array column may reach
+    the output projection (the driver's pandas canonicalizer crashes on
+    unhashable list cells in sort_values)."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("type_set"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias("type_set"),
         F.count(F.lit(1)).alias("n_appends"),
     )
 

@@ -82,16 +82,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B2", "B9", "B17", "P0"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. customer is a dim vs orders/lineitem facts → broadcast
-    the filtered customer side explicitly; orders⋈lineitem shuffles on
-    orderkey (both sides keyed on it — one exchange each, co-partitioned).
-    Top-10 plans as TakeOrderedAndProject (no global sort materialization)."""
+    """TPC-H Q3 shape. customer scales linearly with SF (one mktsegment is
+    still ~20% of all customers), so NO explicit broadcast hint — an
+    explicit hint cannot be demoted by AQE and would OOM executors at
+    100×; AQE promotes the filtered side to broadcast at runtime whenever
+    it actually fits. orders⋈lineitem shuffles on orderkey (both sides
+    keyed on it — one exchange each, co-partitioned). Top-10 plans as
+    TakeOrderedAndProject (no global sort materialization)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
@@ -116,9 +119,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B1", "B2", "B9", "P0"),
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape, 6-way join. Shuffle joins only on the two fact-fact
-    edges (orders⋈lineitem on orderkey); supplier/nation/region are
-    broadcast so the dim edges add zero exchanges. 25 output groups."""
+    """TPC-H Q5 shape, 6-way join. Shuffle joins only on the fact-fact
+    edges (orders⋈lineitem on orderkey, then supplier); nation/region are
+    FIXED-size dims (25/5 rows at every SF) so only those carry explicit
+    broadcast hints. supplier scales linearly with SF — no hint (an
+    explicit hint cannot be demoted by AQE; AQE promotes it to broadcast
+    at runtime when it fits). 25 output groups."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
@@ -128,7 +134,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

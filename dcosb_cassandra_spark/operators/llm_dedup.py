@@ -31,21 +31,23 @@ from ..registry import query
     "d1_exact_dedup_keep_min",
     oracle="""
         SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, min(lang) AS lang
-        FROM documents GROUP BY text
+        FROM documents GROUP BY sha256(text)
     """,
     tags=("D1", "P0"),
 )
 def d1_exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, keep-lowest-id per identical text. At 100 TB: group on
-    md5(text) instead of the full text to shrink shuffle payload — semantics
-    identical for dedup purposes; here the raw text keeps the oracle
-    byte-faithful."""
+    """Exact dedup, keep-lowest-id per identical text — grouped on
+    sha2(text, 256), NOT the raw text: the shuffle then carries 64 bytes
+    per row instead of full document bodies, which at 100 TB is the
+    difference between shuffling ~1 TB of digests and ~100 TB of text.
+    sha256 is bit-identical in Spark and DuckDB so the oracle groups
+    identically (collision probability negligible at any corpus size)."""
     d = table(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
+    return d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
         F.min("lang").alias("lang"),
-    ).drop("text")
+    ).drop("text_hash")
 
 
 @query("d2_minhash_signatures", oracle=minhash_oracle_sql(), tags=("D2", "P1"))

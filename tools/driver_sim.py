@@ -1,10 +1,31 @@
 """Simulates the driver: builds its OWN plain SparkSession (none of our
 configs), imports __spark_entry__ by path, smoke-checks entry(), then runs
-every queries() entry at sf0.01 against oracle_sql() via duckdb with an
-order-insensitive value-hash."""
+every queries() entry at sf0.01 against oracle_sql() via duckdb.
+
+Two independent checks per query (round-2 lesson — the real driver
+canonicalizes through pandas, which the old repr-hash could not see):
+
+1. value parity — strict repr-hash over native collect()/fetchall() rows,
+   order-insensitive, column-name-sorted (same as round 1).
+2. pandas canonicalization — replicate the driver's observed behavior:
+   Spark side via ``toPandas()``, oracle side via duckdb ``.df()``, then
+   ``sort_values`` over all columns (this is where the driver crashed on
+   unhashable list cells in r1) and a cell-type audit: no Decimal /
+   list / ndarray / dict may appear on either side, because the driver's
+   hash treats them as opaque objects (Spark object-Decimal vs DuckDB
+   float64 hash-mismatched a10 in r1 despite equal values).
+
+Additionally every Spark result schema is audited: ArrayType / MapType /
+StructType / DecimalType output columns are banned outright.
+"""
 import hashlib, importlib.util, sys
+from decimal import Decimal
+
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 spec = importlib.util.spec_from_file_location("spark_entry", "/root/repo/__spark_entry__.py")
 m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
@@ -22,23 +43,59 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+FORBIDDEN_SPARK = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+FORBIDDEN_CELL = (Decimal, list, tuple, set, dict, np.ndarray)
+
+
 def h(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted("|".join(repr(r[i]) for i in order) for r in rows)
     return hashlib.md5("\n".join(canon).encode()).hexdigest()
 
+
+def pandas_audit(pdf: pd.DataFrame, side: str) -> list[str]:
+    """Replicate the driver's pandas canonicalization; return problems."""
+    problems = []
+    pdf = pdf[sorted(pdf.columns)]
+    try:
+        pdf.sort_values(by=list(pdf.columns))
+    except Exception as e:  # the r1 driver crash: TypeError unhashable list
+        problems.append(f"{side} pandas sort_values crash: {type(e).__name__}: {e}")
+        return problems
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype.kind == "O":
+            nn = s.dropna()
+            bad = {type(v).__name__ for v in nn if isinstance(v, FORBIDDEN_CELL)}
+            if bad:
+                problems.append(f"{side} col {c!r} has opaque cell types {sorted(bad)}")
+    return problems
+
+
 qs, os_ = m.queries(), m.oracle_sql()
 bad = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
+    bad_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, FORBIDDEN_SPARK)]
+    if bad_cols:
+        bad += 1
+        print(f"{name}: FAIL forbidden output types {bad_cols} "
+              f"({[str(f.dataType) for f in sdf.schema.fields if f.name in bad_cols]})")
+        continue
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
+    problems = pandas_audit(sdf.toPandas(), "spark")
     if name not in os_:
-        print(f"{name}: rows-only, {len(s_rows)} rows"); continue
+        if problems:
+            bad += 1; print(f"{name}: FAIL {problems}")
+        else:
+            print(f"{name}: rows-only, {len(s_rows)} rows")
+        continue
     cur = con.execute(os_[name])
     o_cols = [d[0] for d in cur.description]
     o_rows = cur.fetchall()
-    status = []
+    problems += pandas_audit(con.execute(os_[name]).df(), "oracle")
+    status = list(problems)
     if len(s_rows) != len(o_rows): status.append(f"ROWS {len(s_rows)}!={len(o_rows)}")
     if sorted(s_cols) != sorted(o_cols): status.append(f"COLS {sorted(s_cols)}!={sorted(o_cols)}")
     if not status and h(s_rows, s_cols) != h(o_rows, o_cols): status.append("HASH MISMATCH")
