@@ -271,8 +271,10 @@ def a19b_range_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     [Jan 10, Jan 15) issued at Jan 20; all event cells predate the delete,
     so in-range cells vanish and out-of-range cells survive.
 
-    Scale: the delete set is broadcast (range tombstones are rare relative
-    to cells); the probe side streams — no shuffle of the big side."""
+    Scale: no explicit broadcast hint on the delete set — it is derived
+    from a scaling table (distinct user_ids, linear in SF), and an explicit
+    hint cannot be demoted by AQE; AQE broadcasts it at runtime while it
+    fits and falls back to a shuffle join when it no longer does."""
     e = table(spark, sf_dir, "events")
     dels = (
         e.filter(F.col("user_id") % 3 == 0)
@@ -292,7 +294,7 @@ def a19b_range_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.unix_micros("ts") < F.col("del_wt"))
     )
     return (
-        e.join(F.broadcast(dels), shadowed, "left_anti")
+        e.join(dels, shadowed, "left_anti")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_live"), F.round(F.sum("value"), 4).alias("live_value"))
     )

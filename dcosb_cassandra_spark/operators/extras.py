@@ -232,14 +232,17 @@ def d2e_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_static_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cassandra static column (one value per partition, shared by all
     clustering rows — SURVEY §1.2): the per-key static table is derived
-    once and broadcast-joined back onto every row of the partition."""
+    once and joined back onto every row of the partition. No broadcast
+    hint — the static table has one row per user (linear in SF); the join
+    and the window share the user_id hash partitioning, so the static join
+    adds no extra exchange, and AQE still broadcasts it while it fits."""
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "events")
     static = e.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
     w = Window.partitionBy("user_id")
     return (
-        e.join(F.broadcast(static), "user_id")
+        e.join(static, "user_id")
         .withColumn("n_rows_sharing", F.count(F.lit(1)).over(w))
         .filter(F.col("event_id") <= 80)
         .select("event_id", "user_id", "first_seen", "n_rows_sharing")

@@ -11,7 +11,73 @@ Run as a module to dump an audit report for the headline queries:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: tables whose row count grows linearly with scale factor — an explicit
+#: broadcast hint on (an unbounded subset of) one of these is a scale bug:
+#: the hint cannot be demoted by AQE, so at 100× it OOMs the executors.
+SCALING_TABLES = frozenset(
+    {"customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"}
+)
+
+#: fixed-cardinality dims (25 / 5 rows at every SF) — always safe to hint.
+FIXED_DIMS = frozenset({"nation", "region"})
+
+_COL_PREFIX_TO_TABLE = {
+    "c_": "customer", "s_": "supplier", "n_": "nation", "r_": "region",
+    "o_": "orders", "l_": "lineitem", "p_": "part",
+}
+_SPECIAL_COLS = {
+    "event_id": "events", "ts": "events", "user_id": "events",
+    "event_type": "events", "value": "events", "props": "events",
+    "doc_id": "documents", "text": "documents", "lang": "documents",
+    "id": "embeddings", "vec_id": "embeddings", "embedding": "embeddings",
+    "label": "embeddings",
+}
+
+
+def _table_of_column(col: str) -> str:
+    if col in _SPECIAL_COLS:
+        return _SPECIAL_COLS[col]
+    return _COL_PREFIX_TO_TABLE.get(col[:2], f"unknown({col})")
+
+
+def broadcast_hint_tables(df: DataFrame) -> list[str]:
+    """Source tables under an explicit broadcast hint (from the analyzed
+    logical plan's ResolvedHint nodes — AQE-chosen broadcasts don't count;
+    only hand-written hints, which AQE cannot demote, are a scale risk).
+
+    Each entry is one of:
+      ``literal``        — the hinted side is a LocalRelation/Range (safe);
+      ``bounded:<tbl>``  — an Aggregate/Limit sits between the hint and the
+                           scan, so the broadcast side's cardinality is
+                           bounded by the group/limit, not the table (safe
+                           when the group count is, e.g., 1 row or k
+                           centroids — the caller documents which);
+      ``<tbl>``          — an unbounded subset of <tbl> is hinted: a scale
+                           bug whenever <tbl> grows with SF.
+    """
+    lines = plan_string(df, "extended").splitlines()
+    tables: set[str] = set()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        bounded = False
+        for j in range(i + 1, min(i + 25, len(lines))):
+            lj = lines[j]
+            if "LocalRelation" in lj or "OneRowRelation" in lj or re.search(r"\bRange \(", lj):
+                tables.add("literal")
+                break
+            if "Aggregate" in lj or "GlobalLimit" in lj:
+                bounded = True
+            m = re.search(r"Relation \[([A-Za-z0-9_]+)[#,\]]", lj)
+            if m:
+                t = _table_of_column(m.group(1))
+                tables.add(f"bounded:{t}" if bounded else t)
+                break
+    return sorted(tables)
 
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
@@ -45,6 +111,11 @@ def audit(df: DataFrame) -> dict:
             line.split("ReadSchema:", 1)[1].strip()
             for line in plan.splitlines()
             if "ReadSchema:" in line
+        ],
+        "hinted_scaling_tables": [
+            t
+            for t in broadcast_hint_tables(df)
+            if t in SCALING_TABLES or t.startswith("unknown(")
         ],
     }
 

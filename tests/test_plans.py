@@ -36,8 +36,32 @@ def test_q1_prunes_columns_and_codegens(spark):
 
 def test_q5_broadcasts_dims(spark):
     a = audit(_plan(spark, "q5_local_supplier"))
-    assert a["n_broadcast_joins"] >= 3, "supplier/nation/region must broadcast"
+    # nation/region carry explicit hints (fixed 25/5 rows); supplier gets
+    # broadcast only if Catalyst/AQE decides it fits — no hand hint.
+    assert a["n_broadcast_joins"] >= 2, "nation/region must broadcast"
     assert not a["has_cartesian"]
+    assert a["hinted_scaling_tables"] == [], "only fixed dims may carry hints"
+
+
+#: Queries allowed to broadcast-hint a subset of a scaling table, each with
+#: the documented reason its hinted side is bounded at EVERY scale factor.
+ALLOWED_BOUNDED_BROADCASTS = {
+    "d3b_batch_knn_per_label": "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
+}
+
+
+def test_no_broadcast_hints_on_scaling_tables(spark):
+    """An explicit broadcast hint cannot be demoted by AQE, so a hinted
+    table that grows with SF OOMs executors at scale. Every registered
+    query must hint only fixed dims, literals, or aggregate/limit-bounded
+    sides — anything else needs an entry in ALLOWED_BOUNDED_BROADCASTS."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        a = audit(spec.fn(spark, SF_DIR))
+        flagged = a["hinted_scaling_tables"]
+        if flagged and name not in ALLOWED_BOUNDED_BROADCASTS:
+            offenders[name] = flagged
+    assert not offenders, f"unbounded broadcast hints on scaling tables: {offenders}"
 
 
 def test_lsh_pairs_avoid_cartesian(spark):
