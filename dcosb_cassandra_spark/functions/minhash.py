@@ -17,8 +17,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Demo config used by the oracle-checked queries: k=8 hashes in 4 bands of
+#: r=2 keeps the SQL twin short and the tiny-corpus buckets dense.
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows-per-band = num_hashes // bands
+
+#: 100 TB config (the knobs both functions accept): k=128 hashes in 32
+#: bands of r=4 — band-collision probability 1-(1-J⁴)³² crosses 0.5 near
+#: J≈0.35 and reaches ≥0.996 at J≥0.7, while r=4 suppresses the spurious-
+#: candidate rate that r=2 admits on web-scale corpora. The k=16/b=8
+#: midpoint is recall-tested in tests/test_dedup_semantics.py.
+SCALE_NUM_HASHES = 128
+SCALE_BANDS = 32
 
 
 def tokens_of(text: Column) -> Column:

@@ -18,6 +18,63 @@ from ..registry import query
 _DOT = "list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))"
 _NORM = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
 
+#: LSH knobs. The registered demo query uses DEMO so the 500-vector test
+#: corpus produces dense buckets the DuckDB oracle can check pair-for-pair.
+#: At 100 TB use SCALE: 16 bits → 65 536 buckets keeps within-bucket
+#: candidate sets ~n/65 536 (AQE-skewable equi-join), and Hamming≤1
+#: multi-probe (17 probes/vector) recovers the recall the extra bits cost.
+DEMO_LSH_BITS = 4
+SCALE_LSH_BITS = 16
+SCALE_HAMMING_PROBES = 1
+
+
+def _flip_bit(bucket, i: int, bits: int):
+    c = F.substring(bucket, i + 1, 1)
+    flipped = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, bits - i - 1))
+
+
+def lsh_best_bucketmate(
+    emb: DataFrame, bits: int, hamming_probes: int = 0, sim_decimals: int | None = 6
+) -> DataFrame:
+    """Nearest bucketmate per vector via sign-bit LSH, parameterized by
+    signature width and multi-probe radius.
+
+    ``emb`` needs (vec_id, embedding). Candidate generation is ALWAYS an
+    equi-join on the bucket string — never a cross join: the probe side
+    explodes each vector to its own bucket plus (for ``hamming_probes >= 1``)
+    every 1-bit-flipped bucket, and joins the corpus side's exact bucket.
+    That finds all pairs whose signatures differ by ≤1 bit while keeping the
+    join hash-partitionable (shuffle on bucket, AQE handles skewed buckets).
+    Cost model at 100 TB: probes×n join rows vs n²/2^bits per-bucket pairs —
+    wider signatures cut the quadratic term, multi-probe buys recall back.
+    """
+    e = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        sign_bits(F.col("embedding"), bits).alias("bucket"),
+    )
+    probe_cols = [F.col("bucket")]
+    if hamming_probes >= 1:
+        probe_cols += [_flip_bit(F.col("bucket"), i, bits) for i in range(bits)]
+    probing = e.select(
+        "vec_id", "e", F.explode(F.array(*probe_cols)).alias("probe_bucket")
+    )
+    a, b = probing.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.e"), F.col("b.e"))
+    pairs = a.join(
+        b,
+        (F.col("a.probe_bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("best_id"), sim.alias("sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("best_id"))
+    out_sim = F.round("sim", sim_decimals) if sim_decimals is not None else F.col("sim")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "best_id", out_sim.alias("sim"))
+    )
+
 
 @query(
     "d4_knn_lsh_bucketed",
@@ -43,27 +100,18 @@ _NORM = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
 )
 def d4_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors nearest-neighbor via coordinate-hyperplane LSH: bucket by
-    the sign pattern of the first 4 components (16 buckets), search only
+    the sign pattern of the first DEMO_LSH_BITS components, search only
     within the bucket, take each vector's best bucketmate.
 
     Scale rationale (SURVEY D4): brute force is O(n²) rows through a cross
     join; bucketing turns candidate generation into an equi-join keyed on
-    the signature — shuffle-partitionable, AQE-skewable. Recall is tunable
-    by bits (here 4 for a dense demo; 100 TB config would use multi-probe
-    over 16+ bits)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e"), sign_bits(F.col("embedding"), 4).alias("bucket")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    sim = cosine(F.col("a.e"), F.col("b.e"))
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
-    ).select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("best_id"), sim.alias("sim"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("best_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "best_id", F.round("sim", 6).alias("sim"))
+    the signature — shuffle-partitionable, AQE-skewable. The implementation
+    (lsh_best_bucketmate) is parameterized: this oracle-checked entry runs
+    the 4-bit demo config so the tiny test corpus has dense buckets; the
+    100 TB config (SCALE_LSH_BITS=16 + Hamming≤1 multi-probe) is recall-
+    tested in tests/test_dedup_semantics.py against exact brute force."""
+    return lsh_best_bucketmate(
+        table(spark, sf_dir, "embeddings"), bits=DEMO_LSH_BITS, hamming_probes=0
     )
 
 
