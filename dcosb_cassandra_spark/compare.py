@@ -57,12 +57,25 @@ def _canon_cell(v: Any) -> Any:
     return v
 
 
+def _sort_token(x: Any) -> tuple:
+    """Row-sort key for one cell. Floats are quantized to 6 decimals so two
+    values that differ only within the comparison tolerance (1e-9) can't
+    sort to different positions on the two engines and misalign the
+    pairwise zip-compare (a flip would need both values to sit within
+    1e-9 of the same 6th-decimal rounding boundary)."""
+    if x is None:
+        return (True, "")
+    if isinstance(x, float):
+        return (False, f"f{x:.6e}")
+    return (False, str(x))
+
+
 def canon_rows(raw_rows: list, n_cols: int, cols: list[str]) -> list[tuple]:
     """Canonicalize rows (native Python values from collect()/fetchall()),
     reorder cells into sorted-column order, sort rows order-insensitively."""
     order = sorted(range(n_cols), key=lambda i: cols[i])
     rows = [tuple(_canon_cell(r[i]) for i in order) for r in raw_rows]
-    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    rows.sort(key=lambda r: tuple(_sort_token(x) for x in r))
     return rows
 
 
@@ -84,7 +97,15 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> dict:
     sdf = spec.fn(spark, sf_dir)
     spark_raw = sdf.collect()
     if spec.oracle is None:
-        return {"name": name, "ok": len(spark_raw) >= 0, "mode": "rows-only",
+        # Oracle-less queries still assert shape: non-empty result with at
+        # least one column, and no all-null row (a degenerate projection
+        # would otherwise self-verify trivially — ADVICE r1).
+        ok = (
+            len(spark_raw) > 0
+            and len(sdf.columns) > 0
+            and any(v is not None for v in spark_raw[0])
+        )
+        return {"name": name, "ok": ok, "mode": "rows-only",
                 "spark_rows": len(spark_raw)}
 
     con = duckdb_connect(sf_dir)

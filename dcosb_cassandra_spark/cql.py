@@ -274,6 +274,14 @@ def cql(
             elif kind == "col":
                 cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
             elif kind == "writetime":
+                # Limitation vs Cassandra's per-cell writetime: the snapshot
+                # tables carry ONE writetime source column per table, so
+                # writetime(col) reports the row-level snapshot writetime
+                # regardless of which column is asked for. Per-cell
+                # writetimes DO exist in CqlSession's mutation buffer
+                # (cell-level LWW), but snapshot() collapses them; callers
+                # needing cell-accurate readback after session mutations
+                # should query the buffer path (see CqlSession docstring).
                 src = WRITETIME_COL.get(q.table)
                 if src is None:
                     raise InvalidRequest(f"writetime unsupported on {q.table}")

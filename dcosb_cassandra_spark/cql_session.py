@@ -54,20 +54,28 @@ _DELETE = re.compile(
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas not inside quotes."""
+    """Split on commas not inside quotes or brackets. Bracket depth is NOT
+    tracked inside quoted strings — a quoted value may legally contain
+    unbalanced '(' or '[' (e.g. VALUES (1, 'a(b', 'c')), which must not
+    suppress later top-level splits."""
     out, depth, cur, in_q = [], 0, [], False
     for ch in s:
         if ch == "'":
             in_q = not in_q
-        if ch == "," and not in_q and depth == 0:
+            cur.append(ch)
+            continue
+        if in_q:
+            cur.append(ch)
+            continue
+        if ch == "," and depth == 0:
             out.append("".join(cur))
             cur = []
-        else:
-            if ch in "([":
-                depth += 1
-            elif ch in ")]":
-                depth -= 1
-            cur.append(ch)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        cur.append(ch)
     if cur:
         out.append("".join(cur))
     return out
@@ -75,7 +83,14 @@ def _split_top_level(s: str) -> list[str]:
 
 class CqlSession:
     """Executes CQL statements against the parquet snapshot + a session
-    mutation buffer. ``now_micros`` is injectable for deterministic TTL."""
+    mutation buffer. ``now_micros`` is injectable for deterministic TTL.
+
+    Known divergence from Cassandra: ``SELECT writetime(col)`` reports the
+    snapshot-level writetime, not the per-cell one. The mutation buffer
+    tracks writetimes per cell (cell-level LWW compaction uses them), but
+    ``snapshot()`` pivots cells back to rows and keeps only the table's
+    single writetime source column, so a post-UPDATE ``writetime(col)``
+    readback reflects the snapshot, not the session mutation."""
 
     def __init__(self, spark: SparkSession, sf_dir: str, now_micros: int = 1_800_000_000_000_000):
         self.spark = spark
@@ -169,7 +184,9 @@ class CqlSession:
             current = self._cell_value(tbl, key, cm.group(1).lower())
             if current != _literal(cm.group(2)):
                 return self.spark.createDataFrame([(False,)], "`[applied]` BOOLEAN")
-            bare = s[: s.upper().rindex(" IF ")]
+            # Slice at the regex's cond span, not a textual ' IF ' search —
+            # a quoted value may contain ' IF ' (e.g. SET note = 'as if new').
+            bare = re.sub(r"\s+IF\s*$", "", s[: m.start("cond")], flags=re.IGNORECASE)
             self.execute(bare)
             return self.spark.createDataFrame([(True,)], "`[applied]` BOOLEAN")
 

@@ -137,3 +137,28 @@ def test_update_using_ttl(spark):
     # resurrection); the column reads null, the row stays visible.
     assert row["c_acctbal"] is None
     assert row["c_name"] is not None
+
+
+def test_quoted_value_with_unbalanced_bracket(sess):
+    """A quoted string containing '(' must not derail the top-level comma
+    split: later values would silently merge (ADVICE r1 regression)."""
+    sess.execute(
+        "INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (888888, 'a(b', 3.5)"
+    )
+    rows = _row(sess, 888888)
+    assert len(rows) == 1
+    assert rows[0]["c_name"] == "a(b" and rows[0]["c_acctbal"] == 3.5
+
+
+def test_lwt_update_with_quoted_if_inside_value(sess):
+    """' IF ' inside a quoted SET value must not truncate the re-executed
+    bare statement (ADVICE r1 regression: textual rindex(' IF ') cut the
+    statement inside the literal)."""
+    sess.execute(
+        "INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (777777, 'x', 1.0)"
+    )
+    r = sess.execute(
+        "UPDATE customer SET c_name = 'as if new' WHERE c_custkey = 777777 IF c_acctbal = 1.0"
+    )
+    assert r.head()["[applied]"] is True
+    assert _row(sess, 777777)[0]["c_name"] == "as if new"
