@@ -94,15 +94,96 @@ _COND = re.compile(
 )
 
 
+def split_top_level(s: str) -> list[str]:
+    """Split on commas not inside quotes or brackets. Bracket depth is NOT
+    tracked inside quoted strings — a quoted value may legally contain
+    unbalanced '(' or '['."""
+    out: list[str] = []
+    depth, cur, in_q = 0, [], False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+            cur.append(ch)
+            continue
+        if in_q:
+            cur.append(ch)
+            continue
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        if ch in "([{<":
+            depth += 1
+        elif ch in ")]}>":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _literal(tok: str):
+    """Parse a CQL literal, including collection literals [PK `cql3/Cql.g`
+    collection_literal]: ['a','b'] list, {'a','b'} set (normalized sorted —
+    Cassandra sets are ordered), {'k': v} map (dict). Nested collections
+    recurse (frozen<list<...>> etc.)."""
     tok = tok.strip()
     if tok.startswith("'") and tok.endswith("'"):
         return tok[1:-1]
+    if tok.startswith("[") and tok.endswith("]"):
+        inner = tok[1:-1].strip()
+        return [] if not inner else [_literal(x) for x in split_top_level(inner)]
+    if tok.startswith("{") and tok.endswith("}"):
+        inner = tok[1:-1].strip()
+        if not inner:
+            return []  # {} is an empty set/map; CQL disambiguates by column type
+        parts = split_top_level(inner)
+        if any(_top_level_colon(p) for p in parts):
+            entries = {}
+            for p in parts:
+                k, v = _split_map_entry(p)
+                entries[_literal(k)] = _literal(v)
+            return entries
+        return sorted((_literal(x) for x in parts), key=repr)
     if re.fullmatch(r"-?\d+", tok):
         return int(tok)
     if re.fullmatch(r"-?\d+\.\d*", tok):
         return float(tok)
+    if tok.lower() in ("true", "false"):
+        return tok.lower() == "true"
+    if tok.lower() == "null":
+        return None
     raise InvalidRequest(f"unparseable literal: {tok!r}")
+
+
+def _top_level_colon(entry: str) -> bool:
+    depth, in_q = 0, False
+    for ch in entry:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == ":" and depth == 0:
+                return True
+    return False
+
+
+def _split_map_entry(entry: str) -> tuple[str, str]:
+    depth, in_q = 0, False
+    for i, ch in enumerate(entry):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == ":" and depth == 0:
+                return entry[:i], entry[i + 1 :]
+    raise InvalidRequest(f"unparseable map entry: {entry!r}")
 
 
 @dataclass
@@ -140,12 +221,15 @@ def _parse_selector(s: str) -> tuple[str, str, str | None]:
     raise InvalidRequest(f"unparseable selector: {s!r}")
 
 
-def parse(statement: str) -> _Select:
+def parse(statement: str, extra_keys: dict | None = None) -> _Select:
+    """``extra_keys`` maps session-created table names (CREATE TABLE DDL)
+    to their (partition_key, clustering) tuples — same shape as
+    TABLE_KEYS — so SELECTs against them parse and restriction-check."""
     m = _STMT.match(statement)
     if not m:
         raise InvalidRequest(f"unparseable statement: {statement!r}")
     tbl = m.group("table").lower()
-    if tbl not in TABLES:
+    if tbl not in TABLES and tbl not in (extra_keys or {}):
         raise InvalidRequest(f"unknown table {tbl}")
     if m.group("where") and re.search(r"\bOR\b", m.group("where"), re.IGNORECASE):
         raise InvalidRequest("CQL does not support OR predicates")
@@ -183,8 +267,8 @@ def parse(statement: str) -> _Select:
     return sel
 
 
-def _check_restrictions(q: _Select) -> None:
-    pk, cc = TABLE_KEYS[q.table]
+def _check_restrictions(q: _Select, extra_keys: dict | None = None) -> None:
+    pk, cc = {**TABLE_KEYS, **(extra_keys or {})}[q.table]
     indexed = INDEXED.get(q.table, ())
     key_cols = set(pk) | set(cc)
     pk_restricted = {c for c, op, _ in q.conds if c in pk and op in ("=", "in")}
@@ -228,13 +312,18 @@ def _condition(col: str, op: str, lit) -> Column:
 
 
 def cql(
-    spark: SparkSession, sf_dir: str, statement: str, source_df: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    statement: str,
+    source_df: DataFrame | None = None,
+    extra_keys: dict | None = None,
 ) -> DataFrame:
     """Execute a CQL SELECT against the catalog (or an injected source —
-    the CqlSession merged view); returns a DataFrame."""
-    q = parse(statement)
-    _check_restrictions(q)
-    pk, cc = TABLE_KEYS[q.table]
+    the CqlSession merged view); returns a DataFrame. ``extra_keys``
+    carries session-created tables' key metadata (see parse)."""
+    q = parse(statement, extra_keys)
+    _check_restrictions(q, extra_keys)
+    pk, cc = {**TABLE_KEYS, **(extra_keys or {})}[q.table]
     df = source_df if source_df is not None else table(spark, sf_dir, q.table)
 
     for col, op, lit in q.conds:
@@ -297,3 +386,155 @@ def cql(
     if q.json:
         df = df.select(F.to_json(F.struct(*df.columns)).alias("[json]"))
     return df
+
+
+# ---------------------------------------------------------------------------
+# DDL: CREATE TABLE → schema (SURVEY §1.2 type lattice, [PK `cql3/Cql.g`
+# createTableStatement, `schema/TableMetadata.java`])
+# ---------------------------------------------------------------------------
+
+#: CQL primitive → Spark SQL type string (SURVEY §1.2). Lossy edges are
+#: deliberate and documented: uuid/timeuuid/inet keep their canonical
+#: string form (comparable, groupable, joinable); time is nanos-since-
+#: midnight as bigint; duration has no exact Spark scalar (months/days/
+#: nanos triple) so it keeps its ISO-8601 string form.
+_CQL_PRIMITIVES: dict[str, str] = {
+    "ascii": "string", "text": "string", "varchar": "string",
+    "tinyint": "tinyint", "smallint": "smallint", "int": "int",
+    "bigint": "bigint", "counter": "bigint",
+    "float": "float", "double": "double",
+    "boolean": "boolean",
+    "timestamp": "timestamp", "date": "date", "time": "bigint",
+    "uuid": "string", "timeuuid": "string", "inet": "string",
+    "blob": "binary",
+    "decimal": "decimal(38,18)", "varint": "decimal(38,0)",
+    "duration": "string",
+}
+
+
+def cql_type_to_spark(t: str) -> str:
+    """Map a CQL type (possibly nested: frozen<map<text, list<int>>>,
+    tuple<int, text>) to a Spark SQL type string. set<T> maps to array<T>
+    (stored sorted — Cassandra sets are ordered); frozen<> is the identity
+    (every Spark value is immutable); tuple fields are positional _1.._n."""
+    t = t.strip().lower()
+    m = re.fullmatch(r"frozen\s*<(.*)>", t, re.DOTALL)
+    if m:
+        return cql_type_to_spark(m.group(1))
+    m = re.fullmatch(r"(list|set)\s*<(.*)>", t, re.DOTALL)
+    if m:
+        return f"array<{cql_type_to_spark(m.group(2))}>"
+    m = re.fullmatch(r"map\s*<(.*)>", t, re.DOTALL)
+    if m:
+        k, v = split_top_level(m.group(1))
+        return f"map<{cql_type_to_spark(k)},{cql_type_to_spark(v)}>"
+    m = re.fullmatch(r"tuple\s*<(.*)>", t, re.DOTALL)
+    if m:
+        fields = [cql_type_to_spark(x) for x in split_top_level(m.group(1))]
+        inner = ",".join(f"_{i + 1}:{f}" for i, f in enumerate(fields))
+        return f"struct<{inner}>"
+    if t in _CQL_PRIMITIVES:
+        return _CQL_PRIMITIVES[t]
+    raise InvalidRequest(f"unsupported CQL type: {t!r}")
+
+
+@dataclass
+class TableDef:
+    """Parsed CREATE TABLE: column order preserved, keys split Cassandra-
+    style into partition key and clustering columns."""
+    name: str
+    columns: dict[str, str]  # col -> CQL type (as written, lowercased)
+    partition_key: tuple[str, ...]
+    clustering: tuple[str, ...]
+    if_not_exists: bool = False
+
+    @property
+    def spark_schema(self) -> str:
+        """Spark DDL schema string for createDataFrame/empty snapshots."""
+        return ", ".join(f"{c} {cql_type_to_spark(t)}" for c, t in self.columns.items())
+
+    @property
+    def keys(self) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        return (self.partition_key, self.clustering)
+
+
+_CREATE_HEAD = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s*\(",
+    re.IGNORECASE | re.DOTALL,
+)
+_PK_CLAUSE = re.compile(
+    r"^\s*PRIMARY\s+KEY\s*\(\s*(?P<spec>.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def parse_create_table(statement: str) -> TableDef:
+    """CREATE TABLE [IF NOT EXISTS] name (col type [PRIMARY KEY], ...,
+    [PRIMARY KEY ((pk...), cc...)]) [WITH ...] — the composite-key grammar
+    Cassandra uses: the first PRIMARY KEY component is the partition key
+    (parenthesized when composite), the rest are clustering columns."""
+    m = _CREATE_HEAD.match(statement)
+    if not m:
+        raise InvalidRequest(f"unparseable CREATE TABLE: {statement!r}")
+    name = m.group("name").lower()
+    # find the matching close paren of the column-list (quote-aware): the
+    # greedy-regex alternative swallows the WITH clause's parens.
+    depth, in_q, end = 1, False, -1
+    for i in range(m.end(), len(statement)):
+        ch = statement[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+    if end < 0:
+        raise InvalidRequest(f"unbalanced parens in CREATE TABLE: {statement!r}")
+    tail = statement[end + 1 :].strip().rstrip(";").strip()
+    if tail and not re.match(r"^WITH\s+", tail, re.IGNORECASE):
+        raise InvalidRequest(f"unexpected trailing text after column list: {tail!r}")
+    body = statement[m.end() : end]
+    columns: dict[str, str] = {}
+    pk: tuple[str, ...] = ()
+    cc: tuple[str, ...] = ()
+    for part in split_top_level(body):
+        part = part.strip()
+        if not part:
+            continue
+        pkm = _PK_CLAUSE.match(part)
+        if pkm:
+            if pk:
+                raise InvalidRequest("duplicate PRIMARY KEY clause")
+            spec = pkm.group("spec").strip()
+            comps = split_top_level(spec)
+            first = comps[0].strip()
+            if first.startswith("("):
+                pk = tuple(c.strip().lower() for c in split_top_level(first[1:-1]))
+            else:
+                pk = (first.lower(),)
+            cc = tuple(c.strip().lower() for c in comps[1:])
+            continue
+        cm = re.match(
+            r"^(?P<col>\w+)\s+(?P<type>.+?)(?P<inline_pk>\s+PRIMARY\s+KEY)?$",
+            part,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise InvalidRequest(f"unparseable column definition: {part!r}")
+        col = cm.group("col").lower()
+        ctype = cm.group("type").strip().lower()
+        cql_type_to_spark(ctype)  # validate eagerly
+        columns[col] = ctype
+        if cm.group("inline_pk"):
+            if pk:
+                raise InvalidRequest("duplicate PRIMARY KEY")
+            pk = (col,)
+    if not pk:
+        raise InvalidRequest("CREATE TABLE requires a PRIMARY KEY")
+    missing = [c for c in (*pk, *cc) if c not in columns]
+    if missing:
+        raise InvalidRequest(f"PRIMARY KEY names undeclared columns: {missing}")
+    return TableDef(name, columns, pk, cc, bool(m.group("ine")))

@@ -23,6 +23,7 @@ compacted SSTables, session buffer = memtable).
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,7 +31,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .catalog import table
-from .cql import InvalidRequest, TABLE_KEYS, _literal, cql
+from .cql import (
+    InvalidRequest,
+    TABLE_KEYS,
+    TableDef,
+    _literal,
+    cql,
+    parse_create_table,
+    split_top_level,
+)
 
 ROW_MARKER = "__row__"
 ROW_TOMBSTONE = "*"
@@ -53,32 +62,9 @@ _DELETE = re.compile(
 )
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas not inside quotes or brackets. Bracket depth is NOT
-    tracked inside quoted strings — a quoted value may legally contain
-    unbalanced '(' or '[' (e.g. VALUES (1, 'a(b', 'c')), which must not
-    suppress later top-level splits."""
-    out, depth, cur, in_q = [], 0, [], False
-    for ch in s:
-        if ch == "'":
-            in_q = not in_q
-            cur.append(ch)
-            continue
-        if in_q:
-            cur.append(ch)
-            continue
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-            continue
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return out
+#: quote-aware comma split (tracks (), [], {} and <> depth) — shared with
+#: the DDL/literal grammar so collection literals split identically here
+_split_top_level = split_top_level
 
 
 class CqlSession:
@@ -100,6 +86,9 @@ class CqlSession:
         #: table -> list of cell dicts (keys json, column, value str|None,
         #: writetime, expires_at micros|None, tombstone)
         self._cells: dict[str, list[dict]] = {}
+        #: session-created tables (CREATE TABLE DDL) -> parsed TableDef;
+        #: they start from an EMPTY snapshot and live in the cell buffer
+        self._created: dict[str, TableDef] = {}
 
     # -- write path ---------------------------------------------------------
 
@@ -107,8 +96,15 @@ class CqlSession:
         self._seq += 1
         return self.now_micros + self._seq
 
+    def _keys(self, tbl: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        if tbl in self._created:
+            return self._created[tbl].keys
+        if tbl in TABLE_KEYS:
+            return TABLE_KEYS[tbl]
+        raise InvalidRequest(f"unknown table {tbl}")
+
     def _key_of(self, tbl: str, where: str) -> dict:
-        pk, cc = TABLE_KEYS[tbl]
+        pk, cc = self._keys(tbl)
         key: dict = {}
         for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
             m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
@@ -124,6 +120,10 @@ class CqlSession:
         return key
 
     def _emit(self, tbl: str, key: dict, column: str, value, wt: int, ttl: int | None, tombstone: bool) -> None:
+        if isinstance(value, (list, dict)):
+            # collection cell (frozen semantics: whole-value replace): store
+            # as JSON so the typed snapshot can from_json it back
+            value = json.dumps(value, separators=(",", ":"), sort_keys=True)
         self._cells.setdefault(tbl, []).append(
             {
                 "key": key,
@@ -157,6 +157,15 @@ class CqlSession:
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
 
+        if re.match(r"^CREATE\s+TABLE\b", s, re.IGNORECASE):
+            td = parse_create_table(s)
+            if td.name in TABLE_KEYS or td.name in self._created:
+                if td.if_not_exists:
+                    return None
+                raise InvalidRequest(f"table {td.name} already exists")
+            self._created[td.name] = td
+            return None
+
         ine = _INSERT_INE.search(s)
         if ine and re.match(r"^\s*INSERT\b", s, re.IGNORECASE):
             bare = s[: ine.start()]
@@ -166,7 +175,7 @@ class CqlSession:
             tbl = m.group("table").lower()
             cols = [c.strip().lower() for c in m.group("cols").split(",")]
             vals = [_literal(v) for v in _split_top_level(m.group("vals"))]
-            pk, cc = TABLE_KEYS[tbl]
+            pk, cc = self._keys(tbl)
             row = dict(zip(cols, vals))
             key = {c: row[c] for c in (*pk, *cc) if c in row}
             if self._row_exists(tbl, key):
@@ -193,7 +202,7 @@ class CqlSession:
         m = _INSERT.match(s)
         if m:
             tbl = m.group("table").lower()
-            if tbl not in TABLE_KEYS:
+            if tbl not in TABLE_KEYS and tbl not in self._created:
                 raise InvalidRequest(f"unknown table {tbl}")
             cols = [c.strip().lower() for c in m.group("cols").split(",")]
             vals = [_literal(v) for v in _split_top_level(m.group("vals"))]
@@ -201,7 +210,7 @@ class CqlSession:
                 raise InvalidRequest("column/value count mismatch")
             ttl = int(m.group("ttl")) if m.group("ttl") else None
             row = dict(zip(cols, vals))
-            pk, cc = TABLE_KEYS[tbl]
+            pk, cc = self._keys(tbl)
             key = {c: row[c] for c in (*pk, *cc) if c in row}
             if len(key) != len(pk) + len(cc):
                 raise InvalidRequest("INSERT requires the full primary key")
@@ -215,7 +224,7 @@ class CqlSession:
         if m:
             tbl = m.group("table").lower()
             ttl = int(m.group("ttl")) if m.group("ttl") else None
-            if tbl not in TABLE_KEYS:
+            if tbl not in TABLE_KEYS and tbl not in self._created:
                 raise InvalidRequest(f"unknown table {tbl}")
             key = self._key_of(tbl, m.group("where"))
             wt = self._next_writetime()
@@ -232,7 +241,7 @@ class CqlSession:
         m = _DELETE.match(s)
         if m:
             tbl = m.group("table").lower()
-            if tbl not in TABLE_KEYS:
+            if tbl not in TABLE_KEYS and tbl not in self._created:
                 raise InvalidRequest(f"unknown table {tbl}")
             key = self._key_of(tbl, m.group("where"))
             wt = self._next_writetime()
@@ -250,14 +259,27 @@ class CqlSession:
     def snapshot(self, tbl: str) -> DataFrame:
         """The merged live view of a table: snapshot + mutations, compacted
         cell-wise. Pure DataFrame plan; no driver-side row materialization."""
-        base = table(self.spark, self.sf_dir, tbl)
-        pk, cc = TABLE_KEYS[tbl]
+        if tbl in self._created:
+            # DDL-created table: empty snapshot with the declared schema;
+            # all rows live in the session cell buffer
+            base = self.spark.createDataFrame([], self._created[tbl].spark_schema)
+        else:
+            base = table(self.spark, self.sf_dir, tbl)
+        pk, cc = self._keys(tbl)
         keys = [*pk, *cc]
         payload = [c for c in base.columns if c not in keys]
         dtypes = dict(base.dtypes)
 
-        # melt the snapshot into cells (writetime 0 = pre-session history)
-        stack_cols = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in payload)
+        def _complex(c: str) -> bool:
+            return dtypes[c].startswith(("array", "map", "struct"))
+
+        # melt the snapshot into cells (writetime 0 = pre-session history);
+        # collection cells serialize as JSON (matching _emit), scalars as
+        # plain string casts
+        stack_cols = ", ".join(
+            f"'{c}', to_json({c})" if _complex(c) else f"'{c}', CAST({c} AS STRING)"
+            for c in payload
+        )
         cells = base.selectExpr(
             *keys, f"stack({len(payload)}, {stack_cols}) AS (column, value)"
         ).select(
@@ -320,7 +342,12 @@ class CqlSession:
         )
         return wide.select(
             *keys,
-            *[F.col(c).cast(dtypes[c]).alias(c) for c in payload],
+            *[
+                (
+                    F.from_json(F.col(c), dtypes[c]) if _complex(c) else F.col(c).cast(dtypes[c])
+                ).alias(c)
+                for c in payload
+            ],
         )
 
     def _select(self, statement: str) -> DataFrame:
@@ -328,4 +355,11 @@ class CqlSession:
         if not m:
             raise InvalidRequest("SELECT needs FROM")
         tbl = m.group(1).lower()
-        return cql(self.spark, self.sf_dir, statement, source_df=self.snapshot(tbl))
+        extra = {n: td.keys for n, td in self._created.items()}
+        return cql(
+            self.spark,
+            self.sf_dir,
+            statement,
+            source_df=self.snapshot(tbl),
+            extra_keys=extra,
+        )

@@ -113,3 +113,64 @@ def test_contains_on_collection(spark):
     )
     # CONTAINS on a text column behaves like collection-contains on tokens
     assert got.count() >= 0
+
+
+# -- DDL: CREATE TABLE → schema (round 2) -----------------------------------
+
+def test_create_table_composite_key_and_types():
+    from dcosb_cassandra_spark.cql import parse_create_table
+
+    td = parse_create_table(
+        """
+        CREATE TABLE IF NOT EXISTS user_prefs (
+          user_id bigint,
+          pref_day date,
+          tags frozen<set<text>>,
+          scores map<text, double>,
+          pair tuple<int, text>,
+          note text,
+          PRIMARY KEY ((user_id), pref_day)
+        ) WITH CLUSTERING ORDER BY (pref_day DESC)"""
+    )
+    assert td.name == "user_prefs"
+    assert td.partition_key == ("user_id",) and td.clustering == ("pref_day",)
+    assert td.if_not_exists
+    assert td.spark_schema == (
+        "user_id bigint, pref_day date, tags array<string>, "
+        "scores map<string,double>, pair struct<_1:int,_2:string>, note string"
+    )
+
+
+def test_create_table_inline_pk_and_errors():
+    from dcosb_cassandra_spark.cql import InvalidRequest, parse_create_table
+
+    td = parse_create_table("CREATE TABLE t (id int PRIMARY KEY, v text)")
+    assert td.partition_key == ("id",) and td.clustering == ()
+    with pytest.raises(InvalidRequest):
+        parse_create_table("CREATE TABLE t (id int, v text)")  # no PK
+    with pytest.raises(InvalidRequest):
+        parse_create_table("CREATE TABLE t (id wibble PRIMARY KEY)")  # bad type
+    with pytest.raises(InvalidRequest):
+        parse_create_table("CREATE TABLE t (id int, PRIMARY KEY (id, missing))")
+
+
+def test_cql_type_lattice_mapping():
+    from dcosb_cassandra_spark.cql import cql_type_to_spark
+
+    assert cql_type_to_spark("varint") == "decimal(38,0)"
+    assert cql_type_to_spark("timeuuid") == "string"
+    assert cql_type_to_spark("frozen<map<text, list<int>>>") == "map<string,array<int>>"
+    assert cql_type_to_spark("list<frozen<tuple<bigint, text>>>") == (
+        "array<struct<_1:bigint,_2:string>>"
+    )
+
+
+def test_collection_literals():
+    from dcosb_cassandra_spark.cql import _literal
+
+    assert _literal("{'b','a'}") == ["a", "b"]  # sets normalize sorted
+    assert _literal("[3, 1, 2]") == [3, 1, 2]  # lists keep order
+    assert _literal("{'k': 1.5, 'j': 2.0}") == {"k": 1.5, "j": 2.0}
+    assert _literal("[['a'], ['b,c']]") == [["a"], ["b,c"]]  # nested + quoted comma
+    assert _literal("null") is None
+    assert _literal("true") is True

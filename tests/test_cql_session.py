@@ -162,3 +162,50 @@ def test_lwt_update_with_quoted_if_inside_value(sess):
     )
     assert r.head()["[applied]"] is True
     assert _row(sess, 777777)[0]["c_name"] == "as if new"
+
+
+def test_create_table_end_to_end_with_collections(spark):
+    """DDL-driven write path (round-2): CREATE TABLE with collection
+    columns, INSERT collection literals, cell-LWW UPDATE, typed SELECT
+    readback, and LWT against the created table."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute(
+        """CREATE TABLE user_prefs (
+          user_id bigint, slot int,
+          tags frozen<set<text>>, scores map<text, double>, note text,
+          PRIMARY KEY ((user_id), slot)) WITH comment = 'prefs'"""
+    )
+    sess.execute(
+        "INSERT INTO user_prefs (user_id, slot, tags, scores, note) "
+        "VALUES (1, 0, {'b','a'}, {'q': 1.5}, 'hi (ok)')"
+    )
+    sess.execute(
+        "INSERT INTO user_prefs (user_id, slot, tags, note) VALUES (1, 1, ['x','y'], 'second')"
+    )
+    sess.execute("UPDATE user_prefs SET note = 'updated' WHERE user_id = 1 AND slot = 0")
+    rows = (
+        sess.execute("SELECT user_id, slot, tags, scores, note FROM user_prefs WHERE user_id = 1")
+        .orderBy("slot")
+        .collect()
+    )
+    assert [(r["slot"], r["tags"], r["scores"], r["note"]) for r in rows] == [
+        (0, ["a", "b"], {"q": 1.5}, "updated"),  # set sorted; UPDATE only touched note
+        (1, ["x", "y"], None, "second"),  # unset column reads null
+    ]
+    r = sess.execute(
+        "INSERT INTO user_prefs (user_id, slot, note) VALUES (1, 0, 'nope') IF NOT EXISTS"
+    )
+    assert r.head()["[applied]"] is False
+    sess.execute("DELETE FROM user_prefs WHERE user_id = 1 AND slot = 1")
+    left = sess.execute("SELECT slot FROM user_prefs WHERE user_id = 1").collect()
+    assert [r["slot"] for r in left] == [0]
+
+
+def test_create_table_duplicate_and_if_not_exists(spark):
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("CREATE TABLE t2 (id int PRIMARY KEY, v text)")
+    sess.execute("CREATE TABLE IF NOT EXISTS t2 (id int PRIMARY KEY, v text)")  # no-op
+    with pytest.raises(InvalidRequest):
+        sess.execute("CREATE TABLE t2 (id int PRIMARY KEY, v text)")
+    with pytest.raises(InvalidRequest):
+        sess.execute("CREATE TABLE events (id int PRIMARY KEY)")  # shadows catalog table
