@@ -267,9 +267,11 @@ def parse(statement: str, extra_keys: dict | None = None) -> _Select:
     return sel
 
 
-def _check_restrictions(q: _Select, extra_keys: dict | None = None) -> None:
+def _check_restrictions(
+    q: _Select, extra_keys: dict | None = None, extra_indexed: dict | None = None
+) -> None:
     pk, cc = {**TABLE_KEYS, **(extra_keys or {})}[q.table]
-    indexed = INDEXED.get(q.table, ())
+    indexed = (*INDEXED.get(q.table, ()), *(extra_indexed or {}).get(q.table, ()))
     key_cols = set(pk) | set(cc)
     pk_restricted = {c for c, op, _ in q.conds if c in pk and op in ("=", "in")}
     for col, op, _ in q.conds:
@@ -317,12 +319,14 @@ def cql(
     statement: str,
     source_df: DataFrame | None = None,
     extra_keys: dict | None = None,
+    extra_indexed: dict | None = None,
 ) -> DataFrame:
     """Execute a CQL SELECT against the catalog (or an injected source —
     the CqlSession merged view); returns a DataFrame. ``extra_keys``
-    carries session-created tables' key metadata (see parse)."""
+    carries session-created tables' key metadata (see parse);
+    ``extra_indexed`` session-created secondary indexes (CREATE INDEX)."""
     q = parse(statement, extra_keys)
-    _check_restrictions(q, extra_keys)
+    _check_restrictions(q, extra_keys, extra_indexed)
     pk, cc = {**TABLE_KEYS, **(extra_keys or {})}[q.table]
     df = source_df if source_df is not None else table(spark, sf_dir, q.table)
 

@@ -1,4 +1,8 @@
-"""CQL write path: a session that accepts INSERT / UPDATE / DELETE and
+"""CQL write path: a session that accepts the statement surface a CQL user
+actually drives — INSERT (VALUES and JSON forms), UPDATE (scalar sets,
+collection mutations ``c = c + {...}`` / ``- {...}`` / list append/prepend
+/ map put / key-remove, counter-style ``n = n + k``), DELETE, CREATE TABLE
+(full composite-key DDL), CREATE INDEX, ALTER TABLE ADD, DROP TABLE — and
 serves SELECTs over (parquet snapshot + in-session mutations), with
 Cassandra's real cell model (SURVEY.md §1.1, §3.2):
 
@@ -56,6 +60,23 @@ _UPDATE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_INE = re.compile(r"\s+IF\s+NOT\s+EXISTS\s*;?\s*$", re.IGNORECASE)
+_INSERT_JSON = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+JSON\s+(?P<doc>'.*')\s*"
+    r"(?:USING\s+TTL\s+(?P<ttl>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_INDEX = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:\w+\s+)?ON\s+"
+    r"(?P<table>\w+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ADD\s+(?P<col>\w+)\s+(?P<type>.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -89,6 +110,8 @@ class CqlSession:
         #: session-created tables (CREATE TABLE DDL) -> parsed TableDef;
         #: they start from an EMPTY snapshot and live in the cell buffer
         self._created: dict[str, TableDef] = {}
+        #: session-created secondary indexes (CREATE INDEX): tbl -> cols
+        self._indexed: dict[str, tuple[str, ...]] = {}
 
     # -- write path ---------------------------------------------------------
 
@@ -135,6 +158,48 @@ class CqlSession:
             }
         )
 
+    def _apply_collection_op(
+        self, tbl: str, col: str, current, operand, op: str, prepend: bool
+    ):
+        """Merge a collection mutation against the current merged value
+        [PK `cql3/Operation.java`]: set add/remove keeps sorted-distinct
+        order, list +/- appends/prepends/removes-all, map + puts entries,
+        map - {keys} removes them, numeric +/- is the counter increment."""
+        ctype = self._created[tbl].columns.get(col, "") if tbl in self._created else ""
+        is_set = bool(re.match(r"(frozen\s*<\s*)?set\s*<", ctype))
+        if isinstance(operand, dict):
+            cur = dict(current or {})
+            cur.update(operand)
+            return cur
+        if isinstance(current, dict) and isinstance(operand, list) and op == "-":
+            return {k: v for k, v in current.items() if k not in operand}
+        if isinstance(operand, list):
+            cur = list(current or [])
+            if op == "-":
+                kept = [x for x in cur if x not in operand]
+                return sorted(set(kept), key=repr) if is_set else kept
+            if is_set:
+                merged = {repr(x): x for x in [*cur, *operand]}
+                return [merged[k] for k in sorted(merged)]
+            return [*operand, *cur] if prepend else [*cur, *operand]
+        if isinstance(operand, (int, float)) and not isinstance(operand, bool):
+            base = current if current is not None else 0
+            return base + operand if op == "+" else base - operand
+        raise InvalidRequest(f"unsupported collection operation on {col!r}: {op} {operand!r}")
+
+    def _insert_row(self, tbl: str, row: dict, ttl: int | None) -> None:
+        """Shared INSERT cell emission: row marker + one cell per non-key
+        column (the marker is what makes a key-only INSERT visible)."""
+        pk, cc = self._keys(tbl)
+        key = {c: row[c] for c in (*pk, *cc) if c in row}
+        if len(key) != len(pk) + len(cc):
+            raise InvalidRequest("INSERT requires the full primary key")
+        wt = self._next_writetime()
+        self._emit(tbl, key, ROW_MARKER, "1", wt, ttl, False)
+        for c, v in row.items():
+            if c not in key:
+                self._emit(tbl, key, c, v, wt, ttl, False)
+
     def _row_exists(self, tbl: str, key: dict) -> bool:
         df = self.snapshot(tbl)
         for k, v in key.items():
@@ -164,6 +229,56 @@ class CqlSession:
                     return None
                 raise InvalidRequest(f"table {td.name} already exists")
             self._created[td.name] = td
+            return None
+
+        m = _CREATE_INDEX.match(s)
+        if m:
+            tbl, col = m.group("table").lower(), m.group("col").lower()
+            self._keys(tbl)  # validates the table exists
+            self._indexed[tbl] = (*self._indexed.get(tbl, ()), col)
+            return None
+
+        m = _DROP_TABLE.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            if tbl in self._created:
+                del self._created[tbl]
+                self._cells.pop(tbl, None)
+                self._indexed.pop(tbl, None)
+                return None
+            if tbl in TABLE_KEYS:
+                raise InvalidRequest(f"cannot drop catalog table {tbl}")
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"unknown table {tbl}")
+
+        m = _ALTER_ADD.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            if tbl not in self._created:
+                raise InvalidRequest(
+                    f"ALTER TABLE supported only on session-created tables, not {tbl!r}"
+                )
+            td = self._created[tbl]
+            col, ctype = m.group("col").lower(), m.group("type").strip().lower()
+            if col in td.columns:
+                raise InvalidRequest(f"column {col} already exists")
+            from .cql import cql_type_to_spark
+
+            cql_type_to_spark(ctype)  # validate
+            td.columns[col] = ctype
+            return None
+
+        m = _INSERT_JSON.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            self._keys(tbl)
+            doc = m.group("doc")[1:-1].replace("''", "'")
+            try:
+                row = {k.lower(): v for k, v in json.loads(doc).items()}
+            except (json.JSONDecodeError, AttributeError) as e:
+                raise InvalidRequest(f"INSERT JSON: invalid document: {e}") from e
+            self._insert_row(tbl, row, int(m.group("ttl")) if m.group("ttl") else None)
             return None
 
         ine = _INSERT_INE.search(s)
@@ -208,17 +323,7 @@ class CqlSession:
             vals = [_literal(v) for v in _split_top_level(m.group("vals"))]
             if len(cols) != len(vals):
                 raise InvalidRequest("column/value count mismatch")
-            ttl = int(m.group("ttl")) if m.group("ttl") else None
-            row = dict(zip(cols, vals))
-            pk, cc = self._keys(tbl)
-            key = {c: row[c] for c in (*pk, *cc) if c in row}
-            if len(key) != len(pk) + len(cc):
-                raise InvalidRequest("INSERT requires the full primary key")
-            wt = self._next_writetime()
-            self._emit(tbl, key, ROW_MARKER, "1", wt, ttl, False)
-            for c, v in row.items():
-                if c not in key:
-                    self._emit(tbl, key, c, v, wt, ttl, False)
+            self._insert_row(tbl, dict(zip(cols, vals)), int(m.group("ttl")) if m.group("ttl") else None)
             return None
         m = _UPDATE.match(s)
         if m:
@@ -235,8 +340,29 @@ class CqlSession:
                 col = sm.group(1).lower()
                 if col in dict.fromkeys(key):
                     raise InvalidRequest(f"cannot SET primary-key column {col}")
+                rhs = sm.group(2).strip()
+                # collection mutations [PK `cql3/Operation.java`]: SET c =
+                # c + {...} / c - {...} / c + [...] / [...] + c — set add/
+                # remove, list append/prepend, map put. Read-modify-write
+                # against the merged view (frozen-cell model: the merged
+                # collection is ONE new cell at this writetime).
+                cm = re.match(
+                    rf"^(?:(?P<self1>{col})\s*(?P<op>[+-])\s*(?P<operand>.+)"
+                    rf"|(?P<prepend>.+?)\s*\+\s*(?P<self2>{col}))$",
+                    rhs,
+                    re.IGNORECASE,
+                )
+                if cm and (cm.group("self1") or cm.group("self2")):
+                    operand = _literal(cm.group("operand") or cm.group("prepend"))
+                    current = self._cell_value(tbl, key, col)
+                    value = self._apply_collection_op(
+                        tbl, col, current, operand, cm.group("op") or "+",
+                        prepend=bool(cm.group("self2")),
+                    )
+                else:
+                    value = _literal(rhs)
                 # UPDATE writes cells only — deliberately NO row marker
-                self._emit(tbl, key, col, _literal(sm.group(2)), wt, ttl, False)
+                self._emit(tbl, key, col, value, wt, ttl, False)
             return None
         m = _DELETE.match(s)
         if m:
@@ -355,6 +481,7 @@ class CqlSession:
         if not m:
             raise InvalidRequest("SELECT needs FROM")
         tbl = m.group(1).lower()
+        self._keys(tbl)  # raises InvalidRequest for unknown/dropped tables
         extra = {n: td.keys for n, td in self._created.items()}
         return cql(
             self.spark,
@@ -362,4 +489,5 @@ class CqlSession:
             statement,
             source_df=self.snapshot(tbl),
             extra_keys=extra,
+            extra_indexed=self._indexed,
         )

@@ -209,3 +209,54 @@ def test_create_table_duplicate_and_if_not_exists(spark):
         sess.execute("CREATE TABLE t2 (id int PRIMARY KEY, v text)")
     with pytest.raises(InvalidRequest):
         sess.execute("CREATE TABLE events (id int PRIMARY KEY)")  # shadows catalog table
+
+
+def test_collection_mutations_and_counter_increment(spark):
+    """SET c = c + {...} / - {...} / map put / map key-remove / numeric
+    increment — each a read-modify-write producing ONE new frozen cell."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute(
+        "CREATE TABLE prefs (user_id bigint, slot int, tags frozen<set<text>>, "
+        "hits bigint, scores map<text,double>, PRIMARY KEY ((user_id), slot))"
+    )
+    sess.execute("INSERT INTO prefs (user_id, slot, tags, hits) VALUES (1, 0, {'a'}, 10)")
+    sess.execute("UPDATE prefs SET tags = tags + {'c','b'}, hits = hits + 5 WHERE user_id = 1 AND slot = 0")
+    sess.execute("UPDATE prefs SET tags = tags - {'a'} WHERE user_id = 1 AND slot = 0")
+    sess.execute("UPDATE prefs SET scores = {'x': 1.0} WHERE user_id = 1 AND slot = 0")
+    sess.execute("UPDATE prefs SET scores = scores + {'y': 2.0} WHERE user_id = 1 AND slot = 0")
+    sess.execute("UPDATE prefs SET scores = scores - {'x'} WHERE user_id = 1 AND slot = 0")
+    r = sess.execute("SELECT tags, hits, scores FROM prefs WHERE user_id = 1").head()
+    assert r["tags"] == ["b", "c"]  # set: sorted, 'a' removed
+    assert r["hits"] == 15  # counter-style increment
+    assert r["scores"] == {"y": 2.0}  # map put then key-remove
+
+
+def test_insert_json_and_secondary_index(spark):
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute(
+        "CREATE TABLE prefs2 (user_id bigint, slot int, tags frozen<set<text>>, "
+        "hits bigint, PRIMARY KEY ((user_id), slot))"
+    )
+    sess.execute('INSERT INTO prefs2 JSON \'{"user_id": 2, "slot": 1, "tags": ["j"], "hits": 7}\'')
+    r = sess.execute("SELECT tags, hits FROM prefs2 WHERE user_id = 2").head()
+    assert r["tags"] == ["j"] and r["hits"] == 7
+    # unindexed non-key filter requires ALLOW FILTERING...
+    with pytest.raises(InvalidRequest):
+        sess.execute("SELECT slot FROM prefs2 WHERE hits = 7")
+    # ...until a secondary index exists
+    sess.execute("CREATE INDEX ON prefs2 (hits)")
+    assert sess.execute("SELECT slot FROM prefs2 WHERE hits = 7").count() == 1
+
+
+def test_alter_add_and_drop_table(spark):
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("CREATE TABLE prefs3 (id int PRIMARY KEY, v text)")
+    sess.execute("ALTER TABLE prefs3 ADD note text")
+    sess.execute("INSERT INTO prefs3 (id, v, note) VALUES (1, 'a', 'n1')")
+    assert sess.execute("SELECT note FROM prefs3 WHERE id = 1").head()["note"] == "n1"
+    sess.execute("DROP TABLE prefs3")
+    with pytest.raises(InvalidRequest):
+        sess.execute("SELECT v FROM prefs3 WHERE id = 1")
+    with pytest.raises(InvalidRequest):
+        sess.execute("DROP TABLE customer")  # catalog tables cannot drop
+    sess.execute("DROP TABLE IF EXISTS nope")  # silent
