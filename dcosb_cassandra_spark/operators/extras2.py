@@ -190,3 +190,32 @@ def c3b_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion"),
     )
+
+
+@query(
+    "a06b_page_state_scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 2) AS qty
+        FROM lineitem
+        WHERE l_orderkey >= 3
+          AND (l_orderkey > 3 OR (l_orderkey = 3 AND l_linenumber > 2)
+               OR (l_orderkey = 3 AND l_linenumber = 2 AND l_partkey > 0))
+        ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 25
+    """,
+    tags=("A6", "P1"),
+)
+def a06b_page_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-after-page-state scan [PK `service/pager/`]: the page state
+    (3, 2, 0) is the composite key of the last row served (l_partkey joins
+    the key because l_linenumber alone is not unique within an order); the
+    next page is a lexicographic key comparison + ORDER BY key + LIMIT
+    fetch_size. The redundant l_orderkey >= 3 conjunct reaches the parquet
+    scan (the OR-chain alone would not), so each page prunes row groups
+    below the resume key — constant work per page at 100 TB, not
+    rescan-and-skip."""
+    from ..functions.paging import fetch_page
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", F.round("l_quantity", 2).alias("qty")
+    )
+    return fetch_page(l, ["l_orderkey", "l_linenumber", "l_partkey"], 25, state=(3, 2, 0))
