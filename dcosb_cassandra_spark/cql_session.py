@@ -77,6 +77,11 @@ _ALTER_ADD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ADD\s+(?P<col>\w+)\s+(?P<type>.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
+_COPY = re.compile(
+    r"^\s*COPY\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
+    r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*(?:WITH\s+.*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -268,6 +273,10 @@ class CqlSession:
             cql_type_to_spark(ctype)  # validate
             td.columns[col] = ctype
             return None
+
+        m = _COPY.match(s)
+        if m:
+            return self._copy(m)
 
         m = _INSERT_JSON.match(s)
         if m:
@@ -475,6 +484,36 @@ class CqlSession:
                 for c in payload
             ],
         )
+
+    def _copy(self, m: re.Match) -> DataFrame:
+        """cqlsh COPY [PK `pylib/cqlshlib/copyutil.py`]: CSV export of the
+        merged view / CSV import through the same cell emission as INSERT.
+        Import is driver-side row-at-a-time (exactly cqlsh's posture — COPY
+        is the small-data utility; the 100 TB ingest path is the parquet
+        bulk load the snapshot itself models)."""
+        from .sources.io import read_csv, write_csv
+
+        tbl = m.group("table").lower()
+        self._keys(tbl)
+        df = self.snapshot(tbl)
+        cols = (
+            [c.strip().lower() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else df.columns
+        )
+        path = m.group("path")
+        if m.group("dir").upper() == "TO":
+            out = df.select(*cols)
+            write_csv(out, path)
+            n = out.count()
+        else:
+            schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in df.schema.fields if f.name in cols)
+            rows = read_csv(self.spark, path, schema).collect()
+            for r in rows:
+                self._insert_row(tbl, {c: r[c] for c in cols}, None)
+            n = len(rows)
+        return self.spark.createDataFrame([(n,)], "n_rows BIGINT")
 
     def _select(self, statement: str) -> DataFrame:
         m = re.search(r"\bFROM\s+(\w+)", statement, re.IGNORECASE)

@@ -260,3 +260,24 @@ def test_alter_add_and_drop_table(spark):
     with pytest.raises(InvalidRequest):
         sess.execute("DROP TABLE customer")  # catalog tables cannot drop
     sess.execute("DROP TABLE IF EXISTS nope")  # silent
+
+
+def test_copy_to_from_round_trip(spark, tmp_path):
+    """cqlsh COPY: export the merged view to CSV, re-import through the
+    cell model — the imported rows must equal the exported ones."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("CREATE TABLE kv (id int PRIMARY KEY, v text, score double)")
+    for i in range(5):
+        sess.execute(f"INSERT INTO kv (id, v, score) VALUES ({i}, 'v{i}', {i}.5)")
+    out = str(tmp_path / "kv_csv")
+    n = sess.execute(f"COPY kv TO '{out}'").head()["n_rows"]
+    assert n == 5
+
+    sess2 = CqlSession(spark, SMOKE_SF_DIR)
+    sess2.execute("CREATE TABLE kv (id int PRIMARY KEY, v text, score double)")
+    n2 = sess2.execute(f"COPY kv FROM '{out}'").head()["n_rows"]
+    assert n2 == 5
+    rows = sess2.execute("SELECT id, v, score FROM kv").orderBy("id").collect()
+    assert [(r["id"], r["v"], r["score"]) for r in rows] == [
+        (i, f"v{i}", i + 0.5) for i in range(5)
+    ]
