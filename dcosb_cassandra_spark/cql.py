@@ -11,7 +11,8 @@ DataFrame plan through the same operators as the registry queries:
       [PER PARTITION LIMIT n] [LIMIT n] [ALLOW FILTERING]
 
     selector := * | col | col AS alias | count(*) |
-                min|max|sum|avg|count(col) [AS alias] | writetime(col)
+                min|max|sum|avg|count(col) [AS alias] | writetime(col) |
+                token(col)
     cond     := col (=|<|<=|>|>=|!=) literal | col IN (lit, ...)
               | col CONTAINS literal
 
@@ -215,6 +216,8 @@ def _parse_selector(s: str) -> tuple[str, str, str | None]:
             return ("agg:" + fn, arg, alias)
         if fn == "writetime":
             return ("writetime", arg, alias)
+        if fn == "token":
+            return ("token", arg, alias)
         raise InvalidRequest(f"unknown function {fn}()")
     if re.fullmatch(r"\w+", s):
         return ("col", s, alias)
@@ -366,6 +369,13 @@ def cql(
                 cols.extend(F.col(c) for c in df.columns)
             elif kind == "col":
                 cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
+            elif kind == "token":
+                # real Murmur3Partitioner semantics (signed-tail quirk and
+                # all) — SELECT token(pk) returns the ring position a live
+                # Cassandra cluster would report [PK `dht/Murmur3Partitioner.java`]
+                from .functions.murmur3 import token_murmur3
+
+                cols.append(token_murmur3(F.col(arg)).alias(alias or f"token_{arg}"))
             elif kind == "writetime":
                 # Limitation vs Cassandra's per-cell writetime: the snapshot
                 # tables carry ONE writetime source column per table, so

@@ -219,3 +219,28 @@ def a06b_page_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", F.round("l_quantity", 2).alias("qty")
     )
     return fetch_page(l, ["l_orderkey", "l_linenumber", "l_partkey"], 25, state=(3, 2, 0))
+
+
+@query("a05b_token_murmur3_scan", oracle=None, tags=("A5", "P2", "rows-only"))
+def a05b_token_murmur3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token() range scan with REAL Murmur3Partitioner semantics
+    [PK `dht/Murmur3Partitioner.java`]: tokens here match an actual
+    Cassandra ring (incl. the signed-tail-byte quirk of Cassandra's Java
+    Murmur3 port), so these bucket boundaries are the cluster's own token
+    ranges — the split a connector uses to read a 100 TB keyspace as
+    independent tasks. Arrow-batched pandas UDF (no SQL twin exists —
+    DuckDB has no murmur3_x64_128 — hence rows-only; the md5 token twin
+    a05 carries the oracle-exact variant). Emits per-bucket counts over
+    the 16 top-nibble ranges: a full partition of the ring, so the
+    invariant sum(n)==count(orders) is self-checking."""
+    from ..functions.murmur3 import token_murmur3
+
+    o = table(spark, sf_dir, "orders")
+    tok = token_murmur3(F.col("o_orderkey"))
+    bucket = (F.shiftrightunsigned(tok, 60) + 8) % 16  # signed → 16 ordered ranges
+    return (
+        o.select(tok.alias("tok"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("tok").alias("min_tok"), F.max("tok").alias("max_tok"))
+        .orderBy("bucket")
+    )

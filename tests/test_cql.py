@@ -174,3 +174,15 @@ def test_collection_literals():
     assert _literal("[['a'], ['b,c']]") == [["a"], ["b,c"]]  # nested + quoted comma
     assert _literal("null") is None
     assert _literal("true") is True
+
+
+def test_select_token_matches_murmur3_reference(spark):
+    from dcosb_cassandra_spark.cql import cql
+    from dcosb_cassandra_spark.functions.murmur3 import cassandra_token_of_bigint
+
+    rows = cql(
+        spark, SF, "SELECT o_orderkey, token(o_orderkey) FROM orders LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["token_o_orderkey"] == cassandra_token_of_bigint(r["o_orderkey"])
