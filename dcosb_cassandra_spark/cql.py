@@ -88,7 +88,7 @@ _STMT = re.compile(
 )
 
 _COND = re.compile(
-    r"^\s*(?P<col>\w+)\s*(?:(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)"
+    r"^\s*(?P<col>token\(\s*\w+\s*\)|\w+)\s*(?:(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)"
     r"|IN\s*\((?P<inlist>.*?)\)"
     r"|CONTAINS\s+(?P<clit>.+?))\s*$",
     re.IGNORECASE,
@@ -248,7 +248,7 @@ def parse(statement: str, extra_keys: dict | None = None) -> _Select:
             c = _COND.match(part)
             if not c:
                 raise InvalidRequest(f"unparseable condition: {part!r}")
-            col = c.group("col").lower()
+            col = re.sub(r"\s+", "", c.group("col").lower())
             if c.group("inlist") is not None:
                 sel.conds.append((col, "in", [_literal(x) for x in c.group("inlist").split(",")]))
             elif c.group("clit") is not None:
@@ -278,6 +278,13 @@ def _check_restrictions(
     key_cols = set(pk) | set(cc)
     pk_restricted = {c for c, op, _ in q.conds if c in pk and op in ("=", "in")}
     for col, op, _ in q.conds:
+        if col.startswith("token("):
+            inner = col[6:-1]
+            if inner not in pk:
+                raise InvalidRequest(
+                    f"token() restrictions apply only to the partition key, got {inner!r}"
+                )
+            continue  # token ranges never need ALLOW FILTERING [PK TokenRelation]
         if col in key_cols:
             continue
         if col in indexed and op == "=":
@@ -298,7 +305,10 @@ def _check_restrictions(
 
 
 def _condition(col: str, op: str, lit) -> Column:
-    c = F.col(col)
+    return _apply_op(F.col(col), op, lit)
+
+
+def _apply_op(c: Column, op: str, lit) -> Column:
     if op == "=":
         return c == lit
     if op == "!=":
@@ -334,6 +344,11 @@ def cql(
     df = source_df if source_df is not None else table(spark, sf_dir, q.table)
 
     for col, op, lit in q.conds:
+        if col.startswith("token("):
+            from .functions.murmur3 import token_murmur3
+
+            df = df.filter(_apply_op(token_murmur3(F.col(col[6:-1])), op, lit))
+            continue
         if op == "contains":
             # CQL CONTAINS targets collection columns; a text column is
             # treated as its token list (the list<text> mapping, SURVEY §1.2)

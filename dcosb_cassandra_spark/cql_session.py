@@ -48,17 +48,28 @@ from .cql import (
 ROW_MARKER = "__row__"
 ROW_TOMBSTONE = "*"
 
+_USING = (
+    r"(?:\s+USING\s+(?:TTL\s+(?P<ttl>\d+)(?:\s+AND\s+TIMESTAMP\s+(?P<wts>\d+))?"
+    r"|TIMESTAMP\s+(?P<wts2>\d+)(?:\s+AND\s+TTL\s+(?P<ttl2>\d+))?))?"
+)
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*\((?P<cols>[^)]*)\)\s*"
-    r"VALUES\s*\((?P<vals>.*)\)\s*(?:USING\s+TTL\s+(?P<ttl>\d+))?\s*;?\s*$",
+    r"VALUES\s*\((?P<vals>.*?)\)" + _USING + r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>\w+)(?:\s+USING\s+TTL\s+(?P<ttl>\d+))?"
+    r"^\s*UPDATE\s+(?P<table>\w+)" + _USING +
     r"\s+SET\s+(?P<sets>.*?)\s+WHERE\s+(?P<where>.*?)"
     r"(?:\s+IF\s+(?P<cond>(?!NOT\s+EXISTS).+?))?(?:\s+IF\s+(?P<ine>NOT\s+EXISTS))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _using_of(m: re.Match) -> tuple[int | None, int | None]:
+    """(ttl, explicit writetime micros) from the USING clause groups."""
+    ttl = m.group("ttl") or m.group("ttl2")
+    wts = m.group("wts") or m.group("wts2")
+    return (int(ttl) if ttl else None), (int(wts) if wts else None)
 _INSERT_INE = re.compile(r"\s+IF\s+NOT\s+EXISTS\s*;?\s*$", re.IGNORECASE)
 _INSERT_JSON = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+JSON\s+(?P<doc>'.*')\s*"
@@ -82,6 +93,10 @@ _COPY = re.compile(
     r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*(?:WITH\s+.*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_BATCH = re.compile(
+    r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\b(?P<body>.*?)\bAPPLY\s+BATCH\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -91,6 +106,25 @@ _DELETE = re.compile(
 #: quote-aware comma split (tracks (), [], {} and <> depth) — shared with
 #: the DDL/literal grammar so collection literals split identically here
 _split_top_level = split_top_level
+
+
+def _split_statements(body: str) -> list[str]:
+    """Split a BATCH body on semicolons outside quoted strings."""
+    out, cur, in_q = [], [], False
+    for ch in body:
+        if ch == "'":
+            in_q = not in_q
+        if ch == ";" and not in_q:
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+    stmt = "".join(cur).strip()
+    if stmt:
+        out.append(stmt)
+    return out
 
 
 class CqlSession:
@@ -117,10 +151,18 @@ class CqlSession:
         self._created: dict[str, TableDef] = {}
         #: session-created secondary indexes (CREATE INDEX): tbl -> cols
         self._indexed: dict[str, tuple[str, ...]] = {}
+        #: non-None while executing a BEGIN BATCH: the shared writetime
+        self._pinned_wt: int | None = None
 
     # -- write path ---------------------------------------------------------
 
     def _next_writetime(self) -> int:
+        if self._pinned_wt is not None:
+            # inside BEGIN BATCH: every statement shares the batch's
+            # timestamp [PK `cql3/statements/BatchStatement.java` — one
+            # default timestamp per batch], which is what makes a batch
+            # atomic under LWW compaction
+            return self._pinned_wt
         self._seq += 1
         return self.now_micros + self._seq
 
@@ -192,14 +234,15 @@ class CqlSession:
             return base + operand if op == "+" else base - operand
         raise InvalidRequest(f"unsupported collection operation on {col!r}: {op} {operand!r}")
 
-    def _insert_row(self, tbl: str, row: dict, ttl: int | None) -> None:
+    def _insert_row(self, tbl: str, row: dict, ttl: int | None, wt: int | None = None) -> None:
         """Shared INSERT cell emission: row marker + one cell per non-key
-        column (the marker is what makes a key-only INSERT visible)."""
+        column (the marker is what makes a key-only INSERT visible).
+        ``wt`` overrides the session writetime (USING TIMESTAMP)."""
         pk, cc = self._keys(tbl)
         key = {c: row[c] for c in (*pk, *cc) if c in row}
         if len(key) != len(pk) + len(cc):
             raise InvalidRequest("INSERT requires the full primary key")
-        wt = self._next_writetime()
+        wt = wt if wt is not None else self._next_writetime()
         self._emit(tbl, key, ROW_MARKER, "1", wt, ttl, False)
         for c, v in row.items():
             if c not in key:
@@ -226,6 +269,21 @@ class CqlSession:
         s = statement.strip()
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
+
+        mb = _BATCH.match(s)
+        if mb:
+            stmts = _split_statements(mb.group("body"))
+            if not stmts:
+                return None
+            self._pinned_wt = self._next_writetime()
+            try:
+                for sub in stmts:
+                    if re.match(r"^\s*(SELECT|BEGIN|CREATE|DROP|ALTER|COPY)\b", sub, re.IGNORECASE):
+                        raise InvalidRequest(f"only mutations allowed in BATCH: {sub!r}")
+                    self.execute(sub)
+            finally:
+                self._pinned_wt = None
+            return None
 
         if re.match(r"^CREATE\s+TABLE\b", s, re.IGNORECASE):
             td = parse_create_table(s)
@@ -332,16 +390,17 @@ class CqlSession:
             vals = [_literal(v) for v in _split_top_level(m.group("vals"))]
             if len(cols) != len(vals):
                 raise InvalidRequest("column/value count mismatch")
-            self._insert_row(tbl, dict(zip(cols, vals)), int(m.group("ttl")) if m.group("ttl") else None)
+            ttl, wts = _using_of(m)
+            self._insert_row(tbl, dict(zip(cols, vals)), ttl, wts)
             return None
         m = _UPDATE.match(s)
         if m:
             tbl = m.group("table").lower()
-            ttl = int(m.group("ttl")) if m.group("ttl") else None
+            ttl, wts = _using_of(m)
             if tbl not in TABLE_KEYS and tbl not in self._created:
                 raise InvalidRequest(f"unknown table {tbl}")
             key = self._key_of(tbl, m.group("where"))
-            wt = self._next_writetime()
+            wt = wts if wts is not None else self._next_writetime()
             for part in _split_top_level(m.group("sets")):
                 sm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
                 if not sm:
@@ -458,7 +517,13 @@ class CqlSession:
         )
 
         # cell-level LWW + tombstone/TTL fold
-        w_cell = Window.partitionBy(*keys, "column").orderBy(F.desc("writetime"))
+        # Cassandra's timestamp-tie rules [PK `db/rows/Cells.java reconcile`]:
+        # equal writetimes (e.g. two statements in one BATCH) resolve
+        # deterministically — a tombstone beats a live cell, then the
+        # lexically greater value wins
+        w_cell = Window.partitionBy(*keys, "column").orderBy(
+            F.desc("writetime"), F.desc("tombstone"), F.desc("value")
+        )
         live = (
             cells.withColumn("_rn", F.row_number().over(w_cell))
             .filter(F.col("_rn") == 1)

@@ -281,3 +281,68 @@ def test_copy_to_from_round_trip(spark, tmp_path):
     assert [(r["id"], r["v"], r["score"]) for r in rows] == [
         (i, f"v{i}", i + 0.5) for i in range(5)
     ]
+
+
+def test_batch_shares_one_writetime_with_cassandra_tie_rules(spark):
+    """BEGIN BATCH: every statement gets the batch's single timestamp; a
+    same-timestamp conflict resolves by Cassandra's reconcile rules
+    (lexically greater value wins), deterministically."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute(
+        """BEGIN BATCH
+          INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (555001, 'b1', 1.0);
+          INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (555002, 'b2', 2.0);
+          UPDATE customer SET c_acctbal = 9.9 WHERE c_custkey = 555001;
+        APPLY BATCH"""
+    )
+    rows = (
+        sess.execute(
+            "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey IN (555001, 555002)"
+        )
+        .orderBy("c_custkey")
+        .collect()
+    )
+    assert [(r["c_custkey"], r["c_name"], r["c_acctbal"]) for r in rows] == [
+        (555001, "b1", 9.9),  # '9.9' > '1.0' at the shared batch timestamp
+        (555002, "b2", 2.0),
+    ]
+    with pytest.raises(InvalidRequest):
+        sess.execute("BEGIN BATCH SELECT * FROM customer; APPLY BATCH")
+
+
+def test_using_timestamp_controls_lww(spark):
+    """USING TIMESTAMP sets the cell writetime explicitly: an old-timestamp
+    write must lose to a newer one already present (no resurrection), and
+    TTL AND TIMESTAMP compose in either order."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (555003, 'new')")
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (555003, 'stale') USING TIMESTAMP 5")
+    assert sess.execute("SELECT c_name FROM customer WHERE c_custkey = 555003").head()["c_name"] == "new"
+    sess.execute(
+        "UPDATE customer USING TTL 60 AND TIMESTAMP 1900000000000001 "
+        "SET c_name = 'future' WHERE c_custkey = 555003"
+    )
+    assert sess.execute("SELECT c_name FROM customer WHERE c_custkey = 555003").head()["c_name"] == "future"
+    sess.execute(
+        "UPDATE customer USING TIMESTAMP 1900000000000002 AND TTL 60 "
+        "SET c_name = 'future2' WHERE c_custkey = 555003"
+    )
+    assert sess.execute("SELECT c_name FROM customer WHERE c_custkey = 555003").head()["c_name"] == "future2"
+
+
+def test_token_range_where_partitions_table(spark):
+    from dcosb_cassandra_spark.cql import cql
+    from dcosb_cassandra_spark.functions.murmur3 import cassandra_token_of_bigint
+
+    pivot = cassandra_token_of_bigint(0)
+    n_all = cql(spark, SMOKE_SF_DIR, "SELECT count(*) FROM orders").head()[0]
+    n_lo = cql(
+        spark, SMOKE_SF_DIR, f"SELECT count(*) FROM orders WHERE token(o_orderkey) <= {pivot}"
+    ).head()[0]
+    n_hi = cql(
+        spark, SMOKE_SF_DIR, f"SELECT count(*) FROM orders WHERE token(o_orderkey) > {pivot}"
+    ).head()[0]
+    assert n_lo + n_hi == n_all and n_lo > 0 and n_hi > 0
+    # token() restrictions bypass ALLOW FILTERING; non-key token() rejected
+    with pytest.raises(InvalidRequest):
+        cql(spark, SMOKE_SF_DIR, "SELECT count(*) FROM orders WHERE token(o_totalprice) > 0")
