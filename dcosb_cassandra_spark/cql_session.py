@@ -98,7 +98,9 @@ _BATCH = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
+    r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)"
+    r"(?:\s+USING\s+TIMESTAMP\s+(?P<wts>\d+))?"
+    r"\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -438,7 +440,10 @@ class CqlSession:
             if tbl not in TABLE_KEYS and tbl not in self._created:
                 raise InvalidRequest(f"unknown table {tbl}")
             key = self._key_of(tbl, m.group("where"))
-            wt = self._next_writetime()
+            # USING TIMESTAMP on DELETE: the tombstone shadows only cells
+            # with OLDER writetimes — a back-dated delete must not kill a
+            # newer write (the anti-resurrection rule, [PK `db/DeletionTime.java`])
+            wt = int(m.group("wts")) if m.group("wts") else self._next_writetime()
             cols = [c.strip().lower() for c in m.group("cols").split(",") if c.strip()]
             if cols:  # cell tombstones
                 for c in cols:

@@ -406,3 +406,121 @@ def d_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_EMAIL_RX = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RX = "https?://[^ ]+"
+
+
+@query(
+    "d5g_pii_redaction",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact: user' || doc_id
+                        || '@example.com see https://site' || doc_id || '.org/x' AS t
+            FROM documents WHERE doc_id < 40
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RX}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_URL_RX}')) AS BIGINT)   AS n_urls,
+               regexp_replace(regexp_replace(t, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                              '{_URL_RX}', '<URL>', 'g')                 AS redacted
+        FROM aug
+    """,
+    tags=("D5", "P1"),
+)
+def d5g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every training corpus gets before
+    tokenization: count then replace emails/URLs with placeholder tags.
+    Pure JVM regexp expressions (regexp_extract_all / regexp_replace are
+    whole-stage-codegen'd; one scan, no shuffle, trivially partition-
+    parallel at 100 TB). The fixture corpus has no organic PII, so the
+    augmentation column plants one email + one URL per document — the
+    redaction machinery is what's under test, byte-identical on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com see https://site"), F.col("doc_id").cast("string"),
+        F.lit(".org/x"),
+    )
+    return (
+        d.filter(F.col("doc_id") < 40)
+        .withColumn("t", aug)
+        .select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(t, '{_EMAIL_RX}', 0)"))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.expr(f"regexp_extract_all(t, '{_URL_RX}', 0)")).cast("long").alias("n_urls"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _EMAIL_RX, "<EMAIL>"), _URL_RX, "<URL>"
+            ).alias("redacted"),
+        )
+    )
+
+
+@query(
+    "d5h_benchmark_decontamination",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                          i -> array_to_string(t[i:i+7], ' '))) AS g
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 3),
+        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 3 AND doc_id < 60),
+        per_doc AS (
+            SELECT c.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+            FROM corpus c LEFT JOIN bench b ON c.g = b.g
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id, n_grams, n_hit,
+               round(n_hit * 1.0 / n_grams, 6) AS contamination,
+               n_hit > 0 AS contaminated
+        FROM per_doc
+    """,
+    tags=("D5", "D1", "P1"),
+)
+def d5h_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the 8-gram overlap check run before
+    training to drop documents that leak evaluation data: explode each
+    corpus document into its word 8-grams, left-join the (distinct)
+    benchmark gram set, report per-document overlap. Scale shape: the
+    benchmark side is key-bounded (3 docs here; a real benchmark is
+    fixed-size) so AQE broadcasts it — the corpus NEVER shuffles its
+    grams against itself, and the join is an equi-join on the gram
+    string. No hint (audit rule: unbounded-looking subsets of scaling
+    tables carry no forced broadcast)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    gram_idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        d.select("doc_id", F.explode(
+            F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 8)))
+        ).alias("g"))
+    )
+    bench = grams.filter(F.col("doc_id") < 3).select("g").distinct()
+    corpus = grams.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 60))
+    per_doc = (
+        corpus.join(bench.withColumnRenamed("g", "bg"), corpus.g == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("bg").alias("n_hit"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+        (F.col("n_hit") > 0).alias("contaminated"),
+    )

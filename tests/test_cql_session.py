@@ -346,3 +346,22 @@ def test_token_range_where_partitions_table(spark):
     # token() restrictions bypass ALLOW FILTERING; non-key token() rejected
     with pytest.raises(InvalidRequest):
         cql(spark, SMOKE_SF_DIR, "SELECT count(*) FROM orders WHERE token(o_totalprice) > 0")
+
+
+def test_delete_using_timestamp_does_not_resurrect(spark):
+    """A back-dated DELETE (USING TIMESTAMP older than a live cell) must
+    not shadow the newer write; a forward-dated one must."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("INSERT INTO customer (c_custkey, c_name, c_acctbal) VALUES (555010, 'alive', 1.0)")
+    sess.execute("DELETE c_name FROM customer USING TIMESTAMP 5 WHERE c_custkey = 555010")
+    assert (
+        sess.execute("SELECT c_name FROM customer WHERE c_custkey = 555010").head()["c_name"]
+        == "alive"
+    ), "old tombstone must lose to the newer cell"
+    sess.execute(
+        "DELETE c_name FROM customer USING TIMESTAMP 1900000000000099 WHERE c_custkey = 555010"
+    )
+    assert (
+        sess.execute("SELECT c_name FROM customer WHERE c_custkey = 555010").head()["c_name"]
+        is None
+    ), "newer tombstone must shadow the cell"
