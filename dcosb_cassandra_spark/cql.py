@@ -130,7 +130,7 @@ def _literal(tok: str):
     recurse (frozen<list<...>> etc.)."""
     tok = tok.strip()
     if tok.startswith("'") and tok.endswith("'"):
-        return tok[1:-1]
+        return tok[1:-1].replace("''", "'")  # CQL escapes ' by doubling
     if tok.startswith("[") and tok.endswith("]"):
         inner = tok[1:-1].strip()
         return [] if not inner else [_literal(x) for x in split_top_level(inner)]

@@ -129,6 +129,63 @@ def _split_statements(body: str) -> list[str]:
     return out
 
 
+def _render_literal(v) -> str:
+    """Render a Python value as a CQL literal (the inverse of _literal) —
+    the bind-substitution step of prepared statements."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple, set)):
+        return "[" + ", ".join(_render_literal(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{_render_literal(k)}: {_render_literal(x)}" for k, x in v.items()
+        ) + "}"
+    raise InvalidRequest(f"cannot bind value of type {type(v).__name__}")
+
+
+class Prepared:
+    """A parsed-once statement template with ``?`` bind markers
+    [PK `cql3/statements/ParsedStatement.java` prepare path]. Binding
+    substitutes rendered literals for the markers (quote-aware, so a
+    ``?`` inside a string literal is data, not a marker)."""
+
+    def __init__(self, template: str):
+        self.template = template
+        self.n_params = self._marker_count(template)
+
+    @staticmethod
+    def _marker_count(s: str) -> int:
+        n, in_q = 0, False
+        for ch in s:
+            if ch == "'":
+                in_q = not in_q
+            elif ch == "?" and not in_q:
+                n += 1
+        return n
+
+    def bind(self, *args) -> str:
+        if len(args) != self.n_params:
+            raise InvalidRequest(
+                f"prepared statement takes {self.n_params} parameters, got {len(args)}"
+            )
+        out, in_q, it = [], False, iter(args)
+        for ch in self.template:
+            if ch == "'":
+                in_q = not in_q
+                out.append(ch)
+            elif ch == "?" and not in_q:
+                out.append(_render_literal(next(it)))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+
 class CqlSession:
     """Executes CQL statements against the parquet snapshot + a session
     mutation buffer. ``now_micros`` is injectable for deterministic TTL.
@@ -193,6 +250,13 @@ class CqlSession:
 
     def _emit(self, tbl: str, key: dict, column: str, value, wt: int, ttl: int | None, tombstone: bool) -> None:
         if isinstance(value, (list, dict)):
+            if isinstance(value, list) and tbl in self._created:
+                # the DECLARED column type governs set semantics: a bound
+                # Python list into a set<> column normalizes sorted-distinct
+                ctype = self._created[tbl].columns.get(column, "")
+                if re.match(r"(frozen\s*<\s*)?set\s*<", ctype):
+                    uniq = {repr(x): x for x in value}
+                    value = [uniq[k] for k in sorted(uniq)]
             # collection cell (frozen semantics: whole-value replace): store
             # as JSON so the typed snapshot can from_json it back
             value = json.dumps(value, separators=(",", ":"), sort_keys=True)
@@ -263,11 +327,20 @@ class CqlSession:
         rows = df.select(col).limit(1).collect()
         return rows[0][0] if rows else None
 
-    def execute(self, statement: str) -> DataFrame | None:
+    def prepare(self, statement: str) -> Prepared:
+        """Parse-once prepared statement; execute with
+        ``session.execute(prepared, (v1, v2, ...))``."""
+        return Prepared(statement)
+
+    def execute(self, statement: str | Prepared, parameters: tuple = ()) -> DataFrame | None:
         """Execute a statement. LWT forms (IF NOT EXISTS / IF col = v) return
         a 1-row DataFrame with an ``[applied]`` boolean, like Cassandra
         [PK `service/paxos/`; single-engine: the condition check is a point
         read, no consensus needed — SURVEY A25]."""
+        if isinstance(statement, Prepared):
+            statement = statement.bind(*parameters)
+        elif parameters:
+            statement = Prepared(statement).bind(*parameters)
         s = statement.strip()
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)

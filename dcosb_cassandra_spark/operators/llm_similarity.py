@@ -221,35 +221,14 @@ def d4b_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — no shuffle on the big side). This is one k-means iteration and
     exactly the IVF partition-assignment used to prune ANN search at scale."""
     emb = table(spark, sf_dir, "embeddings")
-    expanded = emb.select(
-        "vec_id", "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "x")
-    )
-    cent = (
-        expanded.groupBy("label", "i")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cand"),
-            F.transform(F.col("pairs"), lambda p: p.cx).alias("ce"),
-        )
-    )
-    e = emb.select("vec_id", F.col("label").alias("true_label"), as_double(F.col("embedding")).alias("ve"))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand"))
+    assign = _centroid_assignments(emb, _label_centroids(emb))
     return (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "true_label", "cand", dist2.alias("dist2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(F.col("cand").alias("assigned_label"))
+        emb.select("vec_id", F.col("label").alias("true_label"))
+        .join(assign, "vec_id")
+        .groupBy(F.col("bucket").alias("assigned_label"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("cand") == F.col("true_label"), 1)).alias("n_match"),
+            F.count(F.when(F.col("bucket") == F.col("true_label"), 1)).alias("n_match"),
         )
     )
 
@@ -303,4 +282,118 @@ def d8b_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_abs_q"),
         F.array_max(F.transform(F.col("qe"), lambda q: F.abs(q))).cast("long").alias("max_abs_q"),
+    )
+
+
+_CENT_SQL = """
+        pos AS (
+            SELECT label, unnest(embedding::DOUBLE[]) AS x, unnest(range(0, 64)) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS cand, list(ax ORDER BY i) AS ce FROM (
+                SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i
+            ) GROUP BY label
+        ),
+        assign AS (
+            SELECT vec_id, cand AS bucket FROM (
+                SELECT e.vec_id, c.cand,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(1, 65),
+                               i -> (e.embedding[i]::DOUBLE - c.ce[i])
+                                    * (e.embedding[i]::DOUBLE - c.ce[i]))) ASC,
+                           c.cand) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+"""
+
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """(cand, ce): per-label mean vector — the IVF coarse quantizer's
+    codebook (one aggregation; 10 labels → 10 rows, broadcastable)."""
+    expanded = emb.select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "x")
+    )
+    return (
+        expanded.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cand"),
+            F.transform(F.col("pairs"), lambda p: p.cx).alias("ce"),
+        )
+    )
+
+
+def _centroid_assignments(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, bucket): nearest-centroid id per vector. The codebook side
+    is aggregate-bounded (k centroids) and broadcast; the corpus streams."""
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cand", dist2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cand").alias("bucket"))
+    )
+
+
+@query(
+    "d4d_ivf_probe_knn",
+    oracle=f"""
+        WITH {_CENT_SQL},
+        q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, a.bucket
+              FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id < 5),
+        cc AS (SELECT e.vec_id AS nbr_id, e.embedding::DOUBLE[] AS ce, a.bucket
+               FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id >= 5),
+        scored AS (
+            SELECT q.query_id, cc.nbr_id,
+                   list_sum(list_transform(range(1, 65), i -> q.qe[i] * cc.ce[i]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cc.ce, x -> x * x)))) AS sim
+            FROM q JOIN cc ON q.bucket = cc.bucket
+        )
+        SELECT query_id, nbr_id, round(sim, 6) AS sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, nbr_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("D4", "D3", "P1"),
+)
+def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search (nprobe=1): assign every vector to its nearest
+    label-centroid, then each query scores ONLY the corpus vectors sharing
+    its centroid bucket — candidate generation is an equi-join on bucket,
+    never query×corpus. This is the complete IVF pipeline (d4b is the
+    quantizer step alone): at 100 TB the assignment is precomputed and
+    stored partitioned by bucket, so a query touches 1/k of the corpus
+    (recall comes back via nprobe>1, same plan shape with the probe list
+    exploded — identical to the LSH multi-probe trick)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(emb)
+    assign = _centroid_assignments(emb, cent)
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).join(assign, "vec_id")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("nbr_id"), F.col("e").alias("ce"), "bucket"
+    )
+    sim = cosine(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        q.join(c, "bucket")
+        .select("query_id", "nbr_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "nbr_id", F.round("sim", 6).alias("sim"))
     )

@@ -365,3 +365,26 @@ def test_delete_using_timestamp_does_not_resurrect(spark):
         sess.execute("SELECT c_name FROM customer WHERE c_custkey = 555010").head()["c_name"]
         is None
     ), "newer tombstone must shadow the cell"
+
+
+def test_prepared_statements_bind_and_execute(spark):
+    """Prepared statements: ? markers bind positionally (quote-aware — a
+    '?' inside a string literal is data), values render back through the
+    literal grammar including collections."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute(
+        "CREATE TABLE pq (id int PRIMARY KEY, v text, tags frozen<set<text>>, score double)"
+    )
+    ins = sess.prepare("INSERT INTO pq (id, v, tags, score) VALUES (?, ?, ?, ?)")
+    sess.execute(ins, (1, "what?", ["b", "a"], 2.5))
+    sess.execute(ins, (2, "it's", [], 0.0))
+    sel = sess.prepare("SELECT v, tags, score FROM pq WHERE id = ?")
+    r1 = sess.execute(sel, (1,)).head()
+    assert (r1["v"], r1["tags"], r1["score"]) == ("what?", ["a", "b"], 2.5)
+    r2 = sess.execute(sel, (2,)).head()
+    assert (r2["v"], r2["tags"]) == ("it's", [])
+    with pytest.raises(InvalidRequest):
+        sess.execute(ins, (1, "too few"))
+    # inline parameters without an explicit prepare() also work
+    sess.execute("UPDATE pq SET score = ? WHERE id = ?", (9.5, 1))
+    assert sess.execute("SELECT score FROM pq WHERE id = 1").head()["score"] == 9.5
