@@ -225,3 +225,42 @@ def c10_stream_stream_join(events: DataFrame) -> DataFrame:
             """
         ),
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+
+
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING"
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the continuous-
+    ingest shape of a training-data pipeline (crawl shards landing in
+    object storage, picked up per micro-batch)."""
+    ensure_engine_conf(spark)
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def c11_training_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Streaming training-data ingest: per-document quality features +
+    PII redaction + exact-dup fingerprint, computed per micro-batch with
+    ZERO state (pure projection — the stateless prefix of the pipeline;
+    dedup against history happens downstream against the persisted
+    fingerprint store, exactly how a 100 TB/day ingest splits stateless
+    map work from stateful joins). Same expressions as the batch twins
+    (d5_quality_scores / d5g_pii_redaction / d1's sha256 key), so the
+    availableNow replay must equal the batch result row-for-row."""
+    toks = F.split(F.col("text"), " ")
+    email_rx = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    url_rx = "https?://[^ ]+"
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("uniq_ratio"),
+        F.sha2(F.col("text"), 256).alias("fingerprint"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_rx, "<EMAIL>"), url_rx, "<URL>"
+        ).alias("redacted"),
+    ).filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") > 0.2))

@@ -273,3 +273,43 @@ def test_c10_stream_stream_join_matches_batch(spark, events_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+DOCS_STREAM_DIR = os.path.join(os.path.dirname(__file__), "..", ".tmp", "stream_docs")
+
+
+@pytest.fixture(scope="module")
+def docs_dir():
+    os.makedirs(DOCS_STREAM_DIR, exist_ok=True)
+    dst = os.path.join(DOCS_STREAM_DIR, "documents.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(SMOKE_SF_DIR, "documents.parquet"), dst)
+    yield DOCS_STREAM_DIR
+
+
+def test_c11_training_ingest_stream_matches_batch(spark, docs_dir):
+    """The streaming training-data ingest (quality features + PII redaction
+    + dedup fingerprint, stateless) replayed availableNow must equal the
+    same expressions run as a batch over the same file — the
+    lambda-unification contract for the D-layer's stateless prefix."""
+    stream = streams.read_documents_stream(spark, docs_dir)
+    out = _run_to_memory(spark, streams.c11_training_ingest_stream(stream), "c11_sink", mode="append")
+    got = {r["doc_id"]: (r["n_tokens"], r["uniq_ratio"], r["fingerprint"], r["redacted"])
+           for r in out.collect()}
+
+    batch_src = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    toks = F.split(F.col("text"), " ")
+    email_rx = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    url_rx = "https?://[^ ]+"
+    batch = batch_src.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("uniq_ratio"),
+        F.sha2(F.col("text"), 256).alias("fingerprint"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_rx, "<EMAIL>"), url_rx, "<URL>"
+        ).alias("redacted"),
+    ).filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") > 0.2))
+    want = {r["doc_id"]: (r["n_tokens"], r["uniq_ratio"], r["fingerprint"], r["redacted"])
+            for r in batch.collect()}
+    assert got == want and len(got) > 0
