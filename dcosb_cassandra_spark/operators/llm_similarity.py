@@ -367,7 +367,7 @@ def _centroid_assignments(emb: DataFrame, cent: DataFrame) -> DataFrame:
             FROM scored
         ) WHERE rn <= 3
     """,
-    tags=("D4", "D3", "P1"),
+    tags=("D4", "D3", "D11", "P1"),
 )
 def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search (nprobe=1): assign every vector to its nearest

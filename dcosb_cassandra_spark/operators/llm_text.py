@@ -428,7 +428,7 @@ _URL_RX = "https?://[^ ]+"
                               '{_URL_RX}', '<URL>', 'g')                 AS redacted
         FROM aug
     """,
-    tags=("D5", "P1"),
+    tags=("D5", "D9", "P1"),
 )
 def d5g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction — the scrub pass every training corpus gets before
@@ -484,7 +484,7 @@ def d5g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_hit > 0 AS contaminated
         FROM per_doc
     """,
-    tags=("D5", "D1", "P1"),
+    tags=("D5", "D1", "D10", "P1"),
 )
 def d5h_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the 8-gram overlap check run before

@@ -46,6 +46,10 @@ ROWS = [
     ("D3", "Similarity top-k"), ("D4", "All-pairs/batch kNN + LSH/IVF"),
     ("D5", "Text analysis (quality/langid/tokens/tf-idf/fingerprint)"),
     ("D6", "Sentiment scoring"), ("D7", "Multimodal columns"), ("D8", "Embedding arithmetic"),
+    ("D9", "PII redaction (added r2)"),
+    ("D10", "Benchmark decontamination (added r2)"),
+    ("D11", "IVF probe kNN full path (added r2)"),
+    ("D12", "Streaming training ingest (added r2)"),
 ]
 
 STREAMING_EXTRA = {
@@ -58,6 +62,7 @@ STREAMING_EXTRA = {
     "C7": "streaming/streams.py:c7_stream_static_join (test_streaming)",
     "C8": "streaming/streams.py:c8_write_stream + sources/io.py sinks",
     "C9": "streaming/streams.py:c9_foreach_batch_view_maintenance (test_streaming)",
+    "D12": "streaming/streams.py:c11_training_ingest_stream (test_streaming batch-compared)",
 }
 
 
