@@ -256,17 +256,36 @@ def b08_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b11_approx_count_distinct", oracle=None, tags=("B11", "P1", "rows-only"))
+@query(
+    "b11_approx_count_distinct",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS exact_u,
+               true AS within_5pct
+        FROM events GROUP BY event_type
+    """,
+    tags=("B11", "P1"),
+)
 def b11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (value is approximate → rows-only; the exact
-    twin distinct_users_per_type is the oracle-checked counterpart). At
-    100 TB this is the only sane distinct-cardinality operator: mergeable
-    sketch, no shuffle of raw values."""
+    """HLL approximate distinct. The sketch value is engine-specific, so
+    the oracle checks the checkable contract instead: the exact distinct
+    count (computed on both engines) plus the invariant that the HLL
+    estimate (rsd=0.02) lands within 5% of it. At 100 TB the sketch is
+    the only sane distinct-cardinality operator: mergeable, no shuffle of
+    raw values — and this query proves its error bound, not just its
+    shape."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_u"))
-        .orderBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_u"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_u"),
+        )
+        .select(
+            "event_type",
+            "exact_u",
+            (F.abs(F.col("approx_u") - F.col("exact_u")) <= 0.05 * F.col("exact_u"))
+            .alias("within_5pct"),
+        )
     )
 
 
@@ -425,14 +444,35 @@ def b23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b24_sampling", oracle=None, tags=("B24", "P2", "rows-only"))
+@query(
+    "b24_sampling",
+    oracle="""
+        SELECT count(*) AS n_total,
+               true AS fraction_within_2pct,
+               true AS mean_within_5pct
+        FROM lineitem
+    """,
+    tags=("B24", "P2"),
+)
 def b24_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (row membership is engine-specific → rows-only
-    check on the aggregate shape)."""
+    """Seeded Bernoulli sample. Which rows land in the sample is
+    engine-specific, so the oracle checks the statistical contract: the
+    sampled fraction is within ±2 percentage points of the requested 10%,
+    and the sample mean of l_quantity within 5% of the population mean —
+    plus the exact population count on both engines."""
     l = table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    stats = l.agg(
+        F.count(F.lit(1)).alias("n_total"), F.avg("l_quantity").alias("pop_avg")
+    )
+    samp = l.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.avg("l_quantity").alias("samp_avg")
+    )
+    return stats.crossJoin(samp).select(
+        "n_total",
+        (F.abs(F.col("n_sampled") / F.col("n_total") - 0.1) <= 0.02)
+        .alias("fraction_within_2pct"),
+        (F.abs(F.col("samp_avg") - F.col("pop_avg")) <= 0.05 * F.col("pop_avg"))
+        .alias("mean_within_5pct"),
     )
 
 

@@ -37,14 +37,40 @@ def b_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b_approx_percentiles", oracle=None, tags=("B11", "P1", "rows-only"))
+@query(
+    "b_approx_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+               true AS p50_within_2pct,
+               true AS p99_within_2pct
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("B11", "P1"),
+)
 def b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles — the 100 TB path (mergeable, single pass);
-    approximate values → rows-only check, paired with exact b_percentiles."""
+    """Sketch-based percentiles — the 100 TB path (mergeable, single
+    pass). The sketch outputs are engine-specific, so the oracle checks
+    the error contract: approx p50/p99 (accuracy 1000) within 2% of the
+    exact percentile_cont computed on BOTH engines, plus the exact median
+    value itself."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50_raw"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("exact_p99_raw"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("a50"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(1000)).alias("a99"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round("exact_p50_raw", 2).alias("exact_p50"),
+            (F.abs(F.col("a50") - F.col("exact_p50_raw")) <= 0.02 * F.col("exact_p50_raw"))
+            .alias("p50_within_2pct"),
+            (F.abs(F.col("a99") - F.col("exact_p99_raw")) <= 0.02 * F.col("exact_p99_raw"))
+            .alias("p99_within_2pct"),
+        )
     )
 
 
