@@ -97,6 +97,12 @@ _BATCH = re.compile(
     r"^\s*BEGIN\s+(?:UNLOGGED\s+|LOGGED\s+)?BATCH\b(?P<body>.*?)\bAPPLY\s+BATCH\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)"
     r"(?:\s+USING\s+TIMESTAMP\s+(?P<wts>\d+))?"
@@ -212,6 +218,10 @@ class CqlSession:
         self._indexed: dict[str, tuple[str, ...]] = {}
         #: non-None while executing a BEGIN BATCH: the shared writetime
         self._pinned_wt: int | None = None
+        #: table -> writetime of its last TRUNCATE: every cell (incl. the
+        #: melted snapshot, which carries writetime 0) at or below this
+        #: writetime is shadowed — exactly Cassandra's truncate record
+        self._truncated: dict[str, int] = {}
 
     # -- write path ---------------------------------------------------------
 
@@ -344,6 +354,32 @@ class CqlSession:
         s = statement.strip()
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
+
+        m = _TRUNCATE.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            self._keys(tbl)
+            self._truncated[tbl] = self._next_writetime()
+            return None
+
+        m = _DESCRIBE.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            pk, cc = self._keys(tbl)
+            if tbl in self._created:
+                cols = list(self._created[tbl].columns.items())
+            else:
+                cols = [
+                    (f.name, f.dataType.simpleString())
+                    for f in table(self.spark, self.sf_dir, tbl).schema.fields
+                ]
+            rows = [
+                (c, t, "partition_key" if c in pk else "clustering" if c in cc else "regular")
+                for c, t in cols
+            ]
+            return self.spark.createDataFrame(
+                rows, "column_name STRING, type STRING, kind STRING"
+            )
 
         mb = _BATCH.match(s)
         if mb:
@@ -584,6 +620,12 @@ class CqlSession:
                 + ", column STRING, value STRING, writetime LONG, expires_at LONG, tombstone BOOLEAN"
             )
             cells = cells.unionByName(self.spark.createDataFrame(rows, schema))
+
+        # TRUNCATE record: every cell at or below the truncate writetime is
+        # gone — including the whole melted snapshot (writetime 0); only
+        # post-truncate mutations survive
+        if tbl in self._truncated:
+            cells = cells.filter(F.col("writetime") > F.lit(self._truncated[tbl]))
 
         # row tombstones shadow all older cells of the key
         w_key = Window.partitionBy(*keys)

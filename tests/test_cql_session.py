@@ -388,3 +388,28 @@ def test_prepared_statements_bind_and_execute(spark):
     # inline parameters without an explicit prepare() also work
     sess.execute("UPDATE pq SET score = ? WHERE id = ?", (9.5, 1))
     assert sess.execute("SELECT score FROM pq WHERE id = 1").head()["score"] == 9.5
+
+
+def test_truncate_shadows_snapshot_and_older_mutations(spark):
+    """TRUNCATE removes everything written at or before its record —
+    including the parquet snapshot — while later writes survive."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (666001, 'pre')")
+    assert sess.execute("SELECT count(*) AS n FROM customer").head()["n"] > 0
+    sess.execute("TRUNCATE customer")
+    assert sess.execute("SELECT count(*) AS n FROM customer").head()["n"] == 0
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (666002, 'post')")
+    rows = sess.execute("SELECT c_custkey, c_name FROM customer").collect()
+    assert [(r["c_custkey"], r["c_name"]) for r in rows] == [(666002, "post")]
+
+
+def test_describe_table_reports_schema_and_key_kinds(spark):
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    rows = {r["column_name"]: (r["type"], r["kind"]) for r in sess.execute("DESCRIBE events").collect()}
+    assert rows["user_id"][1] == "partition_key"
+    assert rows["ts"][1] == "clustering"
+    assert rows["value"] == ("double", "regular")
+    sess.execute("CREATE TABLE dt (id int PRIMARY KEY, tags frozen<set<text>>)")
+    created = {r["column_name"]: (r["type"], r["kind"]) for r in sess.execute("DESC TABLE dt").collect()}
+    assert created["id"] == ("int", "partition_key")
+    assert created["tags"][0] == "frozen<set<text>>"
