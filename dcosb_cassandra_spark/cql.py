@@ -221,6 +221,11 @@ def _parse_selector(s: str) -> tuple[str, str, str | None]:
         raise InvalidRequest(f"unknown function {fn}()")
     if re.fullmatch(r"\w+", s):
         return ("col", s, alias)
+    if re.fullmatch(r"\w+(\.\w+)+", s):
+        # frozen UDT / tuple field navigation: profile.addr.seg — a
+        # zero-cost struct projection in Catalyst [PK `cql3/selection/
+        # Selectable.java` WithFieldSelection]
+        return ("field", s, alias)
     raise InvalidRequest(f"unparseable selector: {s!r}")
 
 
@@ -384,6 +389,8 @@ def cql(
                 cols.extend(F.col(c) for c in df.columns)
             elif kind == "col":
                 cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
+            elif kind == "field":
+                cols.append(F.col(arg).alias(alias or arg.replace(".", "_")))
             elif kind == "token":
                 # real Murmur3Partitioner semantics (signed-tail quirk and
                 # all) — SELECT token(pk) returns the ring position a live

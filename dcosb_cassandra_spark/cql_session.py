@@ -261,12 +261,17 @@ class CqlSession:
     def _emit(self, tbl: str, key: dict, column: str, value, wt: int, ttl: int | None, tombstone: bool) -> None:
         if isinstance(value, (list, dict)):
             if isinstance(value, list) and tbl in self._created:
-                # the DECLARED column type governs set semantics: a bound
-                # Python list into a set<> column normalizes sorted-distinct
+                # the DECLARED column type governs collection semantics: a
+                # list into a set<> column normalizes sorted-distinct; a
+                # list into a tuple<> column becomes the positional struct
+                # object (_1.._n) so from_json can map it onto the
+                # struct-typed snapshot column
                 ctype = self._created[tbl].columns.get(column, "")
                 if re.match(r"(frozen\s*<\s*)?set\s*<", ctype):
                     uniq = {repr(x): x for x in value}
                     value = [uniq[k] for k in sorted(uniq)]
+                elif re.match(r"(frozen\s*<\s*)?tuple\s*<", ctype):
+                    value = {f"_{i + 1}": v for i, v in enumerate(value)}
             # collection cell (frozen semantics: whole-value replace): store
             # as JSON so the typed snapshot can from_json it back
             value = json.dumps(value, separators=(",", ":"), sort_keys=True)

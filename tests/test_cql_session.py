@@ -413,3 +413,16 @@ def test_describe_table_reports_schema_and_key_kinds(spark):
     created = {r["column_name"]: (r["type"], r["kind"]) for r in sess.execute("DESC TABLE dt").collect()}
     assert created["id"] == ("int", "partition_key")
     assert created["tags"][0] == "frozen<set<text>>"
+
+
+def test_udt_field_navigation_in_select(spark):
+    """SELECT profile.field on a tuple/UDT column — struct navigation
+    through the CQL grammar, aliased with underscores by default."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("CREATE TABLE ut (id int PRIMARY KEY, pair frozen<tuple<int, text>>)")
+    sess.execute("INSERT INTO ut (id, pair) VALUES (1, [7, 'x'])")
+    # tuple literal arrives as a list; from_json maps it onto struct<_1,_2>
+    r = sess.execute("SELECT id, pair._1 AS a, pair._2 AS b FROM ut WHERE id = 1").head()
+    assert (r["id"], r["a"], r["b"]) == (1, 7, "x")
+    r2 = sess.execute("SELECT pair._2 FROM ut WHERE id = 1").head()
+    assert r2["pair__2"] == "x"
