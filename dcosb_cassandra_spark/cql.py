@@ -386,7 +386,7 @@ def cql(
         cols: list[Column] = []
         for kind, arg, alias in q.selectors:
             if kind == "star":
-                cols.extend(F.col(c) for c in df.columns)
+                cols.extend(F.col(c) for c in df.columns if not c.startswith("__wt_"))
             elif kind == "col":
                 cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
             elif kind == "field":
@@ -399,18 +399,19 @@ def cql(
 
                 cols.append(token_murmur3(F.col(arg)).alias(alias or f"token_{arg}"))
             elif kind == "writetime":
-                # Limitation vs Cassandra's per-cell writetime: the snapshot
-                # tables carry ONE writetime source column per table, so
-                # writetime(col) reports the row-level snapshot writetime
-                # regardless of which column is asked for. Per-cell
-                # writetimes DO exist in CqlSession's mutation buffer
-                # (cell-level LWW), but snapshot() collapses them; callers
-                # needing cell-accurate readback after session mutations
-                # should query the buffer path (see CqlSession docstring).
-                src = WRITETIME_COL.get(q.table)
-                if src is None:
-                    raise InvalidRequest(f"writetime unsupported on {q.table}")
-                cols.append(F.unix_micros(F.col(src)).alias(alias or f"writetime_{arg}"))
+                if f"__wt_{arg}" in df.columns:
+                    # per-cell writetime threaded through CqlSession's
+                    # snapshot pivot (the winning cell's own timestamp)
+                    cols.append(F.col(f"__wt_{arg}").alias(alias or f"writetime_{arg}"))
+                else:
+                    # catalog path: one writetime source column per table
+                    # (row-level; the exported snapshot has no per-cell ts)
+                    src = WRITETIME_COL.get(q.table)
+                    if src is None:
+                        raise InvalidRequest(f"writetime unsupported on {q.table}")
+                    cols.append(
+                        F.unix_micros(F.col(src)).alias(alias or f"writetime_{arg}")
+                    )
         df = df.select(*cols)
         if q.distinct:
             df = df.distinct()

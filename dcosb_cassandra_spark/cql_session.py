@@ -196,12 +196,10 @@ class CqlSession:
     """Executes CQL statements against the parquet snapshot + a session
     mutation buffer. ``now_micros`` is injectable for deterministic TTL.
 
-    Known divergence from Cassandra: ``SELECT writetime(col)`` reports the
-    snapshot-level writetime, not the per-cell one. The mutation buffer
-    tracks writetimes per cell (cell-level LWW compaction uses them), but
-    ``snapshot()`` pivots cells back to rows and keeps only the table's
-    single writetime source column, so a post-UPDATE ``writetime(col)``
-    readback reflects the snapshot, not the session mutation."""
+    ``SELECT writetime(col)`` reports the PER-CELL writetime: the winning
+    cell's timestamp is pivoted alongside its value (snapshot-origin cells
+    report 0 — "pre-session history"; the exported parquet does not carry
+    the original cluster timestamps)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str, now_micros: int = 1_800_000_000_000_000):
         self.spark = spark
@@ -569,7 +567,7 @@ class CqlSession:
 
     # -- read path ----------------------------------------------------------
 
-    def snapshot(self, tbl: str) -> DataFrame:
+    def snapshot(self, tbl: str, with_writetimes: bool = False) -> DataFrame:
         """The merged live view of a table: snapshot + mutations, compacted
         cell-wise. Pure DataFrame plan; no driver-side row materialization."""
         if tbl in self._created:
@@ -660,19 +658,40 @@ class CqlSession:
         )
 
         # pivot back to wide; a row is visible if ANY live cell remains
+        if not with_writetimes:
+            wide = (
+                live.groupBy(*keys)
+                .pivot("column", [ROW_MARKER, *payload])
+                .agg(F.first("value"))
+            )
+            return wide.select(
+                *keys,
+                *[
+                    (
+                        F.from_json(F.col(c), dtypes[c]) if _complex(c) else F.col(c).cast(dtypes[c])
+                    ).alias(c)
+                    for c in payload
+                ],
+            )
+        # per-cell writetime pivot: multi-agg pivot names columns <col>_v /
+        # <col>_wt; snapshot-origin cells carry writetime 0 ("pre-session
+        # history" — the original cluster timestamp is not in the export)
         wide = (
             live.groupBy(*keys)
             .pivot("column", [ROW_MARKER, *payload])
-            .agg(F.first("value"))
+            .agg(F.first("value").alias("v"), F.max("writetime").alias("wt"))
         )
         return wide.select(
             *keys,
             *[
                 (
-                    F.from_json(F.col(c), dtypes[c]) if _complex(c) else F.col(c).cast(dtypes[c])
+                    F.from_json(F.col(f"{c}_v"), dtypes[c])
+                    if _complex(c)
+                    else F.col(f"{c}_v").cast(dtypes[c])
                 ).alias(c)
                 for c in payload
             ],
+            *[F.col(f"{c}_wt").alias(f"__wt_{c}") for c in payload],
         )
 
     def _copy(self, m: re.Match) -> DataFrame:
@@ -712,11 +731,12 @@ class CqlSession:
         tbl = m.group(1).lower()
         self._keys(tbl)  # raises InvalidRequest for unknown/dropped tables
         extra = {n: td.keys for n, td in self._created.items()}
+        with_wt = bool(re.search(r"\bwritetime\s*\(", statement, re.IGNORECASE))
         return cql(
             self.spark,
             self.sf_dir,
             statement,
-            source_df=self.snapshot(tbl),
+            source_df=self.snapshot(tbl, with_writetimes=with_wt),
             extra_keys=extra,
             extra_indexed=self._indexed,
         )

@@ -426,3 +426,23 @@ def test_udt_field_navigation_in_select(spark):
     assert (r["id"], r["a"], r["b"]) == (1, 7, "x")
     r2 = sess.execute("SELECT pair._2 FROM ut WHERE id = 1").head()
     assert r2["pair__2"] == "x"
+
+
+def test_per_cell_writetime_readback(spark):
+    """writetime(col) reflects the SESSION mutation's cell timestamp, per
+    cell: an updated column reports its new writetime while an untouched
+    column of the same row reports 0 (pre-session snapshot history)."""
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("CREATE TABLE wt (id int PRIMARY KEY, a text, b text)")
+    sess.execute("INSERT INTO wt (id, a, b) VALUES (1, 'a0', 'b0') USING TIMESTAMP 1000")
+    sess.execute("UPDATE wt USING TIMESTAMP 2000 SET a = 'a1' WHERE id = 1")
+    r = sess.execute("SELECT a, b, writetime(a) AS wa, writetime(b) AS wb FROM wt WHERE id = 1").head()
+    assert (r["a"], r["b"]) == ("a1", "b0")
+    assert r["wa"] == 2000 and r["wb"] == 1000, "per-cell timestamps, not row-level"
+    # catalog rows predate the session: writetime 0
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (777001, 'n')")
+    r2 = sess.execute(
+        "SELECT writetime(c_name) AS wn, writetime(c_acctbal) AS wb "
+        "FROM customer WHERE c_custkey = 777001"
+    ).head()
+    assert r2["wn"] > 1_800_000_000_000_000 and r2["wb"] is None
