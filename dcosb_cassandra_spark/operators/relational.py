@@ -608,3 +608,44 @@ def b14b_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("second_ts").alias("second_ts"),
         )
     )
+
+
+@query(
+    "b02b_salted_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, count(*) AS n, round(sum(e.value), 4) AS total,
+               min(d.first_seen) AS first_seen
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY e.user_id
+    """,
+    tags=("B2", "B9", "P1", "skew"),
+)
+def b02b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join recipe for skewed keys (SURVEY §2 scale rules, the join
+    sibling of b09b's salted aggregate): the fact side adds a deterministic
+    salt in [0, N), the dim side replicates ×N with every salt, and the
+    join key becomes (user_id, salt) — a hot user's rows now land on N
+    reducers instead of one. The result is provably identical to the
+    unsalted join (the oracle IS the plain join), which is the point: the
+    recipe changes the partitioning, never the semantics. At 100 TB this
+    is the manual fallback where AQE's skew-split can't help (e.g.
+    skewed-key aggregation after the join needs the spread too)."""
+    n_salts = 8
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    salted_fact = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.min("first_seen").alias("first_seen"),
+        )
+    )
