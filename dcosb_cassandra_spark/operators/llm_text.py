@@ -524,3 +524,52 @@ def d5h_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
         (F.col("n_hit") > 0).alias("contaminated"),
     )
+
+
+@query(
+    "d5i_repetition_scores",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                      WHERE doc_id < 80),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1])) AS g
+            FROM toks
+        ),
+        per_gram AS (
+            SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT)                 AS n_2grams,
+               CAST(max(cnt) AS BIGINT)                 AS top_2gram_count,
+               round(max(cnt) * 1.0 / sum(cnt), 6)      AS top_2gram_ratio,
+               max(cnt) * 1.0 / sum(cnt) > 0.2          AS flag_repetitive
+        FROM per_gram GROUP BY doc_id
+    """,
+    tags=("D5", "P1"),
+)
+def d5i_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (the Gopher/RefinedWeb-family quality rule,
+    public-paper knowledge): the fraction of a document's word 2-grams
+    taken by its single most-frequent 2-gram — boilerplate and generated
+    spam score high, prose scores low; flag above 0.2. One explode + two
+    partial-aggregatable group-bys, both keyed on doc_id (a single
+    shuffle lineage at 100 TB)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.max("cnt").alias("top_2gram_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_2gram_ratio"),
+        (F.max("cnt") / F.sum("cnt") > 0.2).alias("flag_repetitive"),
+    )

@@ -45,3 +45,22 @@ def test_resume_predicate_pushes_down_and_takeordered(spark):
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_orderkey,3)" in plan, (
         "the redundant first-key conjunct must reach the parquet scan:\n" + plan
     )
+
+
+def test_paged_scan_within_token_range(spark):
+    """The Cassandra connector's bulk-read pattern composed from our
+    primitives: split the keyspace by murmur3 token range, then page
+    through one split in key order — every row of the split exactly once,
+    none from outside it."""
+    from dcosb_cassandra_spark.functions.murmur3 import token_murmur3
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey")
+    tok = token_murmur3(F.col("o_orderkey"))
+    split = o.filter(tok >= 0)  # upper half of the ring
+    expected = {r["o_orderkey"] for r in split.collect()}
+
+    seen = []
+    for page in iterate_pages(split, ["o_orderkey"], 500):
+        seen.extend(r["o_orderkey"] for r in page)
+    assert set(seen) == expected and len(seen) == len(expected)
+    assert seen == sorted(seen)
