@@ -122,3 +122,43 @@ def a34_uda_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         geo_mean, schema="lang STRING, geo_mean_chars DOUBLE, n LONG"
     )
+
+
+@query(
+    "d7c_resize_frame_sample",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   octet_length(text::BLOB) AS n_bytes,
+                   md5(text) AS pm  -- VARCHAR md5 == md5 of the utf-8 payload bytes
+            FROM documents WHERE doc_id < 30
+        )
+        SELECT doc_id,
+               64 AS out_width, 64 AS out_height,
+               md5(pm || '64x64') AS resized_md5,
+               CAST(n_bytes // 32 AS INT) AS n_frames,
+               CAST(len(range(0, n_bytes // 32, 4)) AS INT) AS n_sampled,
+               CASE WHEN n_bytes // 32 > 0 THEN md5(pm || ':0') END AS first_frame_md5
+        FROM base
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7c_resize_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal transform pipeline: decode-adjacent resize then
+    video-style frame sampling, as TWO chained mapInPandas stages (Arrow
+    batches throughout, partition-parallel, zero shuffles — the plan a
+    100 TB media crawl needs: every stage is a map). Decodes are stubbed
+    deterministically (no codecs in the container) which makes the whole
+    pipeline ORACLE-CHECKABLE: DuckDB reproduces the fingerprints from
+    the same md5 chain."""
+    from ..sources.multimodal import (
+        FRAME_SAMPLE_SCHEMA,
+        RESIZE_SCHEMA,
+        multimodal_frame,
+        resize_image_stub,
+        sample_frames_stub,
+    )
+
+    mm = multimodal_frame(spark, sf_dir).filter(F.col("doc_id") < 30)
+    resized = mm.mapInPandas(resize_image_stub(64, 64), schema=RESIZE_SCHEMA)
+    return resized.mapInPandas(sample_frames_stub(4), schema=FRAME_SAMPLE_SCHEMA)

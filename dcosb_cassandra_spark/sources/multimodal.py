@@ -68,3 +68,74 @@ def decode_image_stub(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     runs fully parallel per partition; no shuffle, no driver involvement."""
     for batch in frames:
         yield _decode_batch(batch)
+
+
+#: output schema of the resize stage — payload_md5 carried forward so the
+#: next stage can derive frames without re-reading the binary
+RESIZE_SCHEMA = (
+    "doc_id LONG, n_bytes INT, payload_md5 STRING, "
+    "out_width INT, out_height INT, resized_md5 STRING"
+)
+
+#: output schema of the frame-sampling stage (video-style payloads)
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id LONG, out_width INT, out_height INT, resized_md5 STRING, "
+    "n_frames INT, n_sampled INT, first_frame_md5 STRING"
+)
+
+
+def resize_image_stub(target_w: int, target_h: int):
+    """mapInPandas body factory for the resize stage. STUB (no codecs in
+    the container): the 'resized' payload is represented by a
+    deterministic fingerprint md5(md5(payload) || '<w>x<h>') — a real
+    deployment swaps the body for PIL's resize and hashes the actual
+    output bytes. Signature, schema, and batch shape are the real ones."""
+    import hashlib
+
+    def body(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            pm = [hashlib.md5(b).hexdigest() for b in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": [len(b) for b in batch["payload"]],
+                    "payload_md5": pm,
+                    "out_width": target_w,
+                    "out_height": target_h,
+                    "resized_md5": [
+                        hashlib.md5(f"{m}{target_w}x{target_h}".encode()).hexdigest()
+                        for m in pm
+                    ],
+                }
+            )
+
+    return body
+
+
+def sample_frames_stub(every_k: int, bytes_per_frame: int = 32):
+    """mapInPandas body factory for video frame sampling. STUB: the
+    payload is treated as n_bytes // bytes_per_frame frames; every k-th
+    frame is 'extracted' as md5(payload_md5 ':' idx). Real deployment:
+    ffmpeg keyframe extraction with the same batch shape."""
+    import hashlib
+
+    def body(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            n_frames = [max(int(n) // bytes_per_frame, 0) for n in batch["n_bytes"]]
+            sampled = [list(range(0, n, every_k)) for n in n_frames]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "out_width": batch["out_width"],
+                    "out_height": batch["out_height"],
+                    "resized_md5": batch["resized_md5"],
+                    "n_frames": n_frames,
+                    "n_sampled": [len(s) for s in sampled],
+                    "first_frame_md5": [
+                        hashlib.md5(f"{m}:{s[0]}".encode()).hexdigest() if s else None
+                        for m, s in zip(batch["payload_md5"], sampled)
+                    ],
+                }
+            )
+
+    return body
