@@ -244,3 +244,44 @@ def a05b_token_murmur3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("tok").alias("min_tok"), F.max("tok").alias("max_tok"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "a_partition_stats",
+    oracle="""
+        WITH per_part AS (
+            SELECT user_id, count(*) AS n_rows,
+                   count(*) * 3 AS n_cells  -- 3 payload columns per row
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*)                                   AS n_partitions,
+               CAST(max(n_rows) AS BIGINT)                AS max_rows,
+               round(avg(n_rows), 4)                      AS avg_rows,
+               round(quantile_cont(n_rows, 0.99), 4)      AS p99_rows,
+               CAST(max(n_cells) AS BIGINT)               AS max_cells,
+               count(*) FILTER (WHERE n_rows > 1000)      AS n_wide
+        FROM per_part
+    """,
+    tags=("A1", "A16", "P1", "ops"),
+)
+def a_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-partition detection — the nodetool-tablehistograms health
+    check every Cassandra operator runs [PK `metrics/TableMetrics.java`
+    partition-size histograms]: rows/cells per partition key, p99 and max,
+    and the count of partitions over a width threshold. One partial-
+    aggregatable groupBy on the partition key then a tiny global
+    aggregate; at 100 TB the same two-stage plan finds the hot partitions
+    that break token-range balance."""
+    e = table(spark, sf_dir, "events")
+    per_part = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) * 3).alias("n_cells"),
+    )
+    return per_part.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.max("n_rows").alias("max_rows"),
+        F.round(F.avg("n_rows"), 4).alias("avg_rows"),
+        F.round(F.percentile("n_rows", F.lit(0.99)), 4).alias("p99_rows"),
+        F.max("n_cells").alias("max_cells"),
+        F.count(F.when(F.col("n_rows") > 1000, 1)).alias("n_wide"),
+    )
