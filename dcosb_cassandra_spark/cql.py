@@ -80,7 +80,8 @@ _STMT = re.compile(
     r"FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>[\w,\s]*?))?"
-    r"(?:\s+ORDER\s+BY\s+(?P<order>[\w,\s]*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<anncol>\w+)\s+ANN\s+OF\s+(?P<annvec>\[[^\]]*\])"
+    r"|\s+ORDER\s+BY\s+(?P<order>[\w,\s]*?))?"
     r"(?:\s+PER\s+PARTITION\s+LIMIT\s+(?P<pplimit>\d+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
     r"(?P<allow>\s+ALLOW\s+FILTERING)?\s*;?\s*$",
@@ -196,6 +197,7 @@ class _Select:
     conds: list[tuple[str, str, object]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
+    ann: tuple[str, list[float]] | None = None  # ORDER BY col ANN OF [vec]
     per_partition_limit: int | None = None
     limit: int | None = None
     allow_filtering: bool = False
@@ -209,13 +211,28 @@ def _parse_selector(s: str) -> tuple[str, str, str | None]:
         s, alias = m.group(1).strip(), m.group(2)
     if s == "*":
         return ("star", "*", None)
+    m = re.match(
+        r"^similarity_(?P<fn>cosine|euclidean|dot_product)\s*"
+        r"\(\s*(?P<col>\w+)\s*,\s*(?P<vec>\[.*\])\s*\)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # CQL 5.0 vector-search scoring selectors [PK Cassandra 5.0
+        # `similarity_cosine(column, literal)` et al.] — arg packs
+        # "col,[vec]" (the vector literal re-parses in cql()).
+        return ("sim:" + m.group("fn").lower(), f"{m.group('col')},{m.group('vec')}", alias)
     m = re.match(r"^(\w+)\s*\(\s*(\*|\w+)\s*\)$", s)
     if m:
         fn, arg = m.group(1).lower(), m.group(2)
         if fn in _AGGS:
             return ("agg:" + fn, arg, alias)
-        if fn == "writetime":
-            return ("writetime", arg, alias)
+        if fn in ("writetime", "maxwritetime"):
+            # maxwritetime [PK CQL 4.1]: max cell-writetime of the column.
+            # Our snapshot model tracks one winning cell per scalar column,
+            # so it projects the same source as writetime (documented
+            # collapse — multi-cell collections carry a single row ts here).
+            return ("writetime", arg, alias or (f"{fn}_{arg}" if fn == "maxwritetime" else None))
         if fn == "token":
             return ("token", arg, alias)
         raise InvalidRequest(f"unknown function {fn}()")
@@ -244,7 +261,7 @@ def parse(statement: str, extra_keys: dict | None = None) -> _Select:
     sel = _Select(
         json=bool(m.group("json")),
         distinct=bool(m.group("distinct")),
-        selectors=[_parse_selector(s) for s in m.group("sel").split(",")],
+        selectors=[_parse_selector(s) for s in split_top_level(m.group("sel"))],
         table=tbl,
         allow_filtering=bool(m.group("allow")),
     )
@@ -262,6 +279,12 @@ def parse(statement: str, extra_keys: dict | None = None) -> _Select:
                 sel.conds.append((col, c.group("op"), _literal(c.group("lit"))))
     if m.group("group"):
         sel.group_by = [g.strip().lower() for g in m.group("group").split(",") if g.strip()]
+    if m.group("anncol"):
+        # ORDER BY col ANN OF [v, ...] [PK Cassandra 5.0 SAI vector search]
+        vec = _literal(m.group("annvec"))
+        if not isinstance(vec, list) or not all(isinstance(x, (int, float)) for x in vec):
+            raise InvalidRequest(f"ANN OF requires a numeric vector literal: {m.group('annvec')!r}")
+        sel.ann = (m.group("anncol").lower(), [float(x) for x in vec])
     if m.group("order"):
         for part in m.group("order").split(","):
             toks = part.split()
@@ -299,6 +322,14 @@ def _check_restrictions(
                 f"Cannot execute this query: filtering on non-key column {col!r} "
                 "requires ALLOW FILTERING"
             )
+    if q.ann is not None:
+        # Cassandra 5.0's exact error contract: ANN ordering is a global
+        # (SAI) index scan, legal without key restrictions, but unbounded
+        # result sets are rejected [PK "ANN OF ... requires a LIMIT"].
+        if q.limit is None:
+            raise InvalidRequest("Use of ANN OF in an ORDER BY clause requires a LIMIT")
+        if q.distinct or q.group_by:
+            raise InvalidRequest("ANN ordering does not support DISTINCT or GROUP BY")
     if q.order_by:
         if set(pk) - pk_restricted:
             raise InvalidRequest("ORDER BY requires the partition key to be restricted by = or IN")
@@ -371,6 +402,22 @@ def cql(
             .drop("_pprn")
         )
 
+    if q.ann is not None:
+        from .functions.vectors import cosine, literal_vector
+
+        anncol, qv = q.ann
+        if anncol not in df.columns:
+            raise InvalidRequest(f"unknown column {anncol!r} in ANN ordering")
+        # Applied BEFORE projection (the score needs the vector column even
+        # when it isn't selected); sort+limit commute with the row-wise
+        # projection below. Catalyst compiles this to TakeOrderedAndProject:
+        # per-partition top-k map-side, k rows per partition to the merge —
+        # the brute-force ANN baseline's correct 100 TB shape (the SAI
+        # index itself is an IVF/graph structure; d4d_ivf_probe_knn is the
+        # pruned-search equivalent). pk tiebreak keeps the cut deterministic.
+        score = cosine(F.col(anncol), literal_vector(qv))
+        df = df.orderBy(score.desc(), *[F.asc(c) for c in pk]).limit(q.limit)
+
     aggs = [s for s in q.selectors if s[0].startswith("agg:")]
     if aggs:
         exprs = []
@@ -391,6 +438,27 @@ def cql(
                 cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
             elif kind == "field":
                 cols.append(F.col(arg).alias(alias or arg.replace(".", "_")))
+            elif kind.startswith("sim:"):
+                from .functions.vectors import (
+                    literal_vector,
+                    similarity_cosine,
+                    similarity_dot_product,
+                    similarity_euclidean,
+                )
+
+                fname = kind.split(":", 1)[1]
+                colname, vec_lit = arg.split(",", 1)
+                qv = _literal(vec_lit)
+                sim_fn = {
+                    "cosine": similarity_cosine,
+                    "euclidean": similarity_euclidean,
+                    "dot_product": similarity_dot_product,
+                }[fname]
+                cols.append(
+                    sim_fn(F.col(colname), literal_vector([float(x) for x in qv])).alias(
+                        alias or f"similarity_{fname}_{colname}"
+                    )
+                )
             elif kind == "token":
                 # real Murmur3Partitioner semantics (signed-tail quirk and
                 # all) — SELECT token(pk) returns the ring position a live
@@ -461,6 +529,15 @@ def cql_type_to_spark(t: str) -> str:
     m = re.fullmatch(r"(list|set)\s*<(.*)>", t, re.DOTALL)
     if m:
         return f"array<{cql_type_to_spark(m.group(2))}>"
+    m = re.fullmatch(r"vector\s*<(.*)>", t, re.DOTALL)
+    if m:
+        # vector<float, n> [PK Cassandra 5.0 CQL vector type]: fixed-
+        # dimension dense vector → array<elem> (the dimension is metadata,
+        # enforced at write time by Cassandra; Spark arrays are unsized).
+        parts = split_top_level(m.group(1))
+        if len(parts) != 2 or not re.fullmatch(r"\s*\d+\s*", parts[1]):
+            raise InvalidRequest(f"vector type needs <element_type, dimension>: {t!r}")
+        return f"array<{cql_type_to_spark(parts[0])}>"
     m = re.fullmatch(r"map\s*<(.*)>", t, re.DOTALL)
     if m:
         k, v = split_top_level(m.group(1))

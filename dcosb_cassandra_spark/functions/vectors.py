@@ -44,6 +44,36 @@ def literal_vector(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def squared_l2_distance(a: Column, b: Column) -> Column:
+    a, b = as_double(a), as_double(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def similarity_cosine(a: Column, b: Column) -> Column:
+    """CQL 5.0 ``similarity_cosine`` [PK Cassandra 5.0 vector-search CQL
+    functions; Lucene ``VectorSimilarityFunction.COSINE``]: the raw cosine
+    mapped into [0, 1] as (1 + cos) / 2 — the score a SAI vector index
+    reports."""
+    return (F.lit(1.0) + cosine(a, b)) / F.lit(2.0)
+
+
+def similarity_dot_product(a: Column, b: Column) -> Column:
+    """CQL 5.0 ``similarity_dot_product`` [PK Lucene DOT_PRODUCT scaling]:
+    (1 + a·b) / 2. Like Cassandra, assumes unit-normalized inputs for the
+    [0, 1] range guarantee — not clamped otherwise."""
+    return (F.lit(1.0) + dot(as_double(a), as_double(b))) / F.lit(2.0)
+
+
+def similarity_euclidean(a: Column, b: Column) -> Column:
+    """CQL 5.0 ``similarity_euclidean`` [PK Lucene EUCLIDEAN scaling]:
+    1 / (1 + squared L2 distance)."""
+    return F.lit(1.0) / (F.lit(1.0) + squared_l2_distance(a, b))
+
+
 def cosine_sim_to_literal(vec: Column, qvec: list[float]) -> Column:
     """Cosine similarity of a vector column against a constant query vector.
     The constant folds into codegen — no join, no broadcast needed."""

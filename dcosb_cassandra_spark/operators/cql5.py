@@ -1,0 +1,135 @@
+"""Cassandra 5.0 CQL surface: vector search + dynamic data masking
+(SURVEY.md §2 V-rows; [PK Cassandra 5.0 release: CEP-30 vector search,
+CEP-20 dynamic data masking]).
+
+Vector search re-expressed Spark-first: ``ORDER BY col ANN OF [..] LIMIT k``
+compiles (in cql.py) to an expression-scored TakeOrderedAndProject — the
+exact-search baseline whose pruned form is d4d_ivf_probe_knn / the LSH
+bucket path. ``similarity_{cosine,euclidean,dot_product}`` use the Lucene
+score scaling Cassandra's SAI reports ((1+cos)/2, 1/(1+d²)), so scores are
+comparable to a live Cassandra 5 cluster's.
+
+Masking functions are pure string/hash built-ins (functions/masking.py) —
+the PII-governance half of the D-layer redaction op (d5g), but at the CQL
+projection surface where Cassandra applies them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..cql import cql
+from ..functions import masking as M
+from ..functions.vectors import (
+    literal_vector,
+    similarity_cosine,
+    similarity_dot_product,
+    similarity_euclidean,
+)
+from ..registry import query
+
+#: deterministic 64-dim query vector, varied components (not all equal so
+#: cosine actually discriminates); shared by the Spark plan, the CQL text,
+#: and the DuckDB oracle below.
+QVEC = [round(0.05 * ((i % 7) - 3), 2) for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(str(v) for v in QVEC) + "]"
+
+_Q_NORM = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+_E_NORM = "sqrt(list_sum(list_transform(e, x -> x * x)))"
+_E_DOT_Q = "list_sum(list_transform(range(1, 65), i -> e[i] * qv[i]))"
+
+
+@query(
+    "v01_similarity_functions",
+    oracle=f"""
+        WITH q AS (SELECT {_QVEC_SQL}::DOUBLE[] AS qv),
+        s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e, qv FROM embeddings, q
+            WHERE vec_id < 100
+        )
+        SELECT vec_id,
+               round((1 + {_E_DOT_Q} / ({_E_NORM} * {_Q_NORM})) / 2, 6) AS sim_cosine,
+               round(1 / (1 + list_sum(list_transform(range(1, 65),
+                     i -> (e[i] - qv[i]) * (e[i] - qv[i])))), 6) AS sim_euclidean,
+               round((1 + {_E_DOT_Q}) / 2, 6) AS sim_dot_product
+        FROM s
+    """,
+    tags=("V1", "D8", "P1"),
+)
+def v01_similarity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three CQL 5.0 similarity functions against a constant query
+    vector — the constant folds into codegen (no join). Lucene score
+    scaling: cosine/dot map to (1+x)/2, euclidean to 1/(1+d²)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    qv = literal_vector(QVEC)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(similarity_cosine(emb, qv), 6).alias("sim_cosine"),
+        F.round(similarity_euclidean(emb, qv), 6).alias("sim_euclidean"),
+        F.round(similarity_dot_product(emb, qv), 6).alias("sim_dot_product"),
+    )
+
+
+@query(
+    "v02_ann_order_by",
+    oracle=f"""
+        WITH q AS (SELECT {_QVEC_SQL}::DOUBLE[] AS qv),
+        s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e, qv FROM embeddings, q
+        ),
+        scored AS (
+            SELECT vec_id, {_E_DOT_Q} / ({_E_NORM} * {_Q_NORM}) AS cos
+            FROM s
+        )
+        SELECT vec_id, round((1 + cos) / 2, 6) AS score
+        FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    tags=("V2", "D3", "P1"),
+)
+def v02_ann_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CQL 5.0 ANN query through the front-end: the statement
+    text below is what a Cassandra 5 user types; cql.py compiles the ANN
+    ordering to an expression-scored TakeOrderedAndProject (map-side
+    per-partition top-k, k rows per partition to the merge)."""
+    stmt = (
+        f"SELECT vec_id, similarity_cosine(embedding, {_QVEC_SQL}) AS score "
+        f"FROM embeddings ORDER BY embedding ANN OF {_QVEC_SQL} LIMIT 10"
+    )
+    return cql(spark, sf_dir, stmt).select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "v03_data_masking",
+    oracle="""
+        SELECT c_custkey,
+               substr(c_name, 1, 3)
+                 || repeat('*', greatest(len(c_name) - 5, 0))
+                 || substr(c_name, greatest(len(c_name) - 1, 4), 2) AS name_inner,
+               repeat('*', least(len(c_name), 9))
+                 || substr(c_name, 10, greatest(len(c_name) - 9, 0)) AS name_outer,
+               'REDACTED' AS segment_replaced,
+               '****' AS segment_default,
+               sha256(c_name) AS name_hash,
+               CAST(NULL AS VARCHAR) AS balance_null
+        FROM customer WHERE c_custkey <= 50
+    """,
+    tags=("V3", "A11", "P1"),
+)
+def v03_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL 5.0 dynamic data masking applied as a projection: keep the first
+    3 + last 2 name chars (mask_inner), mask the 'Customer#' name prefix
+    (mask_outer 9,0), replace/deface/hash/null the rest. All string/hash
+    built-ins — a masked view costs the same scan as the unmasked one."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        M.mask_inner(F.col("c_name"), 3, 2).alias("name_inner"),
+        M.mask_outer(F.col("c_name"), 9, 0).alias("name_outer"),
+        M.mask_replace(F.col("c_mktsegment"), "REDACTED").alias("segment_replaced"),
+        M.mask_default(F.col("c_mktsegment")).alias("segment_default"),
+        M.mask_hash(F.col("c_name")).alias("name_hash"),
+        M.mask_null(F.col("c_acctbal")).alias("balance_null"),
+    )

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "dcosb_cassandra_spark.operators.extras2",
     "dcosb_cassandra_spark.operators.mllib_variants",
     "dcosb_cassandra_spark.operators.typelattice",
+    "dcosb_cassandra_spark.operators.cql5",
 )
 
 #: The driver records CORRECTNESS rows for the FIRST 50 queries() entries in
