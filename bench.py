@@ -73,6 +73,13 @@ def main() -> None:
     spark = get_spark("dcosb-bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if 0 < sf <= 0.2:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE's between-stage re-optimization costs ~60-80 ms/query here
+        # and has nothing to re-plan at a ~100 MB working set (no skew, no
+        # mis-sized partitions possible at 8 partitions). Same
+        # sized-by-bytes rule as above: at real scale AQE stays ON (skew
+        # splitting + partition coalescing are load-bearing at 100 TB);
+        # below sf0.2 runtime re-planning is pure fixed overhead.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     load_all()
     names = [n for n in HEADLINE if n in REGISTRY]
 
