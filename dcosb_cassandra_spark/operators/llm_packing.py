@@ -1,0 +1,300 @@
+"""Training-batch assembly operators (SURVEY.md §2 D13-D15): sequence
+packing, domain-weighted corpus mixing, and length-bucketed batching —
+the last mile between a cleaned document corpus and an LLM trainer's
+dataloader. All three are pure window/aggregate compositions (zero UDFs)
+with exact DuckDB twins; every nondeterministic choice (shuffle order,
+fractional sampling) is made content-stable via md5, which is
+bit-identical Spark<->DuckDB, so the assignments themselves are
+oracle-checked — not just summary counts.
+
+Scale notes (100 TB): every window here partitions by a corpus shard key
+(source, lang) — one Spark task per shard. At real scale a shard can be
+TB-sized, so production runs sub-shard by a bounded key (ingest date /
+file id) exactly like the salting recipe in relational.py; the
+(source x lang) grid is the SF-appropriate stand-in. Nothing below does a
+global sort or a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import tokens
+from ..registry import query
+
+#: tokens per packed training sequence (demo-sized so sf0.01 yields
+#: hundreds of sequences; production would use 2048/4096/8192)
+SEQ_BUDGET = 128
+
+#: whitespace token count — shared by all three ops, mirrored in SQL as
+#: len(string_split(text, ' ')).
+def _ws_tokens(c):
+    return F.size(tokens(c))
+
+
+_WS_TOKENS_SQL = "len(string_split(text, ' '))"
+
+
+@query(
+    "d13_sequence_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, lang, {_WS_TOKENS_SQL} AS tok FROM documents
+        ),
+        packed AS (
+            SELECT source, lang, tok,
+                   CAST(floor(
+                       (sum(tok) OVER (PARTITION BY source, lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - tok)
+                       / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+            FROM toks
+        )
+        SELECT source, lang, seq_id, count(*) AS n_docs,
+               sum(tok) AS seq_tokens,
+               round(least(sum(tok), {SEQ_BUDGET}) / {SEQ_BUDGET}.0, 6) AS fill_ratio
+        FROM packed GROUP BY source, lang, seq_id
+    """,
+    tags=("D13", "B13", "P1"),
+)
+def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each (source,
+    lang) shard, documents concatenate in doc_id order and a document
+    belongs to the sequence where its FIRST token lands (seq_id =
+    floor(preceding-cumsum / budget)). One running-sum window + one hash
+    aggregate; a sequence's last doc may straddle the budget boundary
+    (the trainer truncates/continues), so fill_ratio caps at 1.0."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", _ws_tokens(F.col("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "seq_id",
+        F.floor((F.sum("tok").over(w) - F.col("tok")) / SEQ_BUDGET),
+    )
+    return packed.groupBy("source", "lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("seq_tokens"),
+        F.round(F.least(F.sum("tok"), F.lit(SEQ_BUDGET)) / F.lit(float(SEQ_BUDGET)), 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+#: target corpus mix by source domain (sums to 1). The feasible corpus
+#: size without upsampling is T = min_s(n_s / p_s); each domain keeps its
+#: T * p_s smallest-md5 docs — a content-stable "shuffled prefix".
+MIX_WEIGHTS = {"src0": 0.35, "src1": 0.25, "src2": 0.25, "src3": 0.15}
+
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in sorted(MIX_WEIGHTS.items()))
+
+
+@query(
+    "d14_domain_mixing",
+    oracle=f"""
+        -- CAST(p AS DOUBLE): VALUES literals bind as DECIMAL (opaque cells);
+        -- floor() before every BIGINT cast: DuckDB CAST rounds, Spark truncates.
+        WITH w AS (SELECT source, CAST(p AS DOUBLE) AS p
+                   FROM (VALUES {_MIX_VALUES}) AS v(source, p)),
+        ranked AS (
+            SELECT d.source, p,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents d JOIN w ON d.source = w.source
+        ),
+        feas AS (
+            SELECT CAST(floor(min(cnt / p)) AS BIGINT) AS t
+            FROM (SELECT source, p, count(*) AS cnt FROM ranked GROUP BY source, p)
+        )
+        SELECT source, count(*) AS kept,
+               round(count(*) / (SELECT sum(CAST(floor(t * p) AS BIGINT))
+                                 FROM feas, w), 6) AS achieved_share,
+               p AS target_share
+        FROM ranked, feas
+        WHERE rn <= CAST(floor(t * p) AS BIGINT)
+        GROUP BY source, p
+    """,
+    tags=("D14", "B24", "P1"),
+)
+def d14_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted corpus mixing (DoReMi/Pile-style): hit target
+    proportions p_s exactly (no upsampling) by keeping each domain's
+    prefix of a content-stable md5 shuffle. The feasible total
+    T = min_s(n_s / p_s) is a 4-row aggregate joined back via broadcast —
+    the corpus itself is touched by one window + one filter."""
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), schema="source string, p double"
+    )
+    ranked = (
+        d.join(F.broadcast(w), "source")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        )
+    )
+    counts = ranked.groupBy("source", "p").agg(F.count(F.lit(1)).alias("cnt"))
+    t = counts.agg(
+        F.min(F.col("cnt") / F.col("p")).cast("bigint").alias("t")
+    )
+    total = (
+        t.crossJoin(w)
+        .agg(F.sum((F.col("t") * F.col("p")).cast("bigint")).alias("grand"))
+    )
+    kept = (
+        ranked.join(F.broadcast(t))
+        .filter(F.col("rn") <= (F.col("t") * F.col("p")).cast("bigint"))
+        .groupBy("source", "p")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        kept.join(F.broadcast(total))
+        .select(
+            "source",
+            "kept",
+            F.round(F.col("kept") / F.col("grand"), 6).alias("achieved_share"),
+            F.col("p").alias("target_share"),
+        )
+    )
+
+
+#: per-domain epoch multipliers for upsampling (src2 seen ~2.5x per
+#: epoch of src0, the Pile-style recipe); fractional epochs are a
+#: content-stable md5-threshold subsample of the domain.
+EPOCH_WEIGHTS = {"src0": 1.0, "src1": 1.5, "src2": 2.5, "src3": 2.0}
+
+_EPOCH_VALUES = ", ".join(f"('{s}', {r})" for s, r in sorted(EPOCH_WEIGHTS.items()))
+
+import math
+
+_MAX_EPOCHS = int(math.ceil(max(EPOCH_WEIGHTS.values())))
+
+
+@query(
+    "d14b_domain_upsampling",
+    oracle=f"""
+        -- static epochs CTE cross-joined then filtered epoch <= ceil(r):
+        -- DuckDB 1.0 can't lateral-join generate_series and its binder
+        -- mis-binds unnest-in-SELECT next to a join; CAST(r AS DOUBLE)
+        -- avoids DECIMAL cells; floor() before BIGINT casts (DuckDB CAST
+        -- rounds, Spark truncates).
+        WITH w AS (SELECT source, CAST(r AS DOUBLE) AS r
+                   FROM (VALUES {_EPOCH_VALUES}) AS v(source, r)),
+        cnt AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        epochs AS (SELECT unnest(generate_series(1, {_MAX_EPOCHS})) AS epoch),
+        rep AS (
+            SELECT d.source, r, epoch,
+                   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 17) AS hb
+            FROM documents d
+            JOIN w ON d.source = w.source
+            CROSS JOIN epochs
+            WHERE epoch <= CAST(ceil(r) AS BIGINT)
+        )
+        SELECT rep.source AS source, count(*) AS emitted,
+               round(count(*) * 1.0 / n_src, 6) AS achieved_rate,
+               r AS target_rate
+        FROM rep JOIN cnt ON rep.source = cnt.source
+        WHERE epoch <= CAST(floor(r) AS BIGINT)
+           OR hb < CAST(floor(256 * (r - floor(r))) AS BIGINT)
+        GROUP BY rep.source, r, n_src
+    """,
+    tags=("D14", "B22", "P1"),
+)
+def d14b_domain_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-multiplier upsampling: each doc is emitted floor(r) times
+    plus once more for a content-stable md5-byte fraction of the domain
+    (hb < 256*frac(r)). explode(sequence(1, ceil(r))) is the only row
+    multiplier — no shuffle at all; the emitted stream is exactly what a
+    weighted dataloader would draw, but deterministic and resumable."""
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted(EPOCH_WEIGHTS.items()), schema="source string, r double"
+    )
+    hb = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    rep = (
+        d.join(F.broadcast(w), "source")
+        .select(
+            "source",
+            "r",
+            F.explode(F.sequence(F.lit(1), F.ceil("r").cast("bigint"))).alias("epoch"),
+            hb.alias("hb"),
+        )
+        .filter(
+            (F.col("epoch") <= F.floor("r").cast("bigint"))
+            | (F.col("hb") < (F.lit(256) * (F.col("r") - F.floor("r"))).cast("bigint"))
+        )
+    )
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        rep.groupBy("source", "r")
+        .agg(F.count(F.lit(1)).alias("emitted"))
+        .join(F.broadcast(per_source), "source")
+        .select(
+            "source",
+            "emitted",
+            F.round(F.col("emitted") / F.col("n_src"), 6).alias("achieved_rate"),
+            F.col("r").alias("target_rate"),
+        )
+    )
+
+
+#: power-of-two length buckets and examples per batch; padding waste is
+#: the trainer-visible cost of bucketing granularity.
+BATCH_SIZE = 16
+
+
+@query(
+    "d15_length_buckets",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_WS_TOKENS_SQL} AS tok FROM documents
+        ),
+        bucketed AS (
+            SELECT tok,
+                   CAST(round(pow(2, ceil(log2(greatest(tok, 1)) - 1e-9))) AS BIGINT)
+                       AS bucket_cap
+            FROM toks
+        )
+        SELECT bucket_cap, count(*) AS n_docs,
+               CAST(ceil(count(*) * 1.0 / {BATCH_SIZE}) AS BIGINT) AS n_batches,
+               sum(bucket_cap - tok) AS padding_tokens,
+               round(sum(tok) * 1.0 / sum(bucket_cap), 6) AS efficiency
+        FROM bucketed GROUP BY bucket_cap
+    """,
+    tags=("D15", "B13", "P1"),
+)
+def d15_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: docs go to the next power-of-two token
+    bucket (epsilon-guarded log2 so exact powers never flip buckets to a
+    ulp of libm divergence); batch count is ceil(bucket/BATCH_SIZE).
+    Output reports the padding waste each bucket granularity costs —
+    sum(cap - tok) — which is the number the curriculum tuner actually
+    optimizes. Pure single-shuffle aggregate, no window needed."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _ws_tokens(F.col("text")).alias("tok")
+    )
+    cap = F.round(
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(F.col("tok"), F.lit(1))) - F.lit(1e-9)))
+    ).cast("bigint")
+    b = d.withColumn("bucket_cap", cap)
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.ceil(F.count(F.lit(1)) / F.lit(float(BATCH_SIZE))).cast("bigint").alias(
+            "n_batches"
+        ),
+        F.sum(F.col("bucket_cap") - F.col("tok")).alias("padding_tokens"),
+        F.round(F.sum("tok") / F.sum("bucket_cap"), 6).alias("efficiency"),
+    )
