@@ -1,0 +1,237 @@
+"""Corpus-level curation operators (SURVEY.md §2 D16-D17): exact-substring
+window dedup and iterative Lloyd k-means clustering — the two remaining
+pipeline stages between near-dup filtering (llm_dedup) and batch assembly
+(llm_packing).
+
+D16 approximates the suffix-array exact-substring dedup of "Deduplicating
+Training Data Makes Language Models Better" (Lee et al., 2021 [PK]) with
+hashed sliding token windows: a K-token window occurring in two documents
+is exactly a duplicated K-token substring. md5 window hashes are
+bit-identical Spark<->DuckDB so the whole pipeline is oracle-checked.
+
+D17 shows the iterative-algorithm shape (k-means is the SemDeDup /
+IVF-codebook-training primitive): a driver-side loop over a fixed number of
+Lloyd rounds where each round is one broadcast-join assignment plus one
+64-column aggregate. With the iteration count fixed and centroids quantized
+to 9 decimals per round, the whole trajectory unrolls into a DuckDB CTE
+chain — a normally rows-only algorithm made hash-checkable.
+
+Scale notes (100 TB):
+- D16's window table is ~one row per corpus token — the same blow-up the
+  suffix array itself costs. Everything after tokenization carries only
+  (doc_id, 32-byte digest); the dup-hash aggregate and the flag-back join
+  both hash-partition on the digest (uniform by construction — no skew).
+  Production swaps md5 for xxhash64 (8 bytes) and drops the join-back by
+  windowed `count(*) over (partition by whash)` when per-window flags are
+  not needed downstream.
+- D17 never shuffles the corpus: each round broadcasts k centroids (k x 64
+  doubles), the assignment is a map-side cross join + per-row argmin, and
+  the re-centering aggregate moves k x 64 partial sums per partition. For
+  many rounds, localCheckpoint the assignment every ~10 iterations to
+  truncate lineage (same recipe as llm_dedup.d2f_dup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.vectors import as_double, squared_l2_distance
+from ..registry import query
+
+#: tokens per dedup window — demo-sized so the synthetic corpus (docs repeat
+#: sentence fragments) yields non-trivial dup rates; Lee et al. use 50.
+WINDOW_K = 8
+
+
+def window_hashes(docs: DataFrame, k: int = WINDOW_K) -> DataFrame:
+    """(doc_id, source, whash): md5 of every k-token sliding window.
+    Docs shorter than k tokens contribute no windows (nothing to match)."""
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    wins = F.expr(
+        f"transform(sequence(1, size(toks) - {k} + 1),"
+        f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+    )
+    return (
+        d.filter(F.size("toks") >= k)
+        .select("doc_id", "source", F.explode(wins).alias("whash"))
+    )
+
+
+@query(
+    "d16_substring_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= {WINDOW_K}
+        ),
+        wins AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(toks) - {WINDOW_K} + 1),
+                          i -> md5(array_to_string(toks[i:i+{WINDOW_K - 1}], ' ')))) AS whash
+            FROM t
+        ),
+        dup AS (SELECT whash FROM wins GROUP BY whash HAVING count(DISTINCT doc_id) >= 2)
+        SELECT source,
+               count(*) AS total_windows,
+               count(d.whash) AS dup_windows,
+               count(DISTINCT CASE WHEN d.whash IS NOT NULL THEN w.doc_id END) AS docs_with_dup,
+               round(count(d.whash) * 1.0 / count(*), 6) AS dup_rate
+        FROM wins w LEFT JOIN dup d ON w.whash = d.whash
+        GROUP BY source
+    """,
+    tags=("D16", "D1", "P1"),
+)
+def d16_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: hash every WINDOW_K-token sliding
+    window, mark hashes seen in >=2 distinct docs, report per-source window
+    counts, affected docs, and the duplicated-window rate (the fraction the
+    dedup pass would cut). Two digest-keyed shuffles (dup aggregate +
+    flag-back join), both with map-side partial aggregation."""
+    wins = window_hashes(table(spark, sf_dir, "documents"))
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("whash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        wins.join(dup, "whash", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.count("is_dup").alias("dup_windows"),
+            F.count_distinct(F.when(F.col("is_dup").isNotNull(), F.col("doc_id"))).alias(
+                "docs_with_dup"
+            ),
+            F.round(F.count("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )
+
+
+#: Lloyd config: k seeds = the k smallest vec_ids (deterministic), fixed
+#: round count so the trajectory is oracle-unrollable. Centroids quantize
+#: to 9 decimals each round: both engines then feed EXACTLY equal centroid
+#: bytes into the next round, so float-sum association (Spark left fold vs
+#: DuckDB list_sum) can never compound across iterations.
+KMEANS_K = 4
+LLOYD_ROUNDS = 2
+_DIM = 64
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2): nearest centroid per vector, ties to low cid.
+    Broadcast k centroids; the corpus side is map-only (no shuffle)."""
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "dist2", squared_l2_distance(F.col("e"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist2", "e")
+    )
+
+
+def _recenter(assign: DataFrame) -> DataFrame:
+    """(cid, ce): per-cluster component-wise mean, quantized to 9 decimals
+    (see KMEANS_K note). 64 aggregate expressions — one k x 64 shuffle."""
+    aggs = [
+        F.round(F.avg(F.element_at(F.col("e"), i)), 9).alias(f"ax{i}")
+        for i in range(1, _DIM + 1)
+    ]
+    return (
+        assign.groupBy("cid")
+        .agg(*aggs)
+        .select("cid", F.array(*[F.col(f"ax{i}") for i in range(1, _DIM + 1)]).alias("ce"))
+    )
+
+
+def kmeans_report(spark: SparkSession, sf_dir: str, rounds: int = LLOYD_ROUNDS) -> DataFrame:
+    """Lloyd k-means for a fixed number of rounds; final assignment against
+    the last centroids, reported as (cluster_id, n_members, avg_dist2,
+    centroid_c1)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(rounds):
+        cent = _recenter(_assign(emb, cent))
+    final = _assign(emb, cent)
+    return (
+        final.join(F.broadcast(cent), "cid")
+        .groupBy(F.col("cid").alias("cluster_id"), F.round(F.element_at("ce", 1), 6).alias("centroid_c1"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+        )
+        .select("cluster_id", "n_members", "avg_dist2", "centroid_c1")
+    )
+
+
+def _sql_round(n: int, prev_cent: str, prev_idx: int) -> str:
+    """One unrolled Lloyd round: assignment vs ``prev_cent`` then 64-column
+    re-centering, mirroring _assign/_recenter."""
+    means = ", ".join(f"round(avg(e.v[{i}]), 9)" for i in range(1, _DIM + 1))
+    return f"""
+        s{n} AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, {_DIM + 1}),
+                       i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))) AS dist2
+            FROM e CROSS JOIN {prev_cent} c
+        ),
+        a{n} AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist2 ASC, cid) AS rn
+                FROM s{n}
+            ) WHERE rn = 1
+        ),
+        c{prev_idx + 1} AS (
+            SELECT cid, list_value({means}) AS ce
+            FROM a{n} JOIN e USING (vec_id) GROUP BY cid
+        )"""
+
+
+def _kmeans_oracle() -> str:
+    rounds = ",".join(_sql_round(n, f"c{n - 1}", n - 1) for n in range(1, LLOYD_ROUNDS + 1))
+    n_fin = LLOYD_ROUNDS + 1
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS ce FROM e WHERE vec_id < {KMEANS_K}),
+        {rounds},
+        sf AS (
+            SELECT e.vec_id, c.cid, c.ce[1] AS c1,
+                   list_sum(list_transform(range(1, {_DIM + 1}),
+                       i -> (e.v[i] - c.ce[i]) * (e.v[i] - c.ce[i]))) AS dist2
+            FROM e CROSS JOIN c{LLOYD_ROUNDS} c
+        ),
+        af AS (
+            SELECT vec_id, cid, c1, dist2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist2 ASC, cid) AS rn
+                FROM sf
+            ) WHERE rn = 1
+        )
+        SELECT cid AS cluster_id, count(*) AS n_members,
+               round(avg(dist2), 6) AS avg_dist2,
+               round(c1, 6) AS centroid_c1
+        FROM af GROUP BY cid, c1
+    """
+
+
+@query("d17_kmeans_lloyd", oracle=_kmeans_oracle(), tags=("D17", "D4", "P2"))
+def d17_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (KMEANS_K clusters, LLOYD_ROUNDS fixed rounds, seeds =
+    the k smallest vec_ids): the codebook-training step behind IVF indexing
+    (d4b/d11 consume exactly such centroids) and SemDeDup-style semantic
+    dedup. Each round = broadcast-centroid argmin assignment (corpus never
+    shuffles) + one k x 64 mean aggregate; centroids are quantized to 9
+    decimals per round so the fixed-round trajectory is bit-reproducible on
+    both engines and the whole iterative algorithm is hash-checked — not
+    rows-only."""
+    return kmeans_report(spark, sf_dir, LLOYD_ROUNDS)

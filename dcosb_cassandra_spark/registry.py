@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "dcosb_cassandra_spark.operators.llm_text",
     "dcosb_cassandra_spark.operators.llm_multimodal",
     "dcosb_cassandra_spark.operators.llm_packing",
+    "dcosb_cassandra_spark.operators.llm_corpus",
     "dcosb_cassandra_spark.operators.extras",
     "dcosb_cassandra_spark.operators.stats",
     "dcosb_cassandra_spark.operators.extras2",

@@ -1,0 +1,73 @@
+"""Semantic validation of llm_corpus.py beyond oracle parity: constructed
+known-answer corpus for the substring-window dedup, and the Lloyd objective
+monotonicity the unrolled oracle can't express for arbitrary round counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dcosb_cassandra_spark.operators.llm_corpus import (
+    KMEANS_K,
+    WINDOW_K,
+    d16_substring_dedup,
+    kmeans_report,
+    window_hashes,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, source string, text string")
+
+
+def test_window_hashes_known_corpus(spark):
+    # doc 1 and 2 share one exact 8-token run; doc 3 shares nothing; doc 4
+    # is too short to produce any window.
+    shared = " ".join(f"w{i}" for i in range(WINDOW_K))
+    rows = [
+        (1, "s", f"a b {shared}"),
+        (2, "s", f"{shared} x y z"),
+        (3, "s", "p q r s t u v w x y"),
+        (4, "s", "too short"),
+    ]
+    wins = window_hashes(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in wins:
+        by_doc.setdefault(r.doc_id, []).append(r.whash)
+    # n_tokens - K + 1 windows per doc with >= K tokens, none for doc 4
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 4 and len(by_doc[3]) == 3
+    assert 4 not in by_doc
+    # exactly one hash collides across docs 1 and 2 (the shared run)
+    assert len(set(by_doc[1]) & set(by_doc[2])) == 1
+    assert not set(by_doc[3]) & (set(by_doc[1]) | set(by_doc[2]))
+
+
+def test_d16_rates_bounded(spark):
+    for r in d16_substring_dedup(spark, SF_DIR).collect():
+        assert 0 <= r.dup_windows <= r.total_windows
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert (r.dup_windows == 0) == (r.docs_with_dup == 0)
+
+
+def test_kmeans_objective_monotone(spark):
+    def objective(rounds):
+        rows = kmeans_report(spark, SF_DIR, rounds=rounds).collect()
+        n = sum(r.n_members for r in rows)
+        return sum(r.avg_dist2 * r.n_members for r in rows) / n, rows
+
+    o0, rows0 = objective(0)
+    o2, rows2 = objective(2)
+    # Lloyd never increases the summed squared distance; quantizing
+    # centroids to 9 decimals perturbs by <1e-8 per component
+    assert o2 <= o0 + 1e-6
+    assert sum(r.n_members for r in rows2) == sum(r.n_members for r in rows0)
+    assert len(rows2) <= KMEANS_K
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    from dcosb_cassandra_spark.catalog import table
+
+    total = table(spark, SF_DIR, "embeddings").count()
+    rows = kmeans_report(spark, SF_DIR).collect()
+    assert sum(r.n_members for r in rows) == total
+    assert len({r.cluster_id for r in rows}) == len(rows)
