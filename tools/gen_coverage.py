@@ -50,6 +50,11 @@ ROWS = [
     ("D10", "Benchmark decontamination (added r2)"),
     ("D11", "IVF probe kNN full path (added r2)"),
     ("D12", "Streaming training ingest (added r2)"),
+    ("D13", "Sequence packing (added r2)"),
+    ("D14", "Domain mixing / upsampling (added r2)"),
+    ("D15", "Length-bucketed batching (added r2)"),
+    ("D16", "Exact-substring dedup (added r2)"),
+    ("D17", "k-means Lloyd / codebook training (added r2)"),
 ]
 
 STREAMING_EXTRA = {
