@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..plans.shapes import bounded_sort
 from ..registry import query
 
 
@@ -61,7 +62,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -139,7 +140,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"))
+        .transform(bounded_sort, F.desc("revenue"))
     )
 
 
@@ -189,7 +190,7 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("u"),
             F.round(F.avg("value"), 6).alias("av"),
         )
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -209,7 +210,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.date_trunc("hour", "ts").alias("h"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("s"))
-        .orderBy("h", "event_type")
+        .orderBy("h", "event_type")  # hours × types grows with the time span — NOT bounded_sort
     )
 
 
@@ -230,7 +231,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(F.round(F.avg(k), 6).alias("avg_k"))
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -295,7 +296,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars"),
             F.sum(approx_tokens).alias("approx_tokens"),
         )
-        .orderBy("lang")
+        .transform(bounded_sort, "lang")
     )
 
 
