@@ -47,6 +47,8 @@ def test_q5_broadcasts_dims(spark):
 #: the documented reason its hinted side is bounded at EVERY scale factor.
 ALLOWED_BOUNDED_BROADCASTS = {
     "d3b_batch_knn_per_label": "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
+    "d17_kmeans_lloyd": "broadcast side is the centroid set: groupBy(cid) over "
+    "KMEANS_K seed clusters — exactly k rows at any SF",
 }
 
 
