@@ -231,3 +231,68 @@ def c1c_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", key), 4).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "b_column_profile",
+    oracle="""
+        SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(l_orderkey) AS n_nulls,
+               count(DISTINCT l_orderkey) AS n_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+               count(DISTINCT l_quantity),
+               CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+               CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+               count(DISTINCT l_shipdate),
+               strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        FROM lineitem
+    """,
+    tags=("B9", "A15", "P2"),
+)
+def b_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiler (the `nodetool tablestats` / ANSI
+    ANALYZE analogue): per-column row/null/distinct counts and min/max,
+    computed for a mixed-type column set (bigint, double, string,
+    timestamp) in ONE scan — all 16 aggregates run in a single
+    partial+final pass, then the 1-row result unpivots to one row per
+    column via stack() (driver-side fan-out of an O(columns) row, not a
+    shuffle). min/max serialize to strings so heterogeneous column types
+    share one output schema; doubles go through a BIGINT cast (quantities
+    are integral) and timestamps through an explicit shared format, so
+    both engines render identical text."""
+    l = table(spark, sf_dir, "lineitem")
+    one = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"cnt_{c}") for c in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")],
+        *[F.count_distinct(F.col(c)).alias(f"nd_{c}") for c in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")],
+        F.min("l_orderkey").cast("string").alias("min_l_orderkey"),
+        F.max("l_orderkey").cast("string").alias("max_l_orderkey"),
+        F.min("l_quantity").cast("bigint").cast("string").alias("min_l_quantity"),
+        F.max("l_quantity").cast("bigint").cast("string").alias("max_l_quantity"),
+        F.min("l_returnflag").alias("min_l_returnflag"),
+        F.max("l_returnflag").alias("max_l_returnflag"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("min_l_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("max_l_shipdate"),
+    )
+    stack_args = ", ".join(
+        f"'{c}', n - cnt_{c}, nd_{c}, min_{c}, max_{c}"
+        for c in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    )
+    return one.select(
+        F.expr(
+            f"stack(4, {stack_args}) AS (col_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
