@@ -124,25 +124,41 @@ _MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in sorted(MIX_WEIGHTS.items()))
 def d14_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-weighted corpus mixing (DoReMi/Pile-style): hit target
     proportions p_s exactly (no upsampling) by keeping each domain's
-    prefix of a content-stable md5 shuffle. The feasible total
-    T = min_s(n_s / p_s) is a 4-row aggregate joined back via broadcast —
-    the corpus itself is touched by one window + one filter."""
+    prefix of a content-stable md5 shuffle.
+
+    The per-domain rank is TWO-PHASE so no window ever partitions on
+    `source` alone (with ~4 domains that would funnel ~25 TB of a 100 TB
+    corpus through one task): documents rank within (source, md5-prefix
+    bucket) — ≤ |domains|×256 balanced windows because md5 prefixes are
+    uniform — and the global rank is recovered as bucket-offset +
+    within-bucket rank, where the offsets come from a tiny
+    (source, bucket) count grid broadcast back. The md5-prefix bucket is
+    order-consistent with the full md5 sort key, so the recovered ranks
+    are IDENTICAL to the single-window form (same oracle, unchanged).
+    The feasible total T = min_s(n_s / p_s) stays a broadcast scalar."""
     d = table(spark, sf_dir, "documents")
     w = spark.createDataFrame(
         sorted(MIX_WEIGHTS.items()), schema="source string, p double"
     )
-    ranked = (
+    docs = (
         d.join(F.broadcast(w), "source")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.md5(F.col("doc_id").cast("string")), "doc_id"
-                )
-            ),
+        .select(
+            "source", "p", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("mh")
         )
+        .withColumn("bkt", F.substring("mh", 1, 2))
     )
-    counts = ranked.groupBy("source", "p").agg(F.count(F.lit(1)).alias("cnt"))
+    # phase 1: rank within (source, bucket) — balanced corpus-scale windows
+    ranked = docs.withColumn(
+        "rn_b",
+        F.row_number().over(Window.partitionBy("source", "bkt").orderBy("mh", "doc_id")),
+    )
+    # phase 2: tiny (source, bucket) grid → cumulative offsets + totals
+    bcounts = docs.groupBy("source", "p", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = (
+        Window.partitionBy("source").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.withColumn("off", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)))
+    counts = bcounts.groupBy("source", "p").agg(F.sum("cnt").alias("cnt"))
     t = counts.agg(
         F.min(F.col("cnt") / F.col("p")).cast("bigint").alias("t")
     )
@@ -151,8 +167,9 @@ def d14_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("t") * F.col("p")).cast("bigint")).alias("grand"))
     )
     kept = (
-        ranked.join(F.broadcast(t))
-        .filter(F.col("rn") <= (F.col("t") * F.col("p")).cast("bigint"))
+        ranked.join(F.broadcast(offsets.select("source", "bkt", "off")), ["source", "bkt"])
+        .join(F.broadcast(t))
+        .filter((F.col("off") + F.col("rn_b")) <= (F.col("t") * F.col("p")).cast("bigint"))
         .groupBy("source", "p")
         .agg(F.count(F.lit(1)).alias("kept"))
     )

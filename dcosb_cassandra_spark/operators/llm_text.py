@@ -198,16 +198,18 @@ def d6_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d5e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf, hand-rolled relationally (SURVEY D5): term frequency per doc
-    ⋈ document frequency (broadcast — vocabulary << corpus) × ln(N/df);
-    top-3 terms per doc. The df table and the N scalar both broadcast, so
-    the only shuffles are the two token aggregations."""
+    ⋈ document frequency × ln(N/df); top-3 terms per doc. The df table is
+    NOT hinted: its cardinality is the corpus vocabulary, which grows with
+    the corpus (typos, URLs, code tokens) — AQE broadcasts it while it
+    fits and falls back to a shuffle join when it doesn't. Only the 1-row
+    N scalar carries a hint."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

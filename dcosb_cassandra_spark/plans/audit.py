@@ -67,7 +67,14 @@ def broadcast_hint_tables(df: DataFrame) -> list[str]:
         bounded = False
         for j in range(i + 1, min(i + 25, len(lines))):
             lj = lines[j]
-            if "LocalRelation" in lj or "OneRowRelation" in lj or re.search(r"\bRange \(", lj):
+            if lj.startswith("== "):  # never walk past a plan-section boundary
+                break
+            if (
+                "LocalRelation" in lj
+                or "OneRowRelation" in lj
+                or "LogicalRDD" in lj  # createDataFrame(driver-local rows)
+                or re.search(r"\bRange \(", lj)
+            ):
                 tables.add("literal")
                 break
             if "Aggregate" in lj or "GlobalLimit" in lj:
@@ -78,6 +85,39 @@ def broadcast_hint_tables(df: DataFrame) -> list[str]:
                 tables.add(f"bounded:{t}" if bounded else t)
                 break
     return sorted(tables)
+
+
+#: physical Window node: `Window [exprs], [partition cols], [order spec]`
+_WINDOW_PARTS_RE = re.compile(r"Window .*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$")
+_PHYS_AGG_RE = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)")
+_PHYS_SCAN_RE = re.compile(r"(Scan parquet|FileScan|LocalTableScan|Scan ExistingRDD|\bRange \()")
+
+
+def corpus_window_partitions(df: DataFrame) -> list[list[str]]:
+    """Partition-column names of every physical Window node whose input is
+    NOT bounded by an aggregate before reaching a scan — i.e. windows that
+    see corpus-scale rows. A corpus window partitioned on a single
+    low-cardinality column (e.g. `source` with ~4 domains) funnels TBs
+    through one task at 100 TB; the two-phase rank recipe (rank within
+    (key, hash-bucket) + broadcast per-bucket offsets) avoids it, and this
+    probe makes the avoidance assertable (tests/test_plans.py)."""
+    lines = plan_string(df, "simple").splitlines()
+    out: list[list[str]] = []
+    for i, line in enumerate(lines):
+        m = _WINDOW_PARTS_RE.search(line)
+        if not m:
+            continue
+        bounded = False
+        for j in range(i + 1, len(lines)):
+            if _PHYS_AGG_RE.search(lines[j]):
+                bounded = True
+                break
+            if _PHYS_SCAN_RE.search(lines[j]):
+                break
+        if not bounded:
+            cols = [c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()]
+            out.append(cols)
+    return out
 
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
@@ -115,7 +155,13 @@ def audit(df: DataFrame) -> dict:
         "hinted_scaling_tables": [
             t
             for t in broadcast_hint_tables(df)
-            if t in SCALING_TABLES or t.startswith("unknown(")
+            if t in SCALING_TABLES
+            or t.startswith("unknown(")
+            # bounded-by-aggregate/limit is only safe when the grouping
+            # cardinality is a CONSTANT (1-row max, k centroids) — that is
+            # a per-query claim, so `bounded:` hits on scaling tables must
+            # also be allowlisted with their documented bound.
+            or (t.startswith("bounded:") and t.removeprefix("bounded:") in SCALING_TABLES)
         ],
     }
 

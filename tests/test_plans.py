@@ -45,10 +45,24 @@ def test_q5_broadcasts_dims(spark):
 
 #: Queries allowed to broadcast-hint a subset of a scaling table, each with
 #: the documented reason its hinted side is bounded at EVERY scale factor.
+#: This covers BOTH raw-table hints and `bounded:` (aggregate/limit-under-
+#: hint) hits — bounded-by-aggregate is only safe when the grouping
+#: cardinality is a CONSTANT, which is exactly what each entry documents.
 ALLOWED_BOUNDED_BROADCASTS = {
     "d3b_batch_knn_per_label": "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
     "d17_kmeans_lloyd": "broadcast side is the centroid set: groupBy(cid) over "
     "KMEANS_K seed clusters — exactly k rows at any SF",
+    "c4_watermark_filter": "broadcast side is agg(max(ts)): exactly 1 row at any SF",
+    "d4b_centroid_assignment": "broadcast side is groupBy(label) centroid means: "
+    "exactly |labels| = 5 rows at any SF (labels are a fixed enum)",
+    "d4d_ivf_probe_knn": "broadcast side is the IVF codebook groupBy(label): "
+    "exactly |labels| = 5 centroid rows at any SF",
+    "d5e_tfidf_top_terms": "broadcast side is agg(count(*)): exactly 1 row at any SF "
+    "(the vocabulary-sized df table is deliberately NOT hinted)",
+    "d14_domain_mixing": "broadcast sides are the feasible-total scalar (1 row), the "
+    "grand-total scalar (1 row), and per-(domain,bucket) offsets: ≤ |domains|×256 rows",
+    "d14b_domain_upsampling": "broadcast side is groupBy(source) counts: "
+    "exactly |domains| = 4 rows at any SF",
 }
 
 
