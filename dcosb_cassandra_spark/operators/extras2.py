@@ -221,28 +221,63 @@ def a06b_page_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_page(l, ["l_orderkey", "l_linenumber", "l_partkey"], 25, state=(3, 2, 0))
 
 
-@query("a05b_token_murmur3_scan", oracle=None, tags=("A5", "P2", "rows-only"))
+#: Pinned probe keys and their Murmur3Partitioner tokens, precomputed with
+#: functions/murmur3.py (itself pinned to Cassandra's own test vectors in
+#: tests/test_murmur3.py). DuckDB has no murmur3_x64_128, so the oracle is
+#: this literal VALUES table — the d17 unrolled-oracle trick: the twin
+#: carries the expected outputs, and the hash check proves Spark's
+#: Arrow-batched UDF reproduces the real ring tokens.
+_A05B_TOKENS = (
+    (1, 6292367497774912474),
+    (2, -8218881827949364593),
+    (3, -8048510690352527683),
+    (4, 1830508272351686621),
+    (5, 4464361019114304900),
+    (6, 6268297055439790106),
+    (7, -5038316157564330072),
+    (32, 2661885290202953826),
+    (33, 4891967783720036163),
+    (34, -2040201830123832056),
+    (64, -1243006452765186581),
+    (100, 2728449614470305923),
+    (101, 3747151654617000541),
+    (102, -8040523167306530846),
+    (103, 6272339467100117813),
+)
+_A05B_KEYS = tuple(k for k, _ in _A05B_TOKENS)
+_A05B_VALUES = ", ".join(f"({k}, {t})" for k, t in _A05B_TOKENS)
+
+
+@query(
+    "a05b_token_murmur3_scan",
+    oracle=f"""
+        SELECT o.o_orderkey, t.tok, round(o.o_totalprice, 2) AS price
+        FROM orders o
+        JOIN (VALUES {_A05B_VALUES}) AS t(k, tok) ON o.o_orderkey = t.k
+        WHERE t.tok < 0
+        ORDER BY t.tok
+    """,
+    tags=("A5", "P2"),
+)
 def a05b_token_murmur3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token() range scan with REAL Murmur3Partitioner semantics
-    [PK `dht/Murmur3Partitioner.java`]: tokens here match an actual
-    Cassandra ring (incl. the signed-tail-byte quirk of Cassandra's Java
-    Murmur3 port), so these bucket boundaries are the cluster's own token
-    ranges — the split a connector uses to read a 100 TB keyspace as
-    independent tasks. Arrow-batched pandas UDF (no SQL twin exists —
-    DuckDB has no murmur3_x64_128 — hence rows-only; the md5 token twin
-    a05 carries the oracle-exact variant). Emits per-bucket counts over
-    the 16 top-nibble ranges: a full partition of the ring, so the
-    invariant sum(n)==count(orders) is self-checking."""
+    [PK `dht/Murmur3Partitioner.java`]: tokens match an actual Cassandra
+    ring (incl. the signed-tail-byte quirk of Cassandra's Java Murmur3
+    port), so `token(pk) < 0` here is a genuine ring-range predicate —
+    the negative half of the ring, the split a connector uses to read a
+    100 TB keyspace as independent tasks. Spark computes tokens live via
+    the Arrow-batched pandas UDF over a pinned probe-key set; the oracle
+    is the precomputed-literal VALUES twin (see _A05B_TOKENS), upgrading
+    this from rows-only to hash-checked. The md5-token variant a05 covers
+    the full-table-scan form with an engine-independent token."""
     from ..functions.murmur3 import token_murmur3
 
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey").isin(*_A05B_KEYS))
     tok = token_murmur3(F.col("o_orderkey"))
-    bucket = (F.shiftrightunsigned(tok, 60) + 8) % 16  # signed → 16 ordered ranges
     return (
-        o.select(tok.alias("tok"), bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("tok").alias("min_tok"), F.max("tok").alias("max_tok"))
-        .orderBy("bucket")
+        o.select("o_orderkey", tok.alias("tok"), F.round("o_totalprice", 2).alias("price"))
+        .filter(F.col("tok") < 0)
+        .orderBy("tok")
     )
 
 
