@@ -56,10 +56,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. The unit of the catalog — all operators go through
     here so scan behavior (and the UTC conf pin) is uniform.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default; we read it as a nanos long and integer-divide to micros —
-    bit-identical to how DuckDB (the oracle) truncates ns→µs on read
-    (verified: DuckDB 1.0 reads the column as plain TIMESTAMP)."""
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across driver testdata generations, so the loader
+    branches on what it actually reads: a NANOS column arrives as a nanos
+    long (via the legacy flag) and is integer-divided to micros —
+    bit-identical to DuckDB's ns→µs truncation on read — while a MICROS
+    column is already the timestamp DuckDB sees and passes through."""
     app_id = spark.sparkContext.applicationId
     if app_id not in _conf_pinned:
         ensure_engine_conf(spark)
@@ -69,7 +71,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            if dict(df.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            else:  # TIMESTAMP(MICROS) generation, read as NTZ — cast so
+                # watermarks/unix_micros work; UTC session tz keeps wall values
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         _table_memo[key] = df
     return df
 

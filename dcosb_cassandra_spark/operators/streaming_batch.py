@@ -102,6 +102,68 @@ def c4_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c6_stateful_running_counts",
+    oracle="""
+        SELECT user_id, ts, event_id,
+               count(*) OVER w AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 4) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("C6", "P1"),
+)
+def c6_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the C6 custom stateful operator
+    (streams.c6_stateful_running_counts, applyInPandasWithState): the
+    per-key running (n_events, total_value) the state store holds after
+    each event, as a cumulative window. Summing in DECIMAL(18,4) makes the
+    running total order-independent (a float running sum is not: DuckDB's
+    segment-tree windowed sum and Spark's sequential frame accumulate in
+    different orders), then casts back to double for the driver schema.
+
+    Scale: one shuffle on user_id; state per key is O(1) in the streaming
+    form, and the batch window partitions on the high-cardinality user key."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "c7_stream_static_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("C7", "P1"),
+)
+def c7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the C7 stream-static dimension join
+    (streams.c7_stream_static_join): events enriched with the customer
+    segment. No broadcast hint here — customer scales with SF, so the
+    hint decision is left to AQE (the streaming form may hint because a
+    static dim snapshot is operator-bounded at plan time)."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return e.join(
+        c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+        "user_id",
+        "left",
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+
+
+@query(
     "c5_stream_dedup",
     oracle="""
         SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id FROM (

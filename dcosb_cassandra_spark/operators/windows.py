@@ -30,17 +30,72 @@ from ..registry import query
 )
 def b13_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/percent_rank over a tied ordering (tie-stable) +
-    ntile over a unique ordering (tiebreaker required for determinism)."""
+    ntile over a unique ordering (tiebreaker required for determinism).
+
+    TWO-PHASE: the requested partition key (o_orderstatus, 3 values) would
+    funnel the whole table through 3 tasks at 100 TB, so ranks are computed
+    within (status, price-bucket) — the bucket is floor(price/4096), ORDER-
+    CONSISTENT with the price sort (ties share a bucket, so tie groups never
+    span buckets) — and recovered globally from a broadcast (status, bucket)
+    grid carrying cumulative row/distinct-value counts:
+
+      rank        = rows_in_higher_buckets + local_rank
+      dense_rank  = distinct_values_in_higher_buckets + local_dense_rank
+      percent_rank= (rank - 1) / (n_status - 1)
+      ntile(k)    = closed-form from the global row_number and n_status
+                    (first n%k tiles get ceil(n/k) rows, the rest floor)
+
+    The grid is bounded by the PRICE DOMAIN (~3 statuses × ~150 buckets),
+    not the row count, so it broadcasts at any SF. Output is byte-identical
+    to the single-window form (oracle unchanged)."""
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
-    wt = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select(
+    k = 4
+    b = o.withColumn("bkt", F.floor(F.col("o_totalprice") / F.lit(4096.0)))
+    wb = Window.partitionBy("o_orderstatus", "bkt").orderBy(F.desc("o_totalprice"))
+    wbt = Window.partitionBy("o_orderstatus", "bkt").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    local = b.select(
         "o_orderkey",
         "o_orderstatus",
-        F.rank().over(w).cast("long").alias("rk"),
-        F.dense_rank().over(w).cast("long").alias("drk"),
-        F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.ntile(4).over(wt).cast("long").alias("quartile"),
+        "bkt",
+        F.rank().over(wb).cast("long").alias("lrk"),
+        F.dense_rank().over(wb).cast("long").alias("ldrk"),
+        F.row_number().over(wbt).cast("long").alias("lrn"),
+    )
+    # tiny grid: per-(status, bucket) row and distinct-price counts, with
+    # cumulative offsets over HIGHER buckets (DESC order) and status totals
+    grid = b.groupBy("o_orderstatus", "bkt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("o_totalprice").alias("dv"),
+    )
+    wg = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.desc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = grid.select(
+        "o_orderstatus",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).alias("off"),
+        F.coalesce(F.sum("dv").over(wg), F.lit(0)).alias("doff"),
+        F.sum("cnt").over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    rn = F.col("off") + F.col("lrn")
+    n, q, r = F.col("n"), F.floor(F.col("n") / k), F.col("n") % k
+    return (
+        local.join(F.broadcast(offsets), ["o_orderstatus", "bkt"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("off") + F.col("lrk")).alias("rk"),
+            (F.col("doff") + F.col("ldrk")).alias("drk"),
+            F.round((F.col("off") + F.col("lrk") - 1) / (n - 1), 6).alias("prk"),
+            F.when(rn <= (q + 1) * r, F.ceil(rn / (q + 1)))
+            .otherwise(r + F.ceil((rn - (q + 1) * r) / q))
+            .cast("long")
+            .alias("quartile"),
+        )
     )
 
 

@@ -72,10 +72,16 @@ def broadcast_hint_tables(df: DataFrame) -> list[str]:
             if (
                 "LocalRelation" in lj
                 or "OneRowRelation" in lj
-                or "LogicalRDD" in lj  # createDataFrame(driver-local rows)
                 or re.search(r"\bRange \(", lj)
             ):
                 tables.add("literal")
+                break
+            if "LogicalRDD" in lj:
+                # createDataFrame(driver-local rows): NOT unconditionally
+                # safe — a pandas/driver dataset can be arbitrarily large, so
+                # hinting one requires an allowlist entry documenting why the
+                # local side stays small (e.g. a constant weights table).
+                tables.add("bounded:local_rows")
                 break
             if "Aggregate" in lj or "GlobalLimit" in lj:
                 bounded = True
@@ -93,27 +99,52 @@ _PHYS_AGG_RE = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)")
 _PHYS_SCAN_RE = re.compile(r"(Scan parquet|FileScan|LocalTableScan|Scan ExistingRDD|\bRange \()")
 
 
+#: explain-tree line prefix: any mix of "   " / ":  " indent units, then an
+#: optional "+-"/":-" branch marker.  depth = number of indent units (+1 if a
+#: marker is present); the root line has neither.
+_TREE_PREFIX_RE = re.compile(r"^((?:   |:  )*)([+:]-\s?)?(.*)$")
+
+
+def _tree_depth(line: str) -> tuple[int, str]:
+    m = _TREE_PREFIX_RE.match(line)
+    units = len(m.group(1)) // 3
+    return (units + (1 if m.group(2) else 0), m.group(3))
+
+
 def corpus_window_partitions(df: DataFrame) -> list[list[str]]:
     """Partition-column names of every physical Window node whose input is
-    NOT bounded by an aggregate before reaching a scan — i.e. windows that
-    see corpus-scale rows. A corpus window partitioned on a single
-    low-cardinality column (e.g. `source` with ~4 domains) funnels TBs
-    through one task at 100 TB; the two-phase rank recipe (rank within
-    (key, hash-bucket) + broadcast per-bucket offsets) avoids it, and this
-    probe makes the avoidance assertable (tests/test_plans.py)."""
-    lines = plan_string(df, "simple").splitlines()
+    NOT bounded by an aggregate — i.e. windows that see corpus-scale rows.
+    A corpus window partitioned on a single low-cardinality column (e.g.
+    `source` with ~4 domains) funnels TBs through one task at 100 TB; the
+    two-phase rank recipe (rank within (key, hash-bucket) + broadcast
+    per-bucket offsets) avoids it, and this probe makes the avoidance
+    assertable (tests/test_plans.py::test_no_single_low_card_corpus_windows).
+
+    Tree-aware: a window is bounded only if EVERY scan in its own input
+    subtree has an Aggregate on its ancestor path below the window —
+    an aggregated sibling branch of a join does NOT bound the streamed
+    branch. An empty partition list (global window) is reported as [] and
+    callers must treat it as the worst case (single-task sort)."""
+    parsed = [_tree_depth(ln) for ln in plan_string(df, "simple").splitlines()]
     out: list[list[str]] = []
-    for i, line in enumerate(lines):
-        m = _WINDOW_PARTS_RE.search(line)
+    for i, (d0, text) in enumerate(parsed):
+        m = _WINDOW_PARTS_RE.search(text)
         if not m:
             continue
-        bounded = False
-        for j in range(i + 1, len(lines)):
-            if _PHYS_AGG_RE.search(lines[j]):
-                bounded = True
-                break
-            if _PHYS_SCAN_RE.search(lines[j]):
-                break
+        # walk the window's subtree; stack holds ancestor node texts (within
+        # the subtree) for each scan encountered
+        stack: list[tuple[int, str]] = []
+        bounded = True
+        for d, t in parsed[i + 1 :]:
+            if d <= d0:
+                break  # left the window's subtree
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            if _PHYS_SCAN_RE.search(t):
+                if not any(_PHYS_AGG_RE.search(anc) for _, anc in stack):
+                    bounded = False
+                    break
+            stack.append((d, t))
         if not bounded:
             cols = [c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()]
             out.append(cols)
@@ -160,8 +191,12 @@ def audit(df: DataFrame) -> dict:
             # bounded-by-aggregate/limit is only safe when the grouping
             # cardinality is a CONSTANT (1-row max, k centroids) — that is
             # a per-query claim, so `bounded:` hits on scaling tables must
-            # also be allowlisted with their documented bound.
-            or (t.startswith("bounded:") and t.removeprefix("bounded:") in SCALING_TABLES)
+            # also be allowlisted with their documented bound. Same for
+            # driver-local createDataFrame sides (bounded:local_rows).
+            or (
+                t.startswith("bounded:")
+                and (t.removeprefix("bounded:") in SCALING_TABLES or t == "bounded:local_rows")
+            )
         ],
     }
 

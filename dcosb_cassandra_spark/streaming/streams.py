@@ -21,21 +21,23 @@ from ..catalog import EVENTS_PROPS_SCHEMA
 from ..session import ensure_engine_conf
 
 EVENTS_SCHEMA = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
 )
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet (the bulk
-    snapshot replayed as a stream). ts arrives as nanos (see catalog) and
-    is converted to a proper timestamp column."""
+    snapshot replayed as a stream). ts is parquet TIMESTAMP(MICROS),
+    tz-naive; watermarks demand TIMESTAMP (not NTZ), so it is cast under
+    the pinned UTC session tz — wall-clock values unchanged."""
     ensure_engine_conf(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def c1_tumbling_stream(events: DataFrame) -> DataFrame:

@@ -7,7 +7,12 @@ make the plan part of the contract.
 
 from __future__ import annotations
 
-from dcosb_cassandra_spark.plans.audit import audit, executed_plan_string, plan_string
+from dcosb_cassandra_spark.plans.audit import (
+    audit,
+    corpus_window_partitions,
+    executed_plan_string,
+    plan_string,
+)
 from dcosb_cassandra_spark.registry import REGISTRY, load_all
 
 from .conftest import SF_DIR
@@ -43,41 +48,119 @@ def test_q5_broadcasts_dims(spark):
     assert a["hinted_scaling_tables"] == [], "only fixed dims may carry hints"
 
 
-#: Queries allowed to broadcast-hint a subset of a scaling table, each with
-#: the documented reason its hinted side is bounded at EVERY scale factor.
-#: This covers BOTH raw-table hints and `bounded:` (aggregate/limit-under-
-#: hint) hits — bounded-by-aggregate is only safe when the grouping
-#: cardinality is a CONSTANT, which is exactly what each entry documents.
+#: Queries allowed to broadcast-hint a subset of a scaling table (or a
+#: driver-local createDataFrame side): name -> (exact set of allowed audit
+#: flags, documented reason the hinted side is bounded at EVERY scale
+#: factor). The test asserts each query's flagged set is a SUBSET of its
+#: allowed set, so a query that later gains a NEW unbounded hint (e.g. a raw
+#: `documents` next to its documented `bounded:documents`) still fails.
+#: `bounded:` (aggregate/limit-under-hint) is only safe when the grouping
+#: cardinality is a CONSTANT; `bounded:local_rows` (createDataFrame under a
+#: hint) is only safe for small constant tables — each reason documents which.
 ALLOWED_BOUNDED_BROADCASTS = {
-    "d3b_batch_knn_per_label": "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
-    "d17_kmeans_lloyd": "broadcast side is the centroid set: groupBy(cid) over "
-    "KMEANS_K seed clusters — exactly k rows at any SF",
-    "c4_watermark_filter": "broadcast side is agg(max(ts)): exactly 1 row at any SF",
-    "d4b_centroid_assignment": "broadcast side is groupBy(label) centroid means: "
-    "exactly |labels| = 5 rows at any SF (labels are a fixed enum)",
-    "d4d_ivf_probe_knn": "broadcast side is the IVF codebook groupBy(label): "
-    "exactly |labels| = 5 centroid rows at any SF",
-    "d5e_tfidf_top_terms": "broadcast side is agg(count(*)): exactly 1 row at any SF "
-    "(the vocabulary-sized df table is deliberately NOT hinted)",
-    "d14_domain_mixing": "broadcast sides are the feasible-total scalar (1 row), the "
-    "grand-total scalar (1 row), and per-(domain,bucket) offsets: ≤ |domains|×256 rows",
-    "d14b_domain_upsampling": "broadcast side is groupBy(source) counts: "
-    "exactly |domains| = 4 rows at any SF",
+    "d3b_batch_knn_per_label": (
+        {"embeddings"},
+        "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
+    ),
+    "d17_kmeans_lloyd": (
+        {"embeddings", "bounded:embeddings"},
+        "broadcast sides are the k seed rows (vec_id key-bounded) and the "
+        "groupBy(cid) centroid set — exactly KMEANS_K rows at any SF",
+    ),
+    "c4_watermark_filter": (
+        {"bounded:events"},
+        "broadcast side is agg(max(ts)): exactly 1 row at any SF",
+    ),
+    "d4b_centroid_assignment": (
+        {"bounded:embeddings"},
+        "broadcast side is groupBy(label) centroid means: exactly |labels| = 5 "
+        "rows at any SF (labels are a fixed enum)",
+    ),
+    "d4d_ivf_probe_knn": (
+        {"bounded:embeddings"},
+        "broadcast side is the IVF codebook groupBy(label): exactly |labels| = 5 "
+        "centroid rows at any SF",
+    ),
+    "d5e_tfidf_top_terms": (
+        {"bounded:documents"},
+        "broadcast side is agg(count(*)): exactly 1 row at any SF "
+        "(the vocabulary-sized df table is deliberately NOT hinted)",
+    ),
+    "d14_domain_mixing": (
+        {"bounded:documents", "bounded:local_rows"},
+        "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible-total "
+        "scalar (1 row), and per-(domain,bucket) offsets: ≤ |domains|×256 rows",
+    ),
+    "d14b_domain_upsampling": (
+        {"bounded:documents", "bounded:local_rows"},
+        "broadcast sides are the 4-row MIX_WEIGHTS literal and groupBy(source) "
+        "counts: exactly |domains| = 4 rows at any SF",
+    ),
+    "b05_range_band_join": (
+        {"bounded:local_rows"},
+        "broadcast side is the 3-row literal band table (constant)",
+    ),
+    "b13_ranking_suite": (
+        {"bounded:orders"},
+        "broadcast side is the (status, price-bucket) rank-offset grid: "
+        "≤ |statuses| × |price-domain/4096| ≈ 3×150 rows — bounded by the "
+        "price DOMAIN, not the row count, so constant at any SF",
+    ),
+    "d6_sentiment_lexicon": (
+        {"bounded:local_rows"},
+        "broadcast side is the constant sentiment lexicon literal (dozens of rows)",
+    ),
 }
 
 
 def test_no_broadcast_hints_on_scaling_tables(spark):
     """An explicit broadcast hint cannot be demoted by AQE, so a hinted
     table that grows with SF OOMs executors at scale. Every registered
-    query must hint only fixed dims, literals, or aggregate/limit-bounded
-    sides — anything else needs an entry in ALLOWED_BOUNDED_BROADCASTS."""
+    query must hint only fixed dims, literals, or documented-bounded sides —
+    and an allowlisted query may produce ONLY its documented flags."""
     offenders = {}
     for name, spec in REGISTRY.items():
         a = audit(spec.fn(spark, SF_DIR))
-        flagged = a["hinted_scaling_tables"]
-        if flagged and name not in ALLOWED_BOUNDED_BROADCASTS:
-            offenders[name] = flagged
+        flagged = set(a["hinted_scaling_tables"])
+        allowed = ALLOWED_BOUNDED_BROADCASTS.get(name, (set(),))[0]
+        if flagged - allowed:
+            offenders[name] = sorted(flagged - allowed)
     assert not offenders, f"unbounded broadcast hints on scaling tables: {offenders}"
+
+
+#: Columns whose cardinality does NOT grow with SF (enums / fixed dims): a
+#: corpus-scale window partitioned ONLY by these funnels the corpus through
+#: a constant number of tasks — the d14 "weak" finding generalized.
+LOW_CARDINALITY_COLS = frozenset(
+    {
+        "source", "lang", "event_type", "label", "bkt",
+        "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+        "c_mktsegment", "r_name", "n_name", "r_regionkey", "n_nationkey",
+    }
+)
+
+
+def test_no_single_low_card_corpus_windows(spark):
+    """No registered query may run a window over corpus-scale input whose
+    partition key set is empty (global window) or drawn entirely from
+    LOW_CARDINALITY_COLS with fewer than 2 columns — the two-phase rank
+    recipe (rank within (key, hash/range bucket) + broadcast offsets, see
+    d14_domain_mixing / b13_ranking_suite) exists to avoid exactly this."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        wins = corpus_window_partitions(spec.fn(spark, SF_DIR))
+        bad = [
+            w
+            for w in wins
+            if not w or (len(w) < 2 and set(w) <= LOW_CARDINALITY_COLS)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"single-task-prone corpus windows: {offenders} — partition by an "
+        "additional high-cardinality bucket and recover ranks via broadcast "
+        "offsets (two-phase rank recipe, SCALE.md)"
+    )
 
 
 def test_lsh_pairs_avoid_cartesian(spark):

@@ -117,9 +117,7 @@ def test_c6_stateful_running_counts_across_batches(spark, events_dir):
     if not os.path.exists(two_batch_dir):
         # write ts back as nanos longs, matching the raw events layout the
         # stream schema expects
-        e = table(spark, SMOKE_SF_DIR, "events").withColumn(
-            "ts", F.unix_micros("ts") * 1000
-        )
+        e = table(spark, SMOKE_SF_DIR, "events")
         half = e.count() // 2
         e.filter(e.event_id < half).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(two_batch_dir, "b0")
@@ -133,7 +131,7 @@ def test_c6_stateful_running_counts_across_batches(spark, events_dir):
         .option("recursiveFileLookup", True)
         .parquet(two_batch_dir)
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     out = _run_to_memory(spark, streams.c6_stateful_running_counts(stream), "c6_sink")
     # memory sink in update mode accumulates emissions; final per key = max
     rows = out.collect()
@@ -161,7 +159,7 @@ def test_c4_watermark_bounds_state(spark, events_dir):
     state bound: after the late batch, the store holds only the open
     windows, not one per historical hour."""
     late_dir = os.path.join(os.path.dirname(events_dir), "stream_events_late")
-    e = table(spark, SMOKE_SF_DIR, "events").withColumn("ts", F.unix_micros("ts") * 1000)
+    e = table(spark, SMOKE_SF_DIR, "events")
     max_id = e.agg(F.max("event_id")).head()[0]
     if not os.path.exists(late_dir):
         # batch 0: the NEWEST quarter of events (advances watermark far)
@@ -178,7 +176,7 @@ def test_c4_watermark_bounds_state(spark, events_dir):
         .option("recursiveFileLookup", True)
         .parquet(late_dir)
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = streams.c8_write_stream(streams.c1_tumbling_stream(stream), "c4_late_sink", "append")
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM c4_late_sink")
@@ -232,7 +230,7 @@ def test_c9b_incremental_lww_sink(spark, events_dir):
         .option("recursiveFileLookup", True)
         .parquet(two_batch_dir)
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = streams.c9b_incremental_lww_sink(stream, state_dir)
     q.awaitTermination(180)
 
