@@ -50,6 +50,71 @@ HEADLINE = [
     "exact_dedup_docs",
 ]
 
+#: D-layer training-pipeline operators timed against their own DuckDB oracle
+#: twins (same data, same semantics) so a perf regression in the pipeline
+#: ops is visible to the bench gate, not just the headline queries.
+PIPELINE = [
+    "d2b_minhash_lsh_pairs",
+    "d16_substring_dedup",
+    "d13_sequence_packing",
+    "d_pipeline_end_to_end",
+]
+
+
+def bench_pipeline(spark, sf_dir: str) -> dict:
+    """Per-query warm times for the PIPELINE ops plus their DuckDB-twin
+    times and the spark/duckdb ratio — the same measure BASELINE.md applies
+    to the headline suite, extended to the D layer."""
+    import duckdb
+
+    names = [n for n in PIPELINE if n in REGISTRY]
+    # The pipeline ops shuffle millions of pair/digest rows (vs the headline
+    # queries' thousands), so they get the full session partition count —
+    # the same partitions-sized-by-bytes rule, applied per workload.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    )
+    # Adaptive run count: the heavy ops (minhash-LSH is ~1 min per engine at
+    # sf0.1) are measured once — run-to-run noise is a rounding error at that
+    # magnitude, and a fixed 1+3 protocol would quadruple bench wall time.
+    # Sub-3 s ops get warm + best-of-3 like the headline suite.
+    times, builds = {}, {}
+    for name in names:
+        b0, e0 = run_once(spark, name, sf_dir)
+        if b0 + e0 < 3.0:
+            runs = [run_once(spark, name, sf_dir) for _ in range(3)]
+            b0, e0 = min(runs, key=lambda be: be[0] + be[1])
+        builds[name], times[name] = round(b0, 4), round(b0 + e0, 4)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck: dict[str, float] = {}
+    for name in names:
+        sql = REGISTRY[name].oracle
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = time.perf_counter() - t0
+        if best < 3.0:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 4)
+    total, duck_total = round(sum(times.values()), 4), round(sum(duck.values()), 4)
+    return {
+        "queries": times,
+        "total_sec": total,
+        "plan_build_sec_total": round(sum(builds.values()), 4),
+        "duckdb_queries": duck,
+        "duckdb_total_sec": duck_total,
+        "ratio_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
+    }
+
 
 def run_once(spark, name: str, sf_dir: str) -> tuple[float, float]:
     """(build_sec, exec_sec): driver-side DataFrame/plan construction vs
@@ -121,6 +186,8 @@ def main() -> None:
         concurrent_wall = w if concurrent_wall is None else min(concurrent_wall, w)
     concurrent_wall = round(concurrent_wall, 4)
 
+    pipeline = bench_pipeline(spark, sf_dir)
+
     build_total = round(sum(builds.values()), 4)
     print(json.dumps({
         "metric": "headline_suite_warm_total",
@@ -129,6 +196,7 @@ def main() -> None:
         "queries": times,
         "concurrent_wall_sec": concurrent_wall,
         "sf": sf,
+        "pipeline_suite": pipeline,
         "overhead": {
             "plan_build_sec_total": build_total,
             "exec_fetch_sec_total": round(total - build_total, 4),

@@ -235,7 +235,11 @@ def _parse_selector(s: str) -> tuple[str, str, str | None]:
             return ("writetime", arg, alias or (f"{fn}_{arg}" if fn == "maxwritetime" else None))
         if fn == "token":
             return ("token", arg, alias)
-        raise InvalidRequest(f"unknown function {fn}()")
+        # fall through: may be a session-created UDF/UDA (CREATE FUNCTION /
+        # CREATE AGGREGATE) — resolved (or rejected) in cql()
+    m = re.match(r"^(\w+)\s*\((.*)\)$", s, re.DOTALL)
+    if m:
+        return ("call:" + m.group(1).lower(), m.group(2).strip(), alias)
     if re.fullmatch(r"\w+", s):
         return ("col", s, alias)
     if re.fullmatch(r"\w+(\.\w+)+", s):
@@ -369,11 +373,15 @@ def cql(
     source_df: DataFrame | None = None,
     extra_keys: dict | None = None,
     extra_indexed: dict | None = None,
+    extra_functions: dict | None = None,
+    extra_aggregates: dict | None = None,
 ) -> DataFrame:
     """Execute a CQL SELECT against the catalog (or an injected source —
     the CqlSession merged view); returns a DataFrame. ``extra_keys``
     carries session-created tables' key metadata (see parse);
-    ``extra_indexed`` session-created secondary indexes (CREATE INDEX)."""
+    ``extra_indexed`` session-created secondary indexes (CREATE INDEX);
+    ``extra_functions``/``extra_aggregates`` session-created UDFs/UDAs
+    (CREATE FUNCTION / CREATE AGGREGATE — FunctionDef/AggregateDef)."""
     q = parse(statement, extra_keys)
     _check_restrictions(q, extra_keys, extra_indexed)
     pk, cc = {**TABLE_KEYS, **(extra_keys or {})}[q.table]
@@ -418,11 +426,22 @@ def cql(
         score = cosine(F.col(anncol), literal_vector(qv))
         df = df.orderBy(score.desc(), *[F.asc(c) for c in pk]).limit(q.limit)
 
-    aggs = [s for s in q.selectors if s[0].startswith("agg:")]
+    udfs = extra_functions or {}
+    udas = extra_aggregates or {}
+    aggs = [
+        s
+        for s in q.selectors
+        if s[0].startswith("agg:")
+        or (s[0].startswith("call:") and s[0].split(":", 1)[1] in udas)
+    ]
     if aggs:
         exprs = []
         for kind, arg, alias in aggs:
             fn = kind.split(":", 1)[1]
+            if kind.startswith("call:"):
+                name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
+                exprs.append(F.expr(udas[fn].expr_sql(arg, udfs)).alias(name))
+                continue
             name = alias or (f"{fn}_{arg}" if arg != "*" else fn)
             col = F.count(F.lit(1)) if arg == "*" else getattr(F, fn)(arg)
             if fn == "count" and arg != "*":
@@ -466,6 +485,14 @@ def cql(
                 from .functions.murmur3 import token_murmur3
 
                 cols.append(token_murmur3(F.col(arg)).alias(alias or f"token_{arg}"))
+            elif kind.startswith("call:"):
+                fn = kind.split(":", 1)[1]
+                fdef = udfs.get(fn)
+                if fdef is None:
+                    raise InvalidRequest(f"unknown function {fn}()")
+                actual = [a.strip() for a in split_top_level(arg)] if arg else []
+                name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
+                cols.append(F.expr(fdef.expr_sql(actual)).alias(name))
             elif kind == "writetime":
                 if f"__wt_{arg}" in df.columns:
                     # per-cell writetime threaded through CqlSession's
@@ -491,6 +518,112 @@ def cql(
     if q.json:
         df = df.select(F.to_json(F.struct(*df.columns)).alias("[json]"))
     return df
+
+
+# ---------------------------------------------------------------------------
+# User-defined functions / aggregates (SURVEY §2 A33/A34 CQL front-end,
+# [PK `cql3/functions/UDFunction.java`, `UDAggregate.java`])
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FunctionDef:
+    """Parsed CREATE FUNCTION. Bodies are EXPRESSION-ONLY: Cassandra runs
+    arbitrary sandboxed Java; a Spark engine must stay declarative to keep
+    the plan whole-stage-codegen'd, so we accept the expression-bodied
+    subset (``return <expr>;`` for LANGUAGE java — Math.* maps to SQL
+    functions — or a plain SQL expression for the engine-native LANGUAGE
+    sql) and translate it to a Catalyst expression over the arguments."""
+
+    name: str
+    args: tuple[tuple[str, str], ...]  # (arg name, cql type)
+    returns: str  # cql type
+    body_sql: str  # SQL expression over the arg names
+    called_on_null: bool = False
+
+    def expr_sql(self, actual: list[str]) -> str:
+        """The body with argument names substituted by the caller's column
+        names/literals, null-input semantics applied, cast to the declared
+        return type."""
+        if len(actual) != len(self.args):
+            raise InvalidRequest(
+                f"{self.name}() takes {len(self.args)} arguments, got {len(actual)}"
+            )
+        body = self.body_sql
+        for (formal, _), act in zip(self.args, actual):
+            body = re.sub(rf"\b{re.escape(formal)}\b", f"({act})", body)
+        out = f"CAST(({body}) AS {cql_type_to_spark(self.returns)})"
+        if not self.called_on_null and self.args:
+            null_any = " OR ".join(f"({a}) IS NULL" for a in actual)
+            out = f"CASE WHEN {null_any} THEN NULL ELSE {out} END"
+        return out
+
+
+@dataclass(frozen=True)
+class AggregateDef:
+    """Parsed CREATE AGGREGATE: state fold semantics exactly as Cassandra
+    defines them (state = SFUNC(state, value) per row, FINALFUNC(state) at
+    the end), expressed as Catalyst's higher-order ``aggregate`` over a
+    per-group ``collect_list`` — the fold itself stays JVM-side.
+
+    Scale note: collect_list makes per-group memory O(group size), which
+    mirrors Cassandra's own coordinator-side aggregation posture; UDAs
+    with distributive folds should use the vectorized pandas UDA path
+    (operators/llm_multimodal.py a34) at corpus scale."""
+
+    name: str
+    arg_type: str
+    stype: str
+    sfunc: str
+    finalfunc: str | None
+    initcond_sql: str | None
+
+    def expr_sql(self, actual: str, functions: dict[str, FunctionDef]) -> str:
+        sf = functions.get(self.sfunc)
+        if sf is None or len(sf.args) != 2:
+            raise InvalidRequest(
+                f"aggregate {self.name}: state function {self.sfunc!r} "
+                "must be a registered 2-argument function"
+            )
+        spark_stype = cql_type_to_spark(self.stype)
+        init = self.initcond_sql if self.initcond_sql is not None else "NULL"
+        step = sf.expr_sql(["acc", "v"])
+        if self.finalfunc is not None:
+            ff = functions.get(self.finalfunc)
+            if ff is None or len(ff.args) != 1:
+                raise InvalidRequest(
+                    f"aggregate {self.name}: final function {self.finalfunc!r} "
+                    "must be a registered 1-argument function"
+                )
+            final = ff.expr_sql(["acc"])
+        else:
+            final = "acc"
+        return (
+            f"aggregate(collect_list({actual}), CAST({init} AS {spark_stype}), "
+            f"(acc, v) -> CAST(({step}) AS {spark_stype}), acc -> {final})"
+        )
+
+
+_JAVA_RETURN = re.compile(r"^\s*return\s+(?P<expr>.+?)\s*;?\s*$", re.DOTALL)
+
+
+def translate_function_body(language: str, body: str) -> str:
+    """CREATE FUNCTION body → SQL expression. LANGUAGE java accepts the
+    expression-bodied subset (single ``return <expr>;`` — ``Math.f(x)``
+    becomes ``f(x)``, ternaries become CASE via iif-style rewrite is NOT
+    attempted: rejected); LANGUAGE sql takes the expression verbatim."""
+    lang = language.lower()
+    if lang == "sql":
+        return body.strip()
+    if lang == "java":
+        m = _JAVA_RETURN.match(body)
+        if not m or ";" in m.group("expr"):
+            raise InvalidRequest(
+                "only expression-bodied java UDFs are supported "
+                "(single `return <expr>;`) — use LANGUAGE sql for anything richer"
+            )
+        return re.sub(r"\bMath\.(\w+)", r"\1", m.group("expr"))
+    raise InvalidRequest(f"unsupported UDF language {language!r} (java or sql)")
 
 
 # ---------------------------------------------------------------------------

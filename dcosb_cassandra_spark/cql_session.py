@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,8 @@ from pyspark.sql.window import Window
 
 from .catalog import table
 from .cql import (
+    AggregateDef,
+    FunctionDef,
     InvalidRequest,
     TABLE_KEYS,
     TableDef,
@@ -43,6 +46,7 @@ from .cql import (
     cql,
     parse_create_table,
     split_top_level,
+    translate_function_body,
 )
 
 ROW_MARKER = "__row__"
@@ -88,6 +92,40 @@ _ALTER_ADD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ADD\s+(?P<col>\w+)\s+(?P<type>.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s+AS\s+"
+    r"SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<base>\w+)\s+"
+    r"WHERE\s+(?P<where>.*?)\s+"
+    r"PRIMARY\s+KEY\s*\(\s*(?P<pkspec>.*)\)\s*(?:WITH\s+.*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MV = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_FUNCTION = re.compile(
+    r"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?FUNCTION\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s*"
+    r"\(\s*(?P<args>[^)]*)\)\s+"
+    r"(?P<onnull>CALLED|RETURNS\s+NULL)\s+ON\s+NULL\s+INPUT\s+"
+    r"RETURNS\s+(?P<rtype>.+?)\s+"
+    r"LANGUAGE\s+(?P<lang>\w+)\s+"
+    r"AS\s+(?P<body>'.*'|\$\$.*\$\$)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_AGGREGATE = re.compile(
+    r"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?AGGREGATE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s*"
+    r"\(\s*(?P<argtype>[^)]*)\)\s+"
+    r"SFUNC\s+(?P<sfunc>\w+)\s+"
+    r"STYPE\s+(?P<stype>.+?)\s*"
+    r"(?:FINALFUNC\s+(?P<finalfunc>\w+)\s*)?"
+    r"(?:INITCOND\s+(?P<init>.+?)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNCTION = re.compile(
+    r"^\s*DROP\s+(?P<kind>FUNCTION|AGGREGATE)\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_IS_NOT_NULL = re.compile(r"^\s*(?P<col>\w+)\s+IS\s+NOT\s+NULL\s*$", re.IGNORECASE)
 _COPY = re.compile(
     r"^\s*COPY\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
     r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*(?:WITH\s+.*)?;?\s*$",
@@ -155,6 +193,31 @@ def _render_literal(v) -> str:
     raise InvalidRequest(f"cannot bind value of type {type(v).__name__}")
 
 
+@dataclass
+class MvDef:
+    """Parsed CREATE MATERIALIZED VIEW [PK `db/view/View.java`,
+    `cql3/statements/CreateViewStatement.java`]: the view is a re-keyed
+    projection of its base table, maintained here as a DERIVED PLAN over
+    the live base snapshot (filter + project) rather than a second copy —
+    the Spark-native MV posture (the write-path twin is the foreachBatch
+    maintenance loop, streaming/streams.py c9). Cassandra's invariants are
+    enforced at CREATE time: the view key must contain every base key
+    column plus at most one regular column, and every view key column must
+    be restricted IS NOT NULL."""
+
+    name: str
+    base: str
+    selectors: tuple[str, ...]  # projected column names; ("*",) = all
+    not_null: tuple[str, ...]
+    conds: list  # (col, op, literal) extra WHERE restrictions
+    partition_key: tuple[str, ...]
+    clustering: tuple[str, ...]
+
+    @property
+    def keys(self) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        return (self.partition_key, self.clustering)
+
+
 class Prepared:
     """A parsed-once statement template with ``?`` bind markers
     [PK `cql3/statements/ParsedStatement.java` prepare path]. Binding
@@ -214,6 +277,11 @@ class CqlSession:
         self._created: dict[str, TableDef] = {}
         #: session-created secondary indexes (CREATE INDEX): tbl -> cols
         self._indexed: dict[str, tuple[str, ...]] = {}
+        #: session-created materialized views (CREATE MATERIALIZED VIEW)
+        self._views: dict[str, MvDef] = {}
+        #: session-created UDFs / UDAs (CREATE FUNCTION / AGGREGATE)
+        self._functions: dict[str, FunctionDef] = {}
+        self._aggregates: dict[str, AggregateDef] = {}
         #: non-None while executing a BEGIN BATCH: the shared writetime
         self._pinned_wt: int | None = None
         #: table -> writetime of its last TRUNCATE: every cell (incl. the
@@ -234,6 +302,8 @@ class CqlSession:
         return self.now_micros + self._seq
 
     def _keys(self, tbl: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        if tbl in self._views:
+            return self._views[tbl].keys
         if tbl in self._created:
             return self._created[tbl].keys
         if tbl in TABLE_KEYS:
@@ -398,6 +468,41 @@ class CqlSession:
             finally:
                 self._pinned_wt = None
             return None
+
+        m = _CREATE_MV.match(s)
+        if m:
+            return self._create_mv(m)
+
+        m = _DROP_MV.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name in self._views:
+                del self._views[name]
+                return None
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"unknown materialized view {name}")
+
+        m = _CREATE_FUNCTION.match(s)
+        if m:
+            return self._create_function(m)
+
+        m = _CREATE_AGGREGATE.match(s)
+        if m:
+            return self._create_aggregate(m)
+
+        m = _DROP_FUNCTION.match(s)
+        if m:
+            name = m.group("name").lower()
+            store = (
+                self._functions if m.group("kind").upper() == "FUNCTION" else self._aggregates
+            )
+            if name in store:
+                del store[name]
+                return None
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"unknown {m.group('kind').lower()} {name}")
 
         if re.match(r"^CREATE\s+TABLE\b", s, re.IGNORECASE):
             td = parse_create_table(s)
@@ -724,6 +829,121 @@ class CqlSession:
             n = len(rows)
         return self.spark.createDataFrame([(n,)], "n_rows BIGINT")
 
+    # -- schema DDL beyond tables -------------------------------------------
+
+    def _create_mv(self, m: re.Match) -> None:
+        name, base = m.group("name").lower(), m.group("base").lower()
+        if name in self._views or name in TABLE_KEYS or name in self._created:
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"materialized view {name} already exists")
+        base_pk, base_cc = self._keys(base)  # validates the base exists
+        sels = tuple(c.strip().lower() for c in m.group("sel").split(","))
+        not_null: list[str] = []
+        conds: list = []
+        for part in re.split(r"\bAND\b", m.group("where"), flags=re.IGNORECASE):
+            nn = _IS_NOT_NULL.match(part)
+            if nn:
+                not_null.append(nn.group("col").lower())
+                continue
+            c = re.match(r"^\s*(?P<col>\w+)\s*(?P<op>=|!=|<=|>=|<|>)\s*(?P<lit>.+?)\s*$", part)
+            if not c:
+                raise InvalidRequest(f"unparseable view restriction: {part!r}")
+            conds.append((c.group("col").lower(), c.group("op"), _literal(c.group("lit"))))
+        comps = split_top_level(m.group("pkspec"))
+        first = comps[0].strip()
+        if first.startswith("("):
+            pk = tuple(c.strip().lower() for c in split_top_level(first[1:-1]))
+        else:
+            pk = (first.lower(),)
+        cc = tuple(c.strip().lower() for c in comps[1:])
+        view_keys = (*pk, *cc)
+        missing = [c for c in (*base_pk, *base_cc) if c not in view_keys]
+        if missing:
+            raise InvalidRequest(
+                f"view PRIMARY KEY must include all base key columns, missing {missing}"
+            )
+        extra = [c for c in view_keys if c not in (*base_pk, *base_cc)]
+        if len(extra) > 1:
+            raise InvalidRequest(
+                f"view key may include at most ONE non-key base column, got {extra}"
+            )
+        unrestricted = [c for c in view_keys if c not in not_null]
+        if unrestricted:
+            raise InvalidRequest(
+                f"every view key column must be restricted IS NOT NULL: {unrestricted}"
+            )
+        self._views[name] = MvDef(name, base, sels, tuple(not_null), conds, pk, cc)
+        return None
+
+    def _create_function(self, m: re.Match) -> None:
+        from .cql import cql_type_to_spark
+
+        name = m.group("name").lower()
+        if name in self._functions and not m.group("orr"):
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"function {name} already exists")
+        args = []
+        for part in split_top_level(m.group("args")):
+            part = part.strip()
+            if not part:
+                continue
+            am = re.match(r"^(?P<arg>\w+)\s+(?P<type>.+)$", part, re.DOTALL)
+            if not am:
+                raise InvalidRequest(f"unparseable function argument: {part!r}")
+            cql_type_to_spark(am.group("type").strip().lower())  # validate
+            args.append((am.group("arg").lower(), am.group("type").strip().lower()))
+        rtype = m.group("rtype").strip().lower()
+        cql_type_to_spark(rtype)  # validate
+        raw = m.group("body")
+        body = raw[2:-2] if raw.startswith("$$") else raw[1:-1].replace("''", "'")
+        self._functions[name] = FunctionDef(
+            name=name,
+            args=tuple(args),
+            returns=rtype,
+            body_sql=translate_function_body(m.group("lang"), body),
+            called_on_null=m.group("onnull").upper() == "CALLED",
+        )
+        return None
+
+    def _create_aggregate(self, m: re.Match) -> None:
+        from .cql import cql_type_to_spark
+
+        name = m.group("name").lower()
+        if name in self._aggregates and not m.group("orr"):
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"aggregate {name} already exists")
+        stype = m.group("stype").strip().lower()
+        cql_type_to_spark(stype)  # validate
+        ad = AggregateDef(
+            name=name,
+            arg_type=m.group("argtype").strip().lower(),
+            stype=stype,
+            sfunc=m.group("sfunc").lower(),
+            finalfunc=m.group("finalfunc").lower() if m.group("finalfunc") else None,
+            initcond_sql=m.group("init").strip() if m.group("init") else None,
+        )
+        ad.expr_sql("NULL", self._functions)  # eager validation, Cassandra-style
+        self._aggregates[name] = ad
+        return None
+
+    def _mv_source(self, mv: MvDef) -> DataFrame:
+        """The view's derived plan: live base snapshot → key IS NOT NULL
+        filters + view restrictions → declared projection."""
+        from .cql import _condition
+
+        df = self.snapshot(mv.base)
+        for col in mv.not_null:
+            df = df.filter(F.col(col).isNotNull())
+        for col, op, lit in mv.conds:
+            df = df.filter(_condition(col, op, lit))
+        if mv.selectors != ("*",):
+            keep = list(dict.fromkeys([*mv.partition_key, *mv.clustering, *mv.selectors]))
+            df = df.select(*keep)
+        return df
+
     def _select(self, statement: str) -> DataFrame:
         m = re.search(r"\bFROM\s+(\w+)", statement, re.IGNORECASE)
         if not m:
@@ -731,12 +951,19 @@ class CqlSession:
         tbl = m.group(1).lower()
         self._keys(tbl)  # raises InvalidRequest for unknown/dropped tables
         extra = {n: td.keys for n, td in self._created.items()}
+        extra.update({n: v.keys for n, v in self._views.items()})
         with_wt = bool(re.search(r"\bwritetime\s*\(", statement, re.IGNORECASE))
+        if tbl in self._views:
+            src = self._mv_source(self._views[tbl])
+        else:
+            src = self.snapshot(tbl, with_writetimes=with_wt)
         return cql(
             self.spark,
             self.sf_dir,
             statement,
-            source_df=self.snapshot(tbl, with_writetimes=with_wt),
+            source_df=src,
             extra_keys=extra,
             extra_indexed=self._indexed,
+            extra_functions=self._functions,
+            extra_aggregates=self._aggregates,
         )

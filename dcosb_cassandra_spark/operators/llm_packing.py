@@ -64,19 +64,59 @@ def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     belongs to the sequence where its FIRST token lands (seq_id =
     floor(preceding-cumsum / budget)). One running-sum window + one hash
     aggregate; a sequence's last doc may straddle the budget boundary
-    (the trainer truncates/continues), so fill_ratio caps at 1.0."""
+    (the trainer truncates/continues), so fill_ratio caps at 1.0.
+
+    Sub-sharding: d13b is the same operator with ``sub_shard_span`` set —
+    the SCALE.md recipe in code, identical output (same oracle)."""
+    return sequence_packing(spark, sf_dir)
+
+
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, sub_shard_span: int | None = None
+) -> DataFrame:
+    """The parameterized packer. With ``sub_shard_span`` the running sum is
+    TWO-PHASE: docs get an order-consistent sub-shard ``bkt =
+    floor(doc_id / span)`` (ingest date / file id in production — any key
+    monotone in the concat order works), the cumsum runs within (source,
+    lang, bkt), and per-bucket token totals — a tiny grid — broadcast back
+    as offsets, so no single task ever sorts a whole (source, lang) shard.
+    Global cumsum = bucket offset + local cumsum, making the output
+    IDENTICAL to the single-window form at any span."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", _ws_tokens(F.col("text")).alias("tok")
     )
-    w = (
-        Window.partitionBy("source", "lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = d.withColumn(
-        "seq_id",
-        F.floor((F.sum("tok").over(w) - F.col("tok")) / SEQ_BUDGET),
-    )
+    if sub_shard_span is None:
+        w = (
+            Window.partitionBy("source", "lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        packed = d.withColumn(
+            "seq_id",
+            F.floor((F.sum("tok").over(w) - F.col("tok")) / SEQ_BUDGET),
+        )
+    else:
+        d = d.withColumn("bkt", F.floor(F.col("doc_id") / sub_shard_span))
+        wl = (
+            Window.partitionBy("source", "lang", "bkt")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = d.withColumn("cum_l", F.sum("tok").over(wl))
+        grid = d.groupBy("source", "lang", "bkt").agg(F.sum("tok").alias("btok"))
+        wo = (
+            Window.partitionBy("source", "lang")
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = grid.select(
+            "source", "lang", "bkt", F.coalesce(F.sum("btok").over(wo), F.lit(0)).alias("off")
+        )
+        packed = local.join(
+            F.broadcast(offsets), ["source", "lang", "bkt"]
+        ).withColumn(
+            "seq_id", F.floor((F.col("off") + F.col("cum_l") - F.col("tok")) / SEQ_BUDGET)
+        )
     return packed.groupBy("source", "lang", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("seq_tokens"),
@@ -84,6 +124,34 @@ def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+@query(
+    "d13b_sequence_packing_subsharded",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, lang, {_WS_TOKENS_SQL} AS tok FROM documents
+        ),
+        packed AS (
+            SELECT source, lang, tok,
+                   CAST(floor(
+                       (sum(tok) OVER (PARTITION BY source, lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - tok)
+                       / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+            FROM toks
+        )
+        SELECT source, lang, seq_id, count(*) AS n_docs,
+               sum(tok) AS seq_tokens,
+               round(least(sum(tok), {SEQ_BUDGET}) / {SEQ_BUDGET}.0, 6) AS fill_ratio
+        FROM packed GROUP BY source, lang, seq_id
+    """,
+    tags=("D13", "P1"),
+)
+def d13b_sequence_packing_subsharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13 with the sub-shard recipe ON (span=64 doc ids per bucket): the
+    oracle is the plain single-window SQL — hash-equality proves the
+    two-phase rewrite changes the PLAN, not the answer."""
+    return sequence_packing(spark, sf_dir, sub_shard_span=64)
 
 
 #: target corpus mix by source domain (sums to 1). The feasible corpus

@@ -446,3 +446,165 @@ def test_per_cell_writetime_readback(spark):
         "FROM customer WHERE c_custkey = 777001"
     ).head()
     assert r2["wn"] > 1_800_000_000_000_000 and r2["wb"] is None
+
+
+# -- schema DDL beyond tables: MV / FUNCTION / AGGREGATE ---------------------
+
+
+def test_create_materialized_view_from_cql(sess):
+    """A26 driven from CQL text: the MV re-keys customer by (mktsegment,
+    custkey), reflects later base-table writes, and rejects SELECTs that
+    would violate its own key restrictions."""
+    sess.execute(
+        "CREATE MATERIALIZED VIEW cust_by_segment AS "
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_mktsegment IS NOT NULL AND c_custkey IS NOT NULL "
+        "PRIMARY KEY (c_mktsegment, c_custkey)"
+    )
+    rows = sess.execute(
+        "SELECT c_custkey, c_name FROM cust_by_segment WHERE c_mktsegment = 'BUILDING'"
+    ).collect()
+    assert rows, "view must serve partition reads on its own key"
+    # the view tracks base-table mutations (derived plan, not a stale copy)
+    sess.execute(
+        "INSERT INTO customer (c_custkey, c_name, c_mktsegment) "
+        "VALUES (888001, 'MV CUST', 'BUILDING')"
+    )
+    names = {
+        r["c_name"]
+        for r in sess.execute(
+            "SELECT c_name FROM cust_by_segment WHERE c_mktsegment = 'BUILDING'"
+        ).collect()
+    }
+    assert "MV CUST" in names
+    # non-key filter without ALLOW FILTERING is rejected on the view too
+    with pytest.raises(Exception):
+        sess.execute("SELECT c_custkey FROM cust_by_segment WHERE c_name = 'x'")
+
+
+def test_create_mv_invariants(sess):
+    # missing base key column in the view key
+    with pytest.raises(Exception, match="must include all base key"):
+        sess.execute(
+            "CREATE MATERIALIZED VIEW bad1 AS SELECT c_name FROM customer "
+            "WHERE c_mktsegment IS NOT NULL PRIMARY KEY (c_mktsegment)"
+        )
+    # more than one non-key base column in the view key
+    with pytest.raises(Exception, match="at most ONE"):
+        sess.execute(
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT * FROM customer "
+            "WHERE c_mktsegment IS NOT NULL AND c_name IS NOT NULL "
+            "AND c_custkey IS NOT NULL "
+            "PRIMARY KEY (c_mktsegment, c_name, c_custkey)"
+        )
+    # view key column not restricted IS NOT NULL
+    with pytest.raises(Exception, match="IS NOT NULL"):
+        sess.execute(
+            "CREATE MATERIALIZED VIEW bad3 AS SELECT * FROM customer "
+            "WHERE c_mktsegment IS NOT NULL PRIMARY KEY (c_mktsegment, c_custkey)"
+        )
+
+
+def test_drop_materialized_view(sess):
+    sess.execute(
+        "CREATE MATERIALIZED VIEW mv_tmp AS SELECT * FROM nation "
+        "WHERE n_nationkey IS NOT NULL PRIMARY KEY (n_nationkey)"
+    )
+    assert sess.execute("SELECT n_name FROM mv_tmp WHERE n_nationkey = 1").count() == 1
+    sess.execute("DROP MATERIALIZED VIEW mv_tmp")
+    with pytest.raises(Exception):
+        sess.execute("SELECT n_name FROM mv_tmp WHERE n_nationkey = 1")
+
+
+def test_create_function_java_expression_body(sess):
+    """A33 from CQL text: expression-bodied java UDF (Cassandra's own DDL
+    shape) compiled to a Catalyst expression — including the RETURNS NULL
+    ON NULL INPUT default."""
+    sess.execute(
+        "CREATE FUNCTION double_bal (bal double) "
+        "RETURNS NULL ON NULL INPUT RETURNS double "
+        "LANGUAGE java AS 'return bal * 2;'"
+    )
+    r = sess.execute(
+        "SELECT c_custkey, double_bal(c_acctbal) AS d2 FROM customer WHERE c_custkey = 1"
+    ).head()
+    base = sess.execute("SELECT c_acctbal FROM customer WHERE c_custkey = 1").head()
+    assert abs(r["d2"] - 2 * base["c_acctbal"]) < 1e-9
+    # Math.* maps to the SQL function namespace
+    sess.execute(
+        "CREATE FUNCTION log_bal (bal double) "
+        "RETURNS NULL ON NULL INPUT RETURNS double "
+        "LANGUAGE java AS 'return Math.log(bal);'"
+    )
+    import math
+
+    r = sess.execute(
+        "SELECT log_bal(c_acctbal) AS lb FROM customer WHERE c_custkey = 1"
+    ).head()
+    assert abs(r["lb"] - math.log(base["c_acctbal"])) < 1e-9
+    # statement bodies are rejected, not silently mis-run
+    with pytest.raises(Exception, match="expression-bodied"):
+        sess.execute(
+            "CREATE FUNCTION bad_fn (x int) RETURNS NULL ON NULL INPUT RETURNS int "
+            "LANGUAGE java AS 'int y = x; return y;'"
+        )
+
+
+def test_create_function_null_semantics(sess):
+    sess.execute("CREATE TABLE fn_t (id int PRIMARY KEY, v double)")
+    sess.execute("INSERT INTO fn_t (id, v) VALUES (1, 3.0)")
+    sess.execute("INSERT INTO fn_t (id) VALUES (2)")  # v stays null
+    sess.execute(
+        "CREATE FUNCTION inc (x double) RETURNS NULL ON NULL INPUT RETURNS double "
+        "LANGUAGE java AS 'return x + 1;'"
+    )
+    sess.execute(
+        "CREATE FUNCTION inc_called (x double) CALLED ON NULL INPUT RETURNS double "
+        "LANGUAGE sql AS 'coalesce(x, 0.0) + 1'"
+    )
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in sess.execute(
+            "SELECT id, inc(v) AS a, inc_called(v) AS b FROM fn_t WHERE id IN (1, 2)"
+        ).collect()
+    }
+    assert got[1] == (4.0, 4.0)
+    assert got[2] == (None, 1.0), "RETURNS NULL vs CALLED ON NULL INPUT"
+
+
+def test_create_aggregate_fold_semantics(sess):
+    """A34 from CQL text: UDA = fold(SFUNC) + FINALFUNC, Cassandra's exact
+    state-machine semantics, executed as a JVM-side higher-order aggregate."""
+    sess.execute(
+        "CREATE FUNCTION acc_sum (state double, val double) "
+        "CALLED ON NULL INPUT RETURNS double LANGUAGE java AS 'return state + val;'"
+    )
+    sess.execute(
+        "CREATE FUNCTION half (state double) "
+        "CALLED ON NULL INPUT RETURNS double LANGUAGE java AS 'return state / 2;'"
+    )
+    sess.execute(
+        "CREATE AGGREGATE half_sum (double) SFUNC acc_sum STYPE double "
+        "FINALFUNC half INITCOND 0"
+    )
+    sess.execute("CREATE TABLE agg_t (id int PRIMARY KEY, grp text, v double)")
+    for i, (g, v) in enumerate([("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)]):
+        sess.execute(f"INSERT INTO agg_t (id, grp, v) VALUES ({i}, '{g}', {v})")
+    r = sess.execute("SELECT half_sum(v) AS hs FROM agg_t").head()
+    assert abs(r["hs"] - 8.0) < 1e-9  # (1+2+3+10)/2
+    # unknown SFUNC is rejected at CREATE time, like Cassandra
+    with pytest.raises(Exception, match="state function"):
+        sess.execute("CREATE AGGREGATE bad_agg (double) SFUNC nope STYPE double")
+
+
+def test_drop_function_and_aggregate(sess):
+    sess.execute(
+        "CREATE FUNCTION tmp_f (x int) RETURNS NULL ON NULL INPUT RETURNS int "
+        "LANGUAGE sql AS 'x + 1'"
+    )
+    sess.execute("DROP FUNCTION tmp_f")
+    with pytest.raises(Exception, match="unknown function"):
+        sess.execute("SELECT tmp_f(n_nationkey) AS y FROM nation WHERE n_nationkey = 1")
+    with pytest.raises(Exception, match="unknown function"):
+        sess.execute("DROP FUNCTION tmp_f")
+    sess.execute("DROP FUNCTION IF EXISTS tmp_f")  # no-op, no raise
