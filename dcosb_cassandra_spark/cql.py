@@ -144,7 +144,17 @@ def _literal(tok: str):
             entries = {}
             for p in parts:
                 k, v = _split_map_entry(p)
-                entries[_literal(k)] = _literal(v)
+                k = k.strip()
+                if re.fullmatch(r"[A-Za-z_]\w*", k) and k.lower() not in (
+                    "true",
+                    "false",
+                    "null",
+                ):
+                    # UDT literal [PK `cql3/Cql.g` usertype_literal]: bare
+                    # identifier field names — {street: 'elm', zip: 5}
+                    entries[k.lower()] = _literal(v)
+                else:
+                    entries[_literal(k)] = _literal(v)
             return entries
         return sorted((_literal(x) for x in parts), key=repr)
     if re.fullmatch(r"-?\d+", tok):
@@ -227,6 +237,11 @@ def _parse_selector(s: str) -> tuple[str, str, str | None]:
         fn, arg = m.group(1).lower(), m.group(2)
         if fn in _AGGS:
             return ("agg:" + fn, arg, alias)
+        if fn == "ttl":
+            # TTL(col) [PK `cql3/selection/Selectable.java` WritetimeOrTTL]:
+            # remaining seconds until the winning cell expires, null when no
+            # TTL is set — the read half of SURVEY A20.
+            return ("ttl", arg, alias)
         if fn in ("writetime", "maxwritetime"):
             # maxwritetime [PK CQL 4.1]: max cell-writetime of the column.
             # Our snapshot model tracks one winning cell per scalar column,
@@ -452,7 +467,11 @@ def cql(
         cols: list[Column] = []
         for kind, arg, alias in q.selectors:
             if kind == "star":
-                cols.extend(F.col(c) for c in df.columns if not c.startswith("__wt_"))
+                cols.extend(
+                    F.col(c)
+                    for c in df.columns
+                    if not c.startswith(("__wt_", "__ttl_"))
+                )
             elif kind == "col":
                 cols.append(F.col(arg).alias(alias) if alias else F.col(arg))
             elif kind == "field":
@@ -493,6 +512,13 @@ def cql(
                 actual = [a.strip() for a in split_top_level(arg)] if arg else []
                 name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
                 cols.append(F.expr(fdef.expr_sql(actual)).alias(name))
+            elif kind == "ttl":
+                if f"__ttl_{arg}" in df.columns:
+                    cols.append(F.col(f"__ttl_{arg}").alias(alias or f"ttl_{arg}"))
+                else:
+                    # catalog snapshot rows carry no TTL — Cassandra reports
+                    # null for cells written without one
+                    cols.append(F.lit(None).cast("int").alias(alias or f"ttl_{arg}"))
             elif kind == "writetime":
                 if f"__wt_{arg}" in df.columns:
                     # per-cell writetime threaded through CqlSession's
@@ -650,18 +676,21 @@ _CQL_PRIMITIVES: dict[str, str] = {
 }
 
 
-def cql_type_to_spark(t: str) -> str:
+def cql_type_to_spark(t: str, udts: dict[str, dict[str, str]] | None = None) -> str:
     """Map a CQL type (possibly nested: frozen<map<text, list<int>>>,
-    tuple<int, text>) to a Spark SQL type string. set<T> maps to array<T>
-    (stored sorted — Cassandra sets are ordered); frozen<> is the identity
-    (every Spark value is immutable); tuple fields are positional _1.._n."""
+    tuple<int, text>, or a CREATE TYPE name) to a Spark SQL type string.
+    set<T> maps to array<T> (stored sorted — Cassandra sets are ordered);
+    frozen<> is the identity (every Spark value is immutable); tuple fields
+    are positional _1.._n; a UDT name resolves through ``udts`` to a named
+    struct [PK `cql3/statements/CreateTypeStatement.java` — UDT = named
+    field tuple; SURVEY §1.2 maps it onto Spark's StructType]."""
     t = t.strip().lower()
     m = re.fullmatch(r"frozen\s*<(.*)>", t, re.DOTALL)
     if m:
-        return cql_type_to_spark(m.group(1))
+        return cql_type_to_spark(m.group(1), udts)
     m = re.fullmatch(r"(list|set)\s*<(.*)>", t, re.DOTALL)
     if m:
-        return f"array<{cql_type_to_spark(m.group(2))}>"
+        return f"array<{cql_type_to_spark(m.group(2), udts)}>"
     m = re.fullmatch(r"vector\s*<(.*)>", t, re.DOTALL)
     if m:
         # vector<float, n> [PK Cassandra 5.0 CQL vector type]: fixed-
@@ -670,35 +699,45 @@ def cql_type_to_spark(t: str) -> str:
         parts = split_top_level(m.group(1))
         if len(parts) != 2 or not re.fullmatch(r"\s*\d+\s*", parts[1]):
             raise InvalidRequest(f"vector type needs <element_type, dimension>: {t!r}")
-        return f"array<{cql_type_to_spark(parts[0])}>"
+        return f"array<{cql_type_to_spark(parts[0], udts)}>"
     m = re.fullmatch(r"map\s*<(.*)>", t, re.DOTALL)
     if m:
         k, v = split_top_level(m.group(1))
-        return f"map<{cql_type_to_spark(k)},{cql_type_to_spark(v)}>"
+        return f"map<{cql_type_to_spark(k, udts)},{cql_type_to_spark(v, udts)}>"
     m = re.fullmatch(r"tuple\s*<(.*)>", t, re.DOTALL)
     if m:
-        fields = [cql_type_to_spark(x) for x in split_top_level(m.group(1))]
+        fields = [cql_type_to_spark(x, udts) for x in split_top_level(m.group(1))]
         inner = ",".join(f"_{i + 1}:{f}" for i, f in enumerate(fields))
         return f"struct<{inner}>"
     if t in _CQL_PRIMITIVES:
         return _CQL_PRIMITIVES[t]
+    if udts and t in udts:
+        inner = ",".join(
+            f"{f}:{cql_type_to_spark(ft, udts)}" for f, ft in udts[t].items()
+        )
+        return f"struct<{inner}>"
     raise InvalidRequest(f"unsupported CQL type: {t!r}")
 
 
 @dataclass
 class TableDef:
     """Parsed CREATE TABLE: column order preserved, keys split Cassandra-
-    style into partition key and clustering columns."""
+    style into partition key and clustering columns. ``udts`` carries the
+    session's CREATE TYPE definitions in effect at parse time so UDT-typed
+    columns resolve to named structs."""
     name: str
     columns: dict[str, str]  # col -> CQL type (as written, lowercased)
     partition_key: tuple[str, ...]
     clustering: tuple[str, ...]
     if_not_exists: bool = False
+    udts: dict[str, dict[str, str]] = field(default_factory=dict)
 
     @property
     def spark_schema(self) -> str:
         """Spark DDL schema string for createDataFrame/empty snapshots."""
-        return ", ".join(f"{c} {cql_type_to_spark(t)}" for c, t in self.columns.items())
+        return ", ".join(
+            f"{c} {cql_type_to_spark(t, self.udts)}" for c, t in self.columns.items()
+        )
 
     @property
     def keys(self) -> tuple[tuple[str, ...], tuple[str, ...]]:
@@ -714,7 +753,9 @@ _PK_CLAUSE = re.compile(
 )
 
 
-def parse_create_table(statement: str) -> TableDef:
+def parse_create_table(
+    statement: str, udts: dict[str, dict[str, str]] | None = None
+) -> TableDef:
     """CREATE TABLE [IF NOT EXISTS] name (col type [PRIMARY KEY], ...,
     [PRIMARY KEY ((pk...), cc...)]) [WITH ...] — the composite-key grammar
     Cassandra uses: the first PRIMARY KEY component is the partition key
@@ -773,7 +814,7 @@ def parse_create_table(statement: str) -> TableDef:
             raise InvalidRequest(f"unparseable column definition: {part!r}")
         col = cm.group("col").lower()
         ctype = cm.group("type").strip().lower()
-        cql_type_to_spark(ctype)  # validate eagerly
+        cql_type_to_spark(ctype, udts)  # validate eagerly
         columns[col] = ctype
         if cm.group("inline_pk"):
             if pk:
@@ -784,4 +825,4 @@ def parse_create_table(statement: str) -> TableDef:
     missing = [c for c in (*pk, *cc) if c not in columns]
     if missing:
         raise InvalidRequest(f"PRIMARY KEY names undeclared columns: {missing}")
-    return TableDef(name, columns, pk, cc, bool(m.group("ine")))
+    return TableDef(name, columns, pk, cc, bool(m.group("ine")), dict(udts or {}))

@@ -126,6 +126,24 @@ _DROP_FUNCTION = re.compile(
     re.IGNORECASE,
 )
 _IS_NOT_NULL = re.compile(r"^\s*(?P<col>\w+)\s+IS\s+NOT\s+NULL\s*$", re.IGNORECASE)
+_CREATE_TYPE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s*"
+    r"\(\s*(?P<fields>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TYPE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(?P<ine>IF\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_KEYSPACE = re.compile(
+    r"^\s*CREATE\s+KEYSPACE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
+    r"(?:\s+WITH\s+.*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_KEYSPACE = re.compile(
+    r"^\s*DROP\s+KEYSPACE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_USE_KEYSPACE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _COPY = re.compile(
     r"^\s*COPY\s+(?P<table>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+"
     r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*(?:WITH\s+.*)?;?\s*$",
@@ -282,6 +300,13 @@ class CqlSession:
         #: session-created UDFs / UDAs (CREATE FUNCTION / AGGREGATE)
         self._functions: dict[str, FunctionDef] = {}
         self._aggregates: dict[str, AggregateDef] = {}
+        #: session-created UDTs (CREATE TYPE): name -> {field: cql type}
+        self._udts: dict[str, dict[str, str]] = {}
+        #: session keyspaces (CREATE KEYSPACE) — single-engine, so a
+        #: keyspace is a namespace, not a replication domain; `ks.tbl`
+        #: qualification is stripped for known keyspaces
+        self._keyspaces: set[str] = {"dcosb"}
+        self._current_ks: str = "dcosb"
         #: non-None while executing a BEGIN BATCH: the shared writetime
         self._pinned_wt: int | None = None
         #: table -> writetime of its last TRUNCATE: every cell (incl. the
@@ -425,8 +450,84 @@ class CqlSession:
         elif parameters:
             statement = Prepared(statement).bind(*parameters)
         s = statement.strip()
+        # strip known-keyspace qualification (single-engine: a keyspace is a
+        # namespace; replication settings are accepted and ignored)
+        for ks in self._keyspaces:
+            s = re.sub(
+                rf"\b(FROM|INTO|UPDATE|TABLE|VIEW)\s+{ks}\.", r"\1 ", s, flags=re.IGNORECASE
+            )
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
+
+        m = _USE_KEYSPACE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name not in self._keyspaces:
+                raise InvalidRequest(f"unknown keyspace {name}")
+            self._current_ks = name
+            return None
+
+        m = _CREATE_KEYSPACE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name in self._keyspaces and not m.group("ine"):
+                raise InvalidRequest(f"keyspace {name} already exists")
+            self._keyspaces.add(name)
+            return None
+
+        m = _DROP_KEYSPACE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name == "dcosb":
+                raise InvalidRequest("cannot drop the catalog keyspace")
+            if name in self._keyspaces:
+                self._keyspaces.discard(name)
+                return None
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"unknown keyspace {name}")
+
+        m = _CREATE_TYPE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name in self._udts:
+                if m.group("ine"):
+                    return None
+                raise InvalidRequest(f"type {name} already exists")
+            from .cql import cql_type_to_spark
+
+            fields: dict[str, str] = {}
+            for part in split_top_level(m.group("fields")):
+                part = part.strip()
+                if not part:
+                    continue
+                fm = re.match(r"^(?P<f>\w+)\s+(?P<t>.+)$", part, re.DOTALL)
+                if not fm:
+                    raise InvalidRequest(f"unparseable type field: {part!r}")
+                ftype = fm.group("t").strip().lower()
+                cql_type_to_spark(ftype, self._udts)  # validate (no self-reference)
+                fields[fm.group("f").lower()] = ftype
+            if not fields:
+                raise InvalidRequest("CREATE TYPE requires at least one field")
+            self._udts[name] = fields
+            return None
+
+        m = _DROP_TYPE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name in self._udts:
+                used = [
+                    t.name
+                    for t in self._created.values()
+                    if any(name in ct for ct in t.columns.values())
+                ]
+                if used:
+                    raise InvalidRequest(f"type {name} is in use by {used}")
+                del self._udts[name]
+                return None
+            if m.group("ine"):
+                return None
+            raise InvalidRequest(f"unknown type {name}")
 
         m = _TRUNCATE.match(s)
         if m:
@@ -505,7 +606,7 @@ class CqlSession:
             raise InvalidRequest(f"unknown {m.group('kind').lower()} {name}")
 
         if re.match(r"^CREATE\s+TABLE\b", s, re.IGNORECASE):
-            td = parse_create_table(s)
+            td = parse_create_table(s, self._udts)
             if td.name in TABLE_KEYS or td.name in self._created:
                 if td.if_not_exists:
                     return None
@@ -547,8 +648,9 @@ class CqlSession:
                 raise InvalidRequest(f"column {col} already exists")
             from .cql import cql_type_to_spark
 
-            cql_type_to_spark(ctype)  # validate
+            cql_type_to_spark(ctype, self._udts)  # validate
             td.columns[col] = ctype
+            td.udts.update(self._udts)
             return None
 
         m = _COPY.match(s)
@@ -778,13 +880,18 @@ class CqlSession:
                     for c in payload
                 ],
             )
-        # per-cell writetime pivot: multi-agg pivot names columns <col>_v /
-        # <col>_wt; snapshot-origin cells carry writetime 0 ("pre-session
-        # history" — the original cluster timestamp is not in the export)
+        # per-cell writetime/TTL pivot: multi-agg pivot names columns
+        # <col>_v / <col>_wt / <col>_exp; snapshot-origin cells carry
+        # writetime 0 ("pre-session history" — the original cluster
+        # timestamp is not in the export) and no TTL
         wide = (
             live.groupBy(*keys)
             .pivot("column", [ROW_MARKER, *payload])
-            .agg(F.first("value").alias("v"), F.max("writetime").alias("wt"))
+            .agg(
+                F.first("value").alias("v"),
+                F.max("writetime").alias("wt"),
+                F.max("expires_at").alias("exp"),
+            )
         )
         return wide.select(
             *keys,
@@ -797,6 +904,15 @@ class CqlSession:
                 for c in payload
             ],
             *[F.col(f"{c}_wt").alias(f"__wt_{c}") for c in payload],
+            *[
+                # TTL(col): whole seconds remaining until expiry, at the
+                # session's injectable `now` [PK ExpirationDateOverflowHandling:
+                # localDeletionTime - nowInSeconds]
+                F.floor((F.col(f"{c}_exp") - F.lit(self.now_micros)) / 1_000_000)
+                .cast("int")
+                .alias(f"__ttl_{c}")
+                for c in payload
+            ],
         )
 
     def _copy(self, m: re.Match) -> DataFrame:
@@ -952,7 +1068,7 @@ class CqlSession:
         self._keys(tbl)  # raises InvalidRequest for unknown/dropped tables
         extra = {n: td.keys for n, td in self._created.items()}
         extra.update({n: v.keys for n, v in self._views.items()})
-        with_wt = bool(re.search(r"\bwritetime\s*\(", statement, re.IGNORECASE))
+        with_wt = bool(re.search(r"\b(?:writetime|ttl)\s*\(", statement, re.IGNORECASE))
         if tbl in self._views:
             src = self._mv_source(self._views[tbl])
         else:

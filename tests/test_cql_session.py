@@ -608,3 +608,72 @@ def test_drop_function_and_aggregate(sess):
     with pytest.raises(Exception, match="unknown function"):
         sess.execute("DROP FUNCTION tmp_f")
     sess.execute("DROP FUNCTION IF EXISTS tmp_f")  # no-op, no raise
+
+
+def test_ttl_selector_readback(spark):
+    """TTL(col) reports remaining seconds for the winning cell (A20 read
+    half): set TTL -> positive remaining; no TTL -> null; per-cell, not
+    per-row."""
+    sess = CqlSession(spark, SMOKE_SF_DIR, now_micros=1_800_000_000_000_000)
+    sess.execute("CREATE TABLE ttl_t (id int PRIMARY KEY, a text, b text)")
+    sess.execute("INSERT INTO ttl_t (id, a, b) VALUES (1, 'av', 'bv') USING TTL 120")
+    sess.execute("UPDATE ttl_t SET a = 'a2' WHERE id = 1")  # no TTL on new cell
+    r = sess.execute("SELECT ttl(a) AS ta, ttl(b) AS tb FROM ttl_t WHERE id = 1").head()
+    assert r["ta"] is None, "overwritten cell has no TTL"
+    assert r["tb"] == 120
+    # catalog snapshot rows carry no TTL
+    r2 = sess.execute(
+        "SELECT ttl(c_name) AS t FROM customer WHERE c_custkey = 1"
+    ).head()
+    assert r2["t"] is None
+
+
+def test_create_type_udt_columns(sess):
+    """CREATE TYPE -> struct-typed columns on session tables, with field
+    navigation in SELECT (the t04 lattice edge, now drivable from DDL)."""
+    sess.execute("CREATE TYPE address (street text, zip int)")
+    sess.execute(
+        "CREATE TABLE users (uid int PRIMARY KEY, name text, addr frozen<address>)"
+    )
+    sess.execute(
+        "INSERT INTO users (uid, name, addr) VALUES (1, 'ann', {'street': 'elm', 'zip': 12345})"
+    )
+    r = sess.execute("SELECT name, addr.zip FROM users WHERE uid = 1").head()
+    assert r["name"] == "ann" and r["addr_zip"] == 12345
+    # a type in use cannot be dropped; an unused one can
+    with pytest.raises(Exception, match="in use"):
+        sess.execute("DROP TYPE address")
+    sess.execute("CREATE TYPE scratch (a int)")
+    sess.execute("DROP TYPE scratch")
+    with pytest.raises(Exception, match="unknown type"):
+        sess.execute("DROP TYPE scratch")
+
+
+def test_keyspace_namespace(sess):
+    """CREATE KEYSPACE / USE / ks.table qualification (single-engine: a
+    namespace, with replication options accepted and ignored)."""
+    sess.execute(
+        "CREATE KEYSPACE app WITH replication = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 3}"
+    )
+    sess.execute("USE app")
+    # catalog keyspace qualification resolves to the same tables
+    n = sess.execute("SELECT count(*) FROM dcosb.nation").head()[0]
+    assert n == 25
+    sess.execute("CREATE TABLE app.kv (k int PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO app.kv (k, v) VALUES (1, 'x')")
+    assert sess.execute("SELECT v FROM app.kv WHERE k = 1").head()["v"] == "x"
+    with pytest.raises(Exception, match="unknown keyspace"):
+        sess.execute("USE nope")
+    with pytest.raises(Exception, match="cannot drop"):
+        sess.execute("DROP KEYSPACE dcosb")
+
+
+def test_udt_literal_bare_field_names(sess):
+    """Cassandra's usertype_literal syntax: bare identifiers as field
+    names — {street: 'elm', zip: 5} — not quoted map keys."""
+    sess.execute("CREATE TYPE pt (x int, y int)")
+    sess.execute("CREATE TABLE geo (gid int PRIMARY KEY, p frozen<pt>)")
+    sess.execute("INSERT INTO geo (gid, p) VALUES (1, {x: 3, y: 4})")
+    r = sess.execute("SELECT p.x, p.y FROM geo WHERE gid = 1").head()
+    assert (r["p_x"], r["p_y"]) == (3, 4)

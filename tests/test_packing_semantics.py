@@ -107,3 +107,25 @@ def test_d15_docs_fit_their_bucket(spark):
         (F.col("tok") > 1) & (F.col("cap") >= 2 * F.col("tok"))
     )
     assert loose.count() == 0
+
+
+def test_d13b_subshard_bounds_partition_rows(spark):
+    """The sub-sharded packer's promise: no window partition sees more than
+    `span` rows (the SCALE.md recipe, now enforceable in code). The plain
+    d13 window, by contrast, sees the whole (source, lang) shard."""
+    from dcosb_cassandra_spark.catalog import table
+    from dcosb_cassandra_spark.operators.llm_packing import sequence_packing
+    from pyspark.sql import functions as F
+
+    span = 64
+    d = table(spark, SF_DIR, "documents").withColumn(
+        "bkt", F.floor(F.col("doc_id") / span)
+    )
+    per_window = (
+        d.groupBy("source", "lang", "bkt").count().agg(F.max("count")).head()[0]
+    )
+    assert per_window <= span, "sub-shard must bound every window partition"
+    # and the rewritten plan returns byte-identical packing output
+    plain = sequence_packing(spark, SF_DIR).collect()
+    sub = sequence_packing(spark, SF_DIR, sub_shard_span=span).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, sub))

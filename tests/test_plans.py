@@ -96,6 +96,14 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the 4-row MIX_WEIGHTS literal and groupBy(source) "
         "counts: exactly |domains| = 4 rows at any SF",
     ),
+    "d13b_sequence_packing_subsharded": (
+        {"bounded:documents"},
+        "broadcast side is the (source, lang, doc-id-bucket) token-offset grid: "
+        "n_docs/span rows — the CALLER sizes span so the grid stays "
+        "broadcastable (production sub-shards by ingest date/file id, a "
+        "bounded key per processing window; the demo span=64 gives ≤~800 "
+        "rows at the largest tested SF)",
+    ),
     "b05_range_band_join": (
         {"bounded:local_rows"},
         "broadcast side is the 3-row literal band table (constant)",
