@@ -149,12 +149,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
 
     # Warm suite methodology (BASELINE.md interpretation note): cache the
-    # base tables once — Spark's CacheManager matches any later identical
-    # scan by canonicalized plan, so every query reads InMemoryRelation.
-    from dcosb_cassandra_spark.catalog import TABLES, table
+    # base tables once, repartitioned so the in-memory snapshot spreads
+    # across cores (a single-file parquet table caches as ONE partition —
+    # every scan of it would run single-threaded); all queries then read
+    # multi-partition InMemoryRelations through the loader memo.
+    from dcosb_cassandra_spark.catalog import warm_cache
 
-    for t in TABLES:
-        table(spark, sf_dir, t).cache().count()
+    warm_cache(spark, sf_dir)
 
     for _ in range(2):  # warm-up: JIT, codegen cache, broadcast reuse
         for name in names:

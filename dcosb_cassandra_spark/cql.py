@@ -506,11 +506,22 @@ def cql(
                 cols.append(token_murmur3(F.col(arg)).alias(alias or f"token_{arg}"))
             elif kind.startswith("call:"):
                 fn = kind.split(":", 1)[1]
+                actual = [a.strip() for a in split_top_level(arg)] if arg else []
+                name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
+                if fn.startswith("mask_"):
+                    # CQL 5.0 dynamic-data-masking family [PK docs "Dynamic
+                    # Data Masking"] — built-in scalar selectors
+                    from .functions import masking
+
+                    mask = getattr(masking, fn, None)
+                    if mask is None:
+                        raise InvalidRequest(f"unknown masking function {fn}()")
+                    args = [F.col(actual[0]), *(_literal(x) for x in actual[1:])]
+                    cols.append(mask(*args).alias(name))
+                    continue
                 fdef = udfs.get(fn)
                 if fdef is None:
                     raise InvalidRequest(f"unknown function {fn}()")
-                actual = [a.strip() for a in split_top_level(arg)] if arg else []
-                name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
                 cols.append(F.expr(fdef.expr_sql(actual)).alias(name))
             elif kind == "ttl":
                 if f"__ttl_{arg}" in df.columns:

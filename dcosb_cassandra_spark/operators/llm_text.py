@@ -575,3 +575,106 @@ def d5i_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_2gram_ratio"),
         (F.max("cnt") / F.sum("cnt") > 0.2).alias("flag_repetitive"),
     )
+
+
+@query(
+    "d5j_char_bigram_logprob",
+    oracle="""
+        -- static 1..N series + filter instead of a correlated
+        -- generate_series lateral (DuckDB 1.0 binder limitation, same
+        -- workaround as d14b); joint-probability char-bigram model.
+        WITH idx AS (SELECT unnest(generate_series(1, 4000)) AS i),
+        bg AS (
+            SELECT doc_id, substr(text, i, 2) AS bigram
+            FROM documents CROSS JOIN idx
+            WHERE i <= len(text) - 1
+        ),
+        model AS (
+            SELECT bigram, count(*) AS c,
+                   sum(count(*)) OVER () AS total
+            FROM bg GROUP BY bigram
+        )
+        SELECT doc_id,
+               round(avg(ln(c * 1.0 / total)), 6) AS avg_logprob,
+               count(*) AS n_bigrams
+        FROM bg JOIN model USING (bigram)
+        GROUP BY doc_id
+        ORDER BY avg_logprob ASC, doc_id LIMIT 20
+    """,
+    tags=("D5", "P1"),
+)
+def d5j_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: score each document by its average
+    log-probability under a char-bigram model estimated from the corpus
+    itself (the KenLM-filter stand-in a training pipeline runs where a real
+    LM isn't available in-engine); emit the 20 most 'surprising' docs —
+    the ones a perplexity cut would drop.
+
+    Scale: the model is a bounded aggregate (|charset|² bigrams — grows
+    with the alphabet, not the corpus) joined back to the bigram stream;
+    two shuffles total, no UDFs. The model side is NOT broadcast-hinted
+    (charset² is bounded but engine-chosen: AQE broadcasts while it fits)."""
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bigram"),
+    )
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    total = bg.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        bg.join(model, "bigram")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "d5k_bpe_merge_candidates",
+    oracle="""
+        WITH idx AS (SELECT unnest(generate_series(1, 800)) AS i),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        pairs AS (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks CROSS JOIN idx
+            WHERE i <= len(ts) - 1
+        )
+        SELECT w1, w2, count(*) AS n
+        FROM pairs GROUP BY w1, w2
+        ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+    tags=("D5", "P1"),
+)
+def d5k_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step, corpus-wide: count adjacent symbol pairs and
+    emit the top-20 merge candidates (highest-count pair = the merge a BPE
+    trainer would apply next). Iterating this aggregate IS tokenizer
+    vocabulary induction; each step is one partial-aggregated shuffle over
+    (w1, w2) — integer counts, so the oracle hash is exact.
+
+    Scale: pair cardinality is bounded by vocabulary², aggregated
+    map-side; the corpus never re-shuffles per iteration beyond the pair
+    counts."""
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -186,3 +186,17 @@ def test_select_token_matches_murmur3_reference(spark):
     assert len(rows) == 5
     for r in rows:
         assert r["token_o_orderkey"] == cassandra_token_of_bigint(r["o_orderkey"])
+
+
+def test_mask_functions_in_select(spark):
+    """CQL 5.0 mask_* selectors drivable from CQL text (V3 front-end)."""
+    got = cql(
+        spark,
+        SF,
+        "SELECT c_custkey, mask_inner(c_name, 3, 2) AS m, mask_hash(c_name) AS h, "
+        "mask_replace(c_mktsegment, 'X') AS r FROM customer WHERE c_custkey = 1",
+    ).head()
+    full = cql(spark, SF, "SELECT c_name FROM customer WHERE c_custkey = 1").head()["c_name"]
+    assert got["m"].startswith(full[:3]) and got["m"].endswith(full[-2:])
+    assert "*" in got["m"] and len(got["m"]) == len(full)
+    assert len(got["h"]) == 64 and got["r"] == "X"
