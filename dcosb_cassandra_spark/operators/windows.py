@@ -47,54 +47,94 @@ def b13_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The grid is bounded by the PRICE DOMAIN (~3 statuses × ~150 buckets),
     not the row count, so it broadcasts at any SF. Output is byte-identical
-    to the single-window form (oracle unchanged)."""
+    to the single-window form (oracle unchanged; property-tested on random
+    data in tests/test_lww_properties.py::test_two_phase_ranking_*)."""
     o = table(spark, sf_dir, "orders")
-    k = 4
-    b = o.withColumn("bkt", F.floor(F.col("o_totalprice") / F.lit(4096.0)))
-    wb = Window.partitionBy("o_orderstatus", "bkt").orderBy(F.desc("o_totalprice"))
-    wbt = Window.partitionBy("o_orderstatus", "bkt").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    out = two_phase_ranking(
+        o,
+        part_col="o_orderstatus",
+        val_col="o_totalprice",
+        id_col="o_orderkey",
+        bucket=F.floor(F.col("o_totalprice") / F.lit(4096.0)),
+        ntile_k=4,
     )
-    local = b.select(
+    return out.select(
         "o_orderkey",
         "o_orderstatus",
+        "rk",
+        "drk",
+        F.round(F.col("prk_raw"), 6).alias("prk"),
+        F.col("ntile").alias("quartile"),
+    )
+
+
+def two_phase_ranking(
+    df,
+    part_col: str,
+    val_col: str,
+    id_col: str,
+    bucket,
+    ntile_k: int,
+) -> DataFrame:
+    """rank / dense_rank / percent_rank (DESC on ``val_col``, ties kept)
+    and ntile (DESC val, id tiebreak) over ``part_col`` WITHOUT a window
+    partitioned on ``part_col`` alone — the two-phase recipe for
+    low-cardinality partition keys (SCALE.md "two-phase rank").
+
+    ``bucket`` must be an order-consistent function of ``val_col``
+    (monotone, so ties never span buckets). Emits columns rk, drk,
+    prk_raw (un-rounded double), ntile alongside the input columns.
+
+    ntile closed form: with n rows and k tiles, the first n%k tiles carry
+    ceil(n/k) rows — tile(rn) = ceil(rn/(q+1)) while rn ≤ (q+1)*(n%k),
+    else (n%k) + ceil((rn - (q+1)*(n%k))/q), q = floor(n/k)."""
+    b = df.withColumn("bkt", bucket)
+    wb = Window.partitionBy(part_col, "bkt").orderBy(F.desc(val_col))
+    wbt = Window.partitionBy(part_col, "bkt").orderBy(F.desc(val_col), F.asc(id_col))
+    local = b.select(
+        id_col,
+        part_col,
         "bkt",
         F.rank().over(wb).cast("long").alias("lrk"),
         F.dense_rank().over(wb).cast("long").alias("ldrk"),
         F.row_number().over(wbt).cast("long").alias("lrn"),
     )
-    # tiny grid: per-(status, bucket) row and distinct-price counts, with
-    # cumulative offsets over HIGHER buckets (DESC order) and status totals
-    grid = b.groupBy("o_orderstatus", "bkt").agg(
+    # tiny grid: per-(part, bucket) row and distinct-value counts, with
+    # cumulative offsets over HIGHER buckets (DESC order) and part totals
+    grid = b.groupBy(part_col, "bkt").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.countDistinct("o_totalprice").alias("dv"),
+        F.countDistinct(val_col).alias("dv"),
     )
     wg = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy(part_col)
         .orderBy(F.desc("bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = grid.select(
-        "o_orderstatus",
+        part_col,
         "bkt",
         F.coalesce(F.sum("cnt").over(wg), F.lit(0)).alias("off"),
         F.coalesce(F.sum("dv").over(wg), F.lit(0)).alias("doff"),
-        F.sum("cnt").over(Window.partitionBy("o_orderstatus")).alias("n"),
+        F.sum("cnt").over(Window.partitionBy(part_col)).alias("n"),
     )
     rn = F.col("off") + F.col("lrn")
-    n, q, r = F.col("n"), F.floor(F.col("n") / k), F.col("n") % k
+    n, q, r = F.col("n"), F.floor(F.col("n") / ntile_k), F.col("n") % ntile_k
     return (
-        local.join(F.broadcast(offsets), ["o_orderstatus", "bkt"])
+        local.join(F.broadcast(offsets), [part_col, "bkt"])
         .select(
-            "o_orderkey",
-            "o_orderstatus",
+            id_col,
+            part_col,
             (F.col("off") + F.col("lrk")).alias("rk"),
             (F.col("doff") + F.col("ldrk")).alias("drk"),
-            F.round((F.col("off") + F.col("lrk") - 1) / (n - 1), 6).alias("prk"),
+            # n=1 partitions: percent_rank is DEFINED as 0.0 (Spark and SQL
+            # standard) — guard the n-1 divisor (ANSI mode raises on /0)
+            F.when(n > 1, (F.col("off") + F.col("lrk") - 1) / (n - 1))
+            .otherwise(F.lit(0.0))
+            .alias("prk_raw"),
             F.when(rn <= (q + 1) * r, F.ceil(rn / (q + 1)))
             .otherwise(r + F.ceil((rn - (q + 1) * r) / q))
             .cast("long")
-            .alias("quartile"),
+            .alias("ntile"),
         )
     )
 

@@ -86,6 +86,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is agg(count(*)): exactly 1 row at any SF "
         "(the vocabulary-sized df table is deliberately NOT hinted)",
     ),
+    "d5j_char_bigram_logprob": (
+        {"bounded:documents"},
+        "broadcast side is agg(count(*)) over the bigram stream: exactly 1 "
+        "row at any SF (the charset²-bounded model table is NOT hinted)",
+    ),
     "d14_domain_mixing": (
         {"bounded:documents", "bounded:local_rows"},
         "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible-total "
