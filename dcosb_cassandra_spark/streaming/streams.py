@@ -152,6 +152,46 @@ def c6_stateful_running_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def c6b_stateful_running_counts_tws(events: DataFrame) -> DataFrame:
+    """C6 on Spark 4's transformWithState API (the successor to
+    applyInPandasWithState: typed state handles, timers, TTL'd state,
+    RocksDB-backed): same running (n_events, total_value) per key as
+    c6_stateful_running_counts, so the two APIs cross-validate each other
+    in tests. Requires the RocksDB state store provider (set by callers —
+    transformWithState does not run on the HDFS-backed default) and a
+    working google.protobuf (the API's Python runner imports it; the test
+    skips where it is absent — environment gate, not a code path)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def c9b_incremental_lww_sink(events: DataFrame, state_dir: str):
     """Incremental LWW compaction with persisted state — the full LSM write
     path: each micro-batch of upserts merges into a compacted parquet state

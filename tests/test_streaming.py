@@ -115,8 +115,6 @@ def test_c6_stateful_running_counts_across_batches(spark, events_dir):
     operator's final running counts must equal the batch groupBy."""
     two_batch_dir = os.path.join(os.path.dirname(events_dir), "stream_events_2batch")
     if not os.path.exists(two_batch_dir):
-        # write ts back as nanos longs, matching the raw events layout the
-        # stream schema expects
         e = table(spark, SMOKE_SF_DIR, "events")
         half = e.count() // 2
         e.filter(e.event_id < half).coalesce(1).write.mode("overwrite").parquet(
@@ -311,3 +309,59 @@ def test_c11_training_ingest_stream_matches_batch(spark, docs_dir):
     want = {r["doc_id"]: (r["n_tokens"], r["uniq_ratio"], r["fingerprint"], r["redacted"])
             for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState's Python runner needs google.protobuf, "
+    "absent in this container (operator gated per environment rules)",
+)
+def test_c6b_transform_with_state_matches_legacy(spark, events_dir):
+    """The transformWithState form of C6 must agree with BOTH the
+    applyInPandasWithState form and the batch groupBy — two independent
+    state APIs, one semantics. Needs the RocksDB state store."""
+    two_batch_dir = os.path.join(os.path.dirname(events_dir), "stream_events_2batch")
+    assert os.path.exists(two_batch_dir), "c6 test creates the 2-batch layout first"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        raw = (
+            spark.readStream.schema(streams.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(two_batch_dir)
+        )
+        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = _run_to_memory(
+            spark, streams.c6b_stateful_running_counts_tws(stream), "c6b_sink"
+        )
+        final = {}
+        for r in out.collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        e = table(spark, SMOKE_SF_DIR, "events")
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in e.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+            .collect()
+        }
+        assert final == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
