@@ -355,3 +355,45 @@ def d2f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", "cluster_id")
+
+
+@query(
+    "d1b_incremental_dedup",
+    oracle="""
+        WITH hist AS (
+            SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 != 0
+        ),
+        batch AS (
+            SELECT doc_id, lang, sha256(text) AS h
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        novel AS (
+            SELECT b.* FROM batch b LEFT JOIN hist ON b.h = hist.h
+            WHERE hist.h IS NULL
+        )
+        SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, min(lang) AS lang
+        FROM novel GROUP BY h
+    """,
+    tags=("D1", "B4", "P1"),
+)
+def d1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the production shape: a NEW ingest batch
+    (doc_id % 5 = 0 stands in for today's crawl) is deduplicated against
+    the ACCUMULATED digest index of everything already kept (the other
+    80%), then within itself. At 100 TB you never re-dedup the world: the
+    history side is a 64-byte-digest table (anti-join on the hash — a
+    shuffle of digests, not documents), and the surviving batch appends
+    its digests to the index for the next increment.
+
+    Plan shape: two digest-keyed shuffles (distinct + left-anti join) +
+    one group — document bodies never move."""
+    d = table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    hist = d.filter(F.col("doc_id") % 5 != 0).select(h.alias("h")).distinct()
+    batch = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "lang", h.alias("h"))
+    novel = batch.join(hist, "h", "left_anti")
+    return novel.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("lang").alias("lang"),
+    ).drop("h")
