@@ -374,7 +374,7 @@ def d2f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, min(lang) AS lang
         FROM novel GROUP BY h
     """,
-    tags=("D1", "B4", "P1"),
+    tags=("D18", "D1", "B4", "P1"),
 )
 def d1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup — the production shape: a NEW ingest batch

@@ -145,7 +145,7 @@ def sequence_packing(
                round(least(sum(tok), {SEQ_BUDGET}) / {SEQ_BUDGET}.0, 6) AS fill_ratio
         FROM packed GROUP BY source, lang, seq_id
     """,
-    tags=("D13", "P1"),
+    tags=("D21", "D13", "P1"),
 )
 def d13b_sequence_packing_subsharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d13 with the sub-shard recipe ON (span=64 doc ids per bucket): the

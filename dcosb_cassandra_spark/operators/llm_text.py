@@ -601,7 +601,7 @@ def d5i_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         ORDER BY avg_logprob ASC, doc_id LIMIT 20
     """,
-    tags=("D5", "P1"),
+    tags=("D19", "D5", "P1"),
 )
 def d5j_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality filter: score each document by its average
@@ -650,7 +650,7 @@ def d5j_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY w1, w2
         ORDER BY n DESC, w1, w2 LIMIT 20
     """,
-    tags=("D5", "P1"),
+    tags=("D20", "D5", "P1"),
 )
 def d5k_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE training step, corpus-wide: count adjacent symbol pairs and

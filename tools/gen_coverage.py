@@ -55,6 +55,10 @@ ROWS = [
     ("D15", "Length-bucketed batching (added r2)"),
     ("D16", "Exact-substring dedup (added r2)"),
     ("D17", "k-means Lloyd / codebook training (added r2)"),
+    ("D18", "Incremental dedup vs digest index (added r4)"),
+    ("D19", "Perplexity-proxy quality filter (added r4)"),
+    ("D20", "BPE merge step / vocab induction (added r4)"),
+    ("D21", "Sub-sharded sequence packing (added r4)"),
 ]
 
 STREAMING_EXTRA = {
@@ -68,6 +72,8 @@ STREAMING_EXTRA = {
     "C8": "streaming/streams.py:c8_write_stream + sources/io.py sinks",
     "C9": "streaming/streams.py:c9_foreach_batch_view_maintenance (test_streaming)",
     "D12": "streaming/streams.py:c11_training_ingest_stream (test_streaming batch-compared)",
+    "C6": "streaming/streams.py:c6_stateful_running_counts + "
+    "c6b_stateful_running_counts_tws (transformWithState; test_streaming)",
 }
 
 
