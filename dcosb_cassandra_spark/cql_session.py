@@ -92,6 +92,13 @@ _ALTER_ADD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ADD\s+(?P<col>\w+)\s+(?P<type>.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+DROP\s+(?P<col>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+RENAME\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_MV = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s+AS\s+"
     r"SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<base>\w+)\s+"
@@ -651,6 +658,54 @@ class CqlSession:
             cql_type_to_spark(ctype, self._udts)  # validate
             td.columns[col] = ctype
             td.udts.update(self._udts)
+            return None
+
+        m = _ALTER_DROP.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            if tbl not in self._created:
+                raise InvalidRequest(
+                    f"ALTER TABLE supported only on session-created tables, not {tbl!r}"
+                )
+            td = self._created[tbl]
+            col = m.group("col").lower()
+            if col in (*td.partition_key, *td.clustering):
+                # [PK `AlterTableStatement.java`]: primary-key columns are
+                # immutable — Cassandra rejects DROP on them
+                raise InvalidRequest(f"cannot drop PRIMARY KEY column {col}")
+            if col not in td.columns:
+                raise InvalidRequest(f"unknown column {col}")
+            del td.columns[col]
+            # shed the dropped column's buffered cells (Cassandra marks the
+            # drop time and hides older cells; with session-scoped state the
+            # effect is identical)
+            self._cells[tbl] = [
+                c for c in self._cells.get(tbl, []) if c["column"] != col
+            ]
+            return None
+
+        m = _ALTER_RENAME.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            if tbl not in self._created:
+                raise InvalidRequest(
+                    f"ALTER TABLE supported only on session-created tables, not {tbl!r}"
+                )
+            td = self._created[tbl]
+            old, new = m.group("old").lower(), m.group("new").lower()
+            # [PK `AlterTableStatement.java` RENAME]: only clustering-key
+            # columns may be renamed (their names live in metadata alone)
+            if old not in td.clustering:
+                raise InvalidRequest(
+                    f"RENAME is only supported on clustering columns, got {old!r}"
+                )
+            if new in td.columns:
+                raise InvalidRequest(f"column {new} already exists")
+            td.columns = {new if c == old else c: t for c, t in td.columns.items()}
+            td.clustering = tuple(new if c == old else c for c in td.clustering)
+            for cell in self._cells.get(tbl, []):
+                if old in cell["key"]:
+                    cell["key"][new] = cell["key"].pop(old)
             return None
 
         m = _COPY.match(s)

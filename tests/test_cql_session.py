@@ -677,3 +677,21 @@ def test_udt_literal_bare_field_names(sess):
     sess.execute("INSERT INTO geo (gid, p) VALUES (1, {x: 3, y: 4})")
     r = sess.execute("SELECT p.x, p.y FROM geo WHERE gid = 1").head()
     assert (r["p_x"], r["p_y"]) == (3, 4)
+
+
+def test_alter_table_drop_and_rename(sess):
+    sess.execute(
+        "CREATE TABLE alt (pid int, ck int, a text, b text, PRIMARY KEY (pid, ck))"
+    )
+    sess.execute("INSERT INTO alt (pid, ck, a, b) VALUES (1, 1, 'av', 'bv')")
+    sess.execute("ALTER TABLE alt DROP b")
+    r = sess.execute("SELECT * FROM alt WHERE pid = 1").head()
+    assert "b" not in r.asDict() and r["a"] == "av"
+    with pytest.raises(Exception, match="PRIMARY KEY"):
+        sess.execute("ALTER TABLE alt DROP pid")
+    # rename: clustering only (Cassandra's rule), data survives under the new name
+    sess.execute("ALTER TABLE alt RENAME ck TO seq")
+    r = sess.execute("SELECT pid, seq, a FROM alt WHERE pid = 1").head()
+    assert r["seq"] == 1 and r["a"] == "av"
+    with pytest.raises(Exception, match="clustering"):
+        sess.execute("ALTER TABLE alt RENAME a TO c")
