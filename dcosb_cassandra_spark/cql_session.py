@@ -458,11 +458,14 @@ class CqlSession:
             statement = Prepared(statement).bind(*parameters)
         s = statement.strip()
         # strip known-keyspace qualification (single-engine: a keyspace is a
-        # namespace; replication settings are accepted and ignored)
+        # namespace; replication settings are accepted and ignored) —
+        # quote-aware: odd split segments are inside string literals and
+        # must pass through untouched
+        segs = s.split("'")
         for ks in self._keyspaces:
-            s = re.sub(
-                rf"\b(FROM|INTO|UPDATE|TABLE|VIEW)\s+{ks}\.", r"\1 ", s, flags=re.IGNORECASE
-            )
+            pat = re.compile(rf"\b(FROM|INTO|UPDATE|TABLE|VIEW)\s+{ks}\.", re.IGNORECASE)
+            segs = [pat.sub(r"\1 ", seg) if i % 2 == 0 else seg for i, seg in enumerate(segs)]
+        s = "'".join(segs)
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
 

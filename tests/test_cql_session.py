@@ -695,3 +695,13 @@ def test_alter_table_drop_and_rename(sess):
     assert r["seq"] == 1 and r["a"] == "av"
     with pytest.raises(Exception, match="clustering"):
         sess.execute("ALTER TABLE alt RENAME a TO c")
+
+
+def test_keyspace_stripping_is_quote_aware(sess):
+    """ks.table qualification must not be rewritten inside string literals."""
+    sess.execute("CREATE TABLE qs (k int PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO dcosb.qs (k, v) VALUES (1, 'copied FROM dcosb.nation')")
+    assert (
+        sess.execute("SELECT v FROM qs WHERE k = 1").head()["v"]
+        == "copied FROM dcosb.nation"
+    )
