@@ -586,9 +586,16 @@ class FunctionDef:
             raise InvalidRequest(
                 f"{self.name}() takes {len(self.args)} arguments, got {len(actual)}"
             )
-        body = self.body_sql
-        for (formal, _), act in zip(self.args, actual):
-            body = re.sub(rf"\b{re.escape(formal)}\b", f"({act})", body)
+        # SIMULTANEOUS substitution: one pass over the body replacing every
+        # formal at once — sequential re.sub corrupts calls whose actual
+        # arguments name a later formal (e.g. f(b, a) for f(a int, b int),
+        # or a state function whose second formal is literally "acc")
+        subst = {formal: f"({act})" for (formal, _), act in zip(self.args, actual)}
+        if subst:
+            names = "|".join(re.escape(f) for f in subst)
+            body = re.sub(rf"\b(?:{names})\b", lambda m: subst[m.group(0)], self.body_sql)
+        else:
+            body = self.body_sql
         out = f"CAST(({body}) AS {cql_type_to_spark(self.returns)})"
         if not self.called_on_null and self.args:
             null_any = " OR ".join(f"({a}) IS NULL" for a in actual)

@@ -1,10 +1,12 @@
 """CQL write path: a session that accepts the statement surface a CQL user
 actually drives — INSERT (VALUES and JSON forms), UPDATE (scalar sets,
 collection mutations ``c = c + {...}`` / ``- {...}`` / list append/prepend
-/ map put / key-remove, counter-style ``n = n + k``), DELETE, CREATE TABLE
-(full composite-key DDL), CREATE INDEX, ALTER TABLE ADD, DROP TABLE — and
-serves SELECTs over (parquet snapshot + in-session mutations), with
-Cassandra's real cell model (SURVEY.md §1.1, §3.2):
+/ map put / key-remove, counter-style ``n = n + k``), DELETE, and the
+schema DDL (CREATE/DROP/ALTER TABLE with ADD/DROP/RENAME, CREATE INDEX,
+CREATE/DROP MATERIALIZED VIEW, CREATE/DROP FUNCTION and AGGREGATE,
+CREATE/DROP TYPE, CREATE/DROP/USE KEYSPACE) — and serves SELECTs over
+(parquet snapshot + in-session mutations), with Cassandra's real cell
+model (SURVEY.md §1.1, §3.2):
 
 - every written column is an independent **cell** carrying its own
   writetime and optional TTL [PK `db/rows/Cell.java`];
@@ -42,8 +44,10 @@ from .cql import (
     InvalidRequest,
     TABLE_KEYS,
     TableDef,
+    _condition,
     _literal,
     cql,
+    cql_type_to_spark,
     parse_create_table,
     split_top_level,
     translate_function_body,
@@ -459,13 +463,26 @@ class CqlSession:
         s = statement.strip()
         # strip known-keyspace qualification (single-engine: a keyspace is a
         # namespace; replication settings are accepted and ignored) —
-        # quote-aware: odd split segments are inside string literals and
-        # must pass through untouched
-        segs = s.split("'")
-        for ks in self._keyspaces:
-            pat = re.compile(rf"\b(FROM|INTO|UPDATE|TABLE|VIEW)\s+{ks}\.", re.IGNORECASE)
-            segs = [pat.sub(r"\1 ", seg) if i % 2 == 0 else seg for i, seg in enumerate(segs)]
-        s = "'".join(segs)
+        # quote-aware: odd segments (single-quoted literals and $$-quoted
+        # function bodies) pass through untouched
+        def _strip_ks(text: str) -> str:
+            for ks in self._keyspaces:
+                pat = re.compile(
+                    rf"\b(FROM|INTO|UPDATE|TABLE|VIEW|TRUNCATE|ON)\s+{ks}\.",
+                    re.IGNORECASE,
+                )
+                text = pat.sub(r"\1 ", text)
+            return text
+
+        dollar_segs = s.split("$$")
+        for di, dseg in enumerate(dollar_segs):
+            if di % 2 == 1:
+                continue  # inside a $$-quoted body
+            q = dseg.split("'")
+            dollar_segs[di] = "'".join(
+                _strip_ks(seg) if i % 2 == 0 else seg for i, seg in enumerate(q)
+            )
+        s = "$$".join(dollar_segs)
         if re.match(r"^SELECT\b", s, re.IGNORECASE):
             return self._select(s)
 
@@ -504,8 +521,6 @@ class CqlSession:
                 if m.group("ine"):
                     return None
                 raise InvalidRequest(f"type {name} already exists")
-            from .cql import cql_type_to_spark
-
             fields: dict[str, str] = {}
             for part in split_top_level(m.group("fields")):
                 part = part.strip()
@@ -529,7 +544,10 @@ class CqlSession:
                 used = [
                     t.name
                     for t in self._created.values()
-                    if any(name in ct for ct in t.columns.values())
+                    if any(
+                        re.search(rf"\b{re.escape(name)}\b", ct)
+                        for ct in t.columns.values()
+                    )
                 ]
                 if used:
                     raise InvalidRequest(f"type {name} is in use by {used}")
@@ -656,8 +674,6 @@ class CqlSession:
             col, ctype = m.group("col").lower(), m.group("type").strip().lower()
             if col in td.columns:
                 raise InvalidRequest(f"column {col} already exists")
-            from .cql import cql_type_to_spark
-
             cql_type_to_spark(ctype, self._udts)  # validate
             td.columns[col] = ctype
             td.udts.update(self._udts)
@@ -1051,8 +1067,6 @@ class CqlSession:
         return None
 
     def _create_function(self, m: re.Match) -> None:
-        from .cql import cql_type_to_spark
-
         name = m.group("name").lower()
         if name in self._functions and not m.group("orr"):
             if m.group("ine"):
@@ -1066,10 +1080,10 @@ class CqlSession:
             am = re.match(r"^(?P<arg>\w+)\s+(?P<type>.+)$", part, re.DOTALL)
             if not am:
                 raise InvalidRequest(f"unparseable function argument: {part!r}")
-            cql_type_to_spark(am.group("type").strip().lower())  # validate
+            cql_type_to_spark(am.group("type").strip().lower(), self._udts)  # validate
             args.append((am.group("arg").lower(), am.group("type").strip().lower()))
         rtype = m.group("rtype").strip().lower()
-        cql_type_to_spark(rtype)  # validate
+        cql_type_to_spark(rtype, self._udts)  # validate
         raw = m.group("body")
         body = raw[2:-2] if raw.startswith("$$") else raw[1:-1].replace("''", "'")
         self._functions[name] = FunctionDef(
@@ -1082,15 +1096,13 @@ class CqlSession:
         return None
 
     def _create_aggregate(self, m: re.Match) -> None:
-        from .cql import cql_type_to_spark
-
         name = m.group("name").lower()
         if name in self._aggregates and not m.group("orr"):
             if m.group("ine"):
                 return None
             raise InvalidRequest(f"aggregate {name} already exists")
         stype = m.group("stype").strip().lower()
-        cql_type_to_spark(stype)  # validate
+        cql_type_to_spark(stype, self._udts)  # validate
         ad = AggregateDef(
             name=name,
             arg_type=m.group("argtype").strip().lower(),
@@ -1106,8 +1118,6 @@ class CqlSession:
     def _mv_source(self, mv: MvDef) -> DataFrame:
         """The view's derived plan: live base snapshot → key IS NOT NULL
         filters + view restrictions → declared projection."""
-        from .cql import _condition
-
         df = self.snapshot(mv.base)
         for col in mv.not_null:
             df = df.filter(F.col(col).isNotNull())
@@ -1126,7 +1136,9 @@ class CqlSession:
         self._keys(tbl)  # raises InvalidRequest for unknown/dropped tables
         extra = {n: td.keys for n, td in self._created.items()}
         extra.update({n: v.keys for n, v in self._views.items()})
-        with_wt = bool(re.search(r"\b(?:writetime|ttl)\s*\(", statement, re.IGNORECASE))
+        with_wt = bool(
+            re.search(r"\b(?:max)?(?:writetime|ttl)\s*\(", statement, re.IGNORECASE)
+        )
         if tbl in self._views:
             src = self._mv_source(self._views[tbl])
         else:

@@ -615,10 +615,17 @@ def d5j_char_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffles total, no UDFs. The model side is NOT broadcast-hinted
     (charset² is bounded but engine-chosen: AQE broadcasts while it fits)."""
     d = table(spark, sf_dir, "documents")
-    bg = d.select(
+    # length >= 2 guards Spark's descending-sequence footgun (sequence(1,0)
+    # is [1,0], not empty) — the oracle's WHERE i <= len-1 drops the same
+    # docs; the 4000-char cap mirrors the oracle's static series bound so
+    # both sides agree by construction on any data generation
+    bg = d.filter(F.length("text") >= 2).select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+            F.expr(
+                "transform(sequence(1, least(length(text) - 1, 4000)), "
+                "i -> substring(text, i, 2))"
+            )
         ).alias("bigram"),
     )
     model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
@@ -663,15 +670,20 @@ def d5k_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the corpus never re-shuffles per iteration beyond the pair
     counts."""
     d = table(spark, sf_dir, "documents")
-    pairs = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # size >= 2 guard + 800-pair cap: same symmetry rules as d5j
+    pairs = (
+        d.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, least(size(split(text, ' ')) - 1, 800)), "
+                    "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                    "element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     return (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))

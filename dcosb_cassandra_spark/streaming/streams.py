@@ -20,18 +20,37 @@ from pyspark.sql import functions as F
 from ..catalog import EVENTS_PROPS_SCHEMA
 from ..session import ensure_engine_conf
 
+#: the TIMESTAMP(MICROS) testdata generation (current); the NANOS
+#: generation reads ts as a bigint under the pinned nanosAsLong flag —
+#: read_events_stream probes which one is on disk, mirroring the batch
+#: catalog's dtype branch so the two loaders accept the same generations
 EVENTS_SCHEMA = (
     "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+EVENTS_SCHEMA_NANOS = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet (the bulk
-    snapshot replayed as a stream). ts is parquet TIMESTAMP(MICROS),
-    tz-naive; watermarks demand TIMESTAMP (not NTZ), so it is cast under
-    the pinned UTC session tz — wall-clock values unchanged."""
+    snapshot replayed as a stream). A streaming source needs an explicit
+    schema, so the ts encoding is probed with a one-file batch read:
+    TIMESTAMP(NANOS) arrives as a nanos long (converted DIV 1000 →
+    micros), TIMESTAMP(MICROS) as NTZ. Watermarks demand TIMESTAMP (not
+    NTZ), so either path casts under the pinned UTC session tz —
+    wall-clock values unchanged."""
     ensure_engine_conf(spark)
+    probed = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if probed == "bigint":  # TIMESTAMP(NANOS) generation
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

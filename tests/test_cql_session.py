@@ -705,3 +705,50 @@ def test_keyspace_stripping_is_quote_aware(sess):
         sess.execute("SELECT v FROM qs WHERE k = 1").head()["v"]
         == "copied FROM dcosb.nation"
     )
+
+
+def test_udf_argument_name_collision(sess):
+    """Simultaneous substitution: calling f(b, a) for f(a, b) must not
+    corrupt the body (the sequential-substitution bug class)."""
+    sess.execute("CREATE TABLE swap_t (id int PRIMARY KEY, a double, b double)")
+    sess.execute("INSERT INTO swap_t (id, a, b) VALUES (1, 10.0, 3.0)")
+    sess.execute(
+        "CREATE FUNCTION subx (a double, b double) "
+        "RETURNS NULL ON NULL INPUT RETURNS double LANGUAGE java AS 'return a - b;'"
+    )
+    r = sess.execute("SELECT subx(b, a) AS d FROM swap_t WHERE id = 1").head()
+    assert r["d"] == -7.0, "subx(b, a) must be b - a"
+
+
+def test_udf_over_session_udt(sess):
+    sess.execute("CREATE TYPE pt2 (x int, y int)")
+    sess.execute(
+        "CREATE FUNCTION getx (p frozen<pt2>) "
+        "CALLED ON NULL INPUT RETURNS int LANGUAGE sql AS 'p.x'"
+    )
+    sess.execute("CREATE TABLE pts (id int PRIMARY KEY, p frozen<pt2>)")
+    sess.execute("INSERT INTO pts (id, p) VALUES (1, {x: 7, y: 8})")
+    assert sess.execute("SELECT getx(p) AS x FROM pts WHERE id = 1").head()["x"] == 7
+
+
+def test_drop_type_substring_name_not_in_use(sess):
+    """A type named 'e' is NOT in use by a 'text' column (word-boundary
+    matching, not substring containment)."""
+    sess.execute("CREATE TYPE e (a int)")
+    sess.execute("CREATE TABLE et (id int PRIMARY KEY, v text)")
+    sess.execute("DROP TYPE e")  # must not raise "in use by [et]"
+
+
+def test_maxwritetime_on_session_table(sess):
+    sess.execute("CREATE TABLE mwt (id int PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO mwt (id, v) VALUES (1, 'x') USING TIMESTAMP 5000")
+    r = sess.execute("SELECT maxwritetime(v) FROM mwt WHERE id = 1").head()
+    assert r["maxwritetime_v"] == 5000
+
+
+def test_truncate_and_index_with_keyspace_prefix(sess):
+    sess.execute("CREATE TABLE tk (id int PRIMARY KEY, v text)")
+    sess.execute("INSERT INTO tk (id, v) VALUES (1, 'x')")
+    sess.execute("CREATE INDEX ON dcosb.tk (v)")
+    sess.execute("TRUNCATE dcosb.tk")
+    assert sess.execute("SELECT count(*) FROM tk").head()[0] == 0
