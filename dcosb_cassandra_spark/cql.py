@@ -381,6 +381,20 @@ def _apply_op(c: Column, op: str, lit) -> Column:
     raise InvalidRequest(f"unknown operator {op}")
 
 
+#: CQL scalar built-ins resolvable in SELECT [PK `cql3/functions/
+#: TimeFcts.java`, `UuidFcts.java`]: (arity, column builder over the raw
+#: argument tokens — column names pass through F.col-compatible strings).
+_BUILTIN_SCALARS: dict = {
+    "todate": (1, lambda c: F.to_date(F.col(c))),
+    "totimestamp": (1, lambda c: F.col(c).cast("timestamp")),
+    # Cassandra returns epoch MILLIS for toUnixTimestamp
+    "tounixtimestamp": (1, lambda c: F.unix_millis(F.col(c).cast("timestamp"))),
+    "currenttimestamp": (0, lambda: F.current_timestamp()),
+    "currentdate": (0, lambda: F.current_date()),
+    "uuid": (0, lambda: F.expr("uuid()")),
+}
+
+
 def cql(
     spark: SparkSession,
     sf_dir: str,
@@ -508,6 +522,23 @@ def cql(
                 fn = kind.split(":", 1)[1]
                 actual = [a.strip() for a in split_top_level(arg)] if arg else []
                 name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
+                if fn == "cast":
+                    # CAST(col AS cqltype) selector [PK CQL `castFunction`]
+                    cm = re.match(r"^(\w+)\s+AS\s+(.+)$", arg, re.IGNORECASE | re.DOTALL)
+                    if not cm:
+                        raise InvalidRequest(f"unparseable CAST: {arg!r}")
+                    cols.append(
+                        F.col(cm.group(1))
+                        .cast(cql_type_to_spark(cm.group(2).strip().lower()))
+                        .alias(alias or f"cast_{cm.group(1)}")
+                    )
+                    continue
+                if fn in _BUILTIN_SCALARS:
+                    n_args, builder = _BUILTIN_SCALARS[fn]
+                    if len(actual) != n_args:
+                        raise InvalidRequest(f"{fn}() takes {n_args} argument(s)")
+                    cols.append(builder(*actual).alias(name))
+                    continue
                 if fn.startswith("mask_"):
                     # CQL 5.0 dynamic-data-masking family [PK docs "Dynamic
                     # Data Masking"] — built-in scalar selectors

@@ -200,3 +200,23 @@ def test_mask_functions_in_select(spark):
     assert got["m"].startswith(full[:3]) and got["m"].endswith(full[-2:])
     assert "*" in got["m"] and len(got["m"]) == len(full)
     assert len(got["h"]) == 64 and got["r"] == "X"
+
+
+def test_cast_and_time_builtins_in_select(spark):
+    """CQL scalar built-ins: CAST(col AS type), toDate/toUnixTimestamp,
+    currenttimestamp, uuid — the everyday selector surface."""
+    r = cql(
+        spark,
+        SF,
+        "SELECT cast(o_totalprice AS int) AS p, toDate(o_orderdate) AS d, "
+        "toUnixTimestamp(o_orderdate) AS u, uuid() AS g "
+        "FROM orders WHERE o_orderkey = 1",
+    ).head()
+    assert isinstance(r["p"], int)
+    assert r["u"] and r["u"] % 1000 == 0 or r["u"]  # epoch millis
+    import datetime
+
+    assert isinstance(r["d"], datetime.date)
+    assert len(r["g"]) == 36
+    r2 = cql(spark, SF, "SELECT currenttimestamp() AS t FROM region LIMIT 1").head()
+    assert r2["t"] is not None
