@@ -89,7 +89,7 @@ _STMT = re.compile(
 )
 
 _COND = re.compile(
-    r"^\s*(?P<col>token\(\s*\w+\s*\)|\w+)\s*(?:(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)"
+    r"^\s*(?P<col>token\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+)\s*(?:(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)"
     r"|IN\s*\((?P<inlist>.*?)\)"
     r"|CONTAINS\s+(?P<clit>.+?))\s*$",
     re.IGNORECASE,
@@ -326,10 +326,13 @@ def _check_restrictions(
     pk_restricted = {c for c, op, _ in q.conds if c in pk and op in ("=", "in")}
     for col, op, _ in q.conds:
         if col.startswith("token("):
-            inner = col[6:-1]
-            if inner not in pk:
+            inner = tuple(col[6:-1].split(","))
+            # [PK `cql3/restrictions/TokenRestriction.java`]: token() must
+            # name the ENTIRE partition key, in declaration order
+            if inner != pk:
                 raise InvalidRequest(
-                    f"token() restrictions apply only to the partition key, got {inner!r}"
+                    f"token() restrictions must name the full partition key "
+                    f"{pk}, got {inner}"
                 )
             continue  # token ranges never need ALLOW FILTERING [PK TokenRelation]
         if col in key_cols:
@@ -420,7 +423,14 @@ def cql(
         if col.startswith("token("):
             from .functions.murmur3 import token_murmur3
 
-            df = df.filter(_apply_op(token_murmur3(F.col(col[6:-1])), op, lit))
+            parts = col[6:-1].split(",")
+            if len(parts) == 1:
+                tok = token_murmur3(F.col(parts[0]))
+            else:
+                from .functions.murmur3 import token_murmur3_composite
+
+                tok = token_murmur3_composite(*parts)
+            df = df.filter(_apply_op(tok, op, lit))
             continue
         if op == "contains":
             # CQL CONTAINS targets collection columns; a text column is
@@ -522,6 +532,13 @@ def cql(
                 fn = kind.split(":", 1)[1]
                 actual = [a.strip() for a in split_top_level(arg)] if arg else []
                 name = alias or f"{fn}_{re.sub(r'[^A-Za-z0-9_]+', '_', arg)}"
+                if fn == "token":
+                    # composite partition key: token(pk1, pk2, ...) — the
+                    # single-column form resolves via the dedicated selector
+                    from .functions.murmur3 import token_murmur3_composite
+
+                    cols.append(token_murmur3_composite(*actual).alias(name))
+                    continue
                 if fn == "cast":
                     # CAST(col AS cqltype) selector [PK CQL `castFunction`]
                     cm = re.match(r"^(\w+)\s+AS\s+(.+)$", arg, re.IGNORECASE | re.DOTALL)

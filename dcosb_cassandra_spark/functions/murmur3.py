@@ -174,3 +174,48 @@ def token_murmur3(col: Column | str) -> Column:
     matters, the md5-based token (a05) is the twin."""
     c = F.col(col) if isinstance(col, str) else col
     return _token_udf()(c.cast("long"))
+
+
+def _composite_key_bytes(vals: tuple) -> bytes:
+    """CompositeType serialization of a multi-column partition key
+    [PK `db/marshal/CompositeType.java` build()]: per component a 2-byte
+    big-endian length, the component's type-serialized bytes, and a zero
+    end-of-component byte. Used by Murmur3Partitioner whenever the
+    partition key has MORE than one column (single-column keys hash their
+    raw serialized bytes — `token_murmur3`)."""
+    out = bytearray()
+    for v in vals:
+        if isinstance(v, (int, np.integer)):
+            b = int(v).to_bytes(8, "big", signed=True)
+        elif isinstance(v, str):
+            b = v.encode("utf-8")
+        elif isinstance(v, bytes):
+            b = v
+        else:
+            raise TypeError(f"unsupported composite key component type {type(v)}")
+        out += len(b).to_bytes(2, "big")
+        out += b
+        out.append(0)
+    return bytes(out)
+
+
+def cassandra_token_of_composite(*vals) -> int:
+    """Scalar reference: Murmur3Partitioner token of a composite key."""
+    h1, _ = murmur3_x64_128(_composite_key_bytes(vals))
+    tok = h1 - (1 << 64) if h1 >= (1 << 63) else h1
+    return (1 << 63) - 1 if tok == -(1 << 63) else tok
+
+
+def token_murmur3_composite(*cols: Column | str) -> Column:
+    """token(pk1, pk2, ...) for composite partition keys. Arrow-batched:
+    the batch arrives as pandas Series per component; serialization is
+    per-row (CompositeType framing is variable-length so the int64
+    byte-trick of `murmur3_token_int64` does not apply)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+
+    @pandas_udf("long")
+    def composite_token_udf(*parts: pd.Series) -> pd.Series:
+        rows = zip(*(p.tolist() for p in parts))
+        return pd.Series([cassandra_token_of_composite(*r) for r in rows], dtype="int64")
+
+    return composite_token_udf(*cs)

@@ -752,3 +752,29 @@ def test_truncate_and_index_with_keyspace_prefix(sess):
     sess.execute("CREATE INDEX ON dcosb.tk (v)")
     sess.execute("TRUNCATE dcosb.tk")
     assert sess.execute("SELECT count(*) FROM tk").head()[0] == 0
+
+
+def test_composite_token_select_and_range(sess):
+    """token(pk1, pk2) over a composite partition key: selectable, usable
+    as a range predicate, and consistent with the scalar reference."""
+    from dcosb_cassandra_spark.functions.murmur3 import cassandra_token_of_composite
+
+    sess.execute(
+        "CREATE TABLE ct (pid bigint, bucket text, ck int, v int, "
+        "PRIMARY KEY ((pid, bucket), ck))"
+    )
+    for i in range(4):
+        sess.execute(f"INSERT INTO ct (pid, bucket, ck, v) VALUES ({i}, 'b{i}', 1, {i})")
+    rows = sess.execute("SELECT pid, bucket, token(pid, bucket) AS t FROM ct").collect()
+    got = {(r["pid"], r["bucket"]): r["t"] for r in rows}
+    for (pid, bucket), tok in got.items():
+        assert tok == cassandra_token_of_composite(pid, bucket)
+    # range predicate over the composite ring position
+    lo = min(got.values())
+    n = sess.execute(
+        f"SELECT pid FROM ct WHERE token(pid, bucket) > {lo}"
+    ).count()
+    assert n == 3
+    # token() must cover the FULL partition key
+    with pytest.raises(Exception, match="full partition key"):
+        sess.execute(f"SELECT pid FROM ct WHERE token(pid) > {lo}")

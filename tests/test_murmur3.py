@@ -56,3 +56,23 @@ def test_udf_partitions_the_ring(spark):
     rows = o.select("o_orderkey", tok.alias("tok")).limit(3).collect()
     for r in rows:
         assert r["tok"] == cassandra_token_of_bigint(r["o_orderkey"])
+
+
+def test_composite_token_serialization_reference():
+    """CompositeType framing [PK CompositeType.java]: 2-byte length +
+    bytes + 0x00 per component; composite of one component differs from
+    the raw single-key hash (Cassandra only composites multi-column keys)."""
+    from dcosb_cassandra_spark.functions.murmur3 import (
+        _composite_key_bytes,
+        cassandra_token_of_bigint,
+        cassandra_token_of_composite,
+    )
+
+    assert _composite_key_bytes((1,)) == b"\x00\x08" + (1).to_bytes(8, "big") + b"\x00"
+    assert _composite_key_bytes(("ab",)) == b"\x00\x02ab\x00"
+    # framing matters: composite-of-one != raw single-key token
+    assert cassandra_token_of_composite(1) != cassandra_token_of_bigint(1)
+    # order matters
+    assert cassandra_token_of_composite(1, "x") != cassandra_token_of_composite("x", 1)
+    # deterministic
+    assert cassandra_token_of_composite(5, "u") == cassandra_token_of_composite(5, "u")
