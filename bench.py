@@ -205,7 +205,11 @@ def main() -> None:
             "floor_x_queries_sec": round(floor * len(names), 4),
             "note": "plan_build = driver-side DataFrame construction (py4j); "
                     "floor = median 1-row action through the same path; "
-                    "sequential total is bounded below by floor_x_queries",
+                    "sequential total is bounded below by floor_x_queries; "
+                    "concurrent wall is bounded below by the Python driver's "
+                    "GIL serializing 12 threads of plan-build + Arrow decode "
+                    "(measured insensitive to executor task counts and "
+                    "scheduler mode — FIFO vs FAIR within noise)",
         },
     }))
     spark.stop()

@@ -10,11 +10,15 @@ DataFrame plan through the same operators as the registry queries:
       [ORDER BY col [ASC|DESC][, ...]]
       [PER PARTITION LIMIT n] [LIMIT n] [ALLOW FILTERING]
 
-    selector := * | col | col AS alias | count(*) |
-                min|max|sum|avg|count(col) [AS alias] | writetime(col) |
-                token(col)
+    selector := * | col | col AS alias | udt.field[.field] | count(*) |
+                min|max|sum|avg|count(col) | writetime(col) |
+                maxwritetime(col) | ttl(col) | token(col[, col...]) |
+                cast(col AS type) | toDate|toTimestamp|toUnixTimestamp(col) |
+                currenttimestamp() | currentdate() | uuid() |
+                mask_*(col, ...) | similarity_{cosine,euclidean,dot_product} |
+                <session UDF/UDA>(args)   [all with optional AS alias]
     cond     := col (=|<|<=|>|>=|!=) literal | col IN (lit, ...)
-              | col CONTAINS literal
+              | col CONTAINS literal | token(pk[, pk...]) op literal
 
 Faithful CQL restrictions, enforced like Cassandra's
 StatementRestrictions [PK]:
