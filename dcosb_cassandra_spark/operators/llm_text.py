@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions.text import (
@@ -689,4 +690,81 @@ def d5k_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(20)
+    )
+
+
+@query(
+    "d_split_stratified",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, lang, n_chars,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source, lang) AS n
+            FROM documents
+        )
+        SELECT source, lang,
+               CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) THEN 'train'
+                    WHEN rn <= CAST(floor(n * 0.9) AS BIGINT) THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM ranked GROUP BY 1, 2, 3
+    """,
+    tags=("D22", "D1", "D14", "P1"),
+)
+def d_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test split: EXACT 80/10/10 within every
+    (source, lang) stratum — the global hash split (d_split_train_val_test)
+    only hits proportions in expectation, which over- or under-samples
+    small strata; fine-tuning sets and per-domain eval demand exact
+    per-stratum counts. Assignment is the content-stable md5 shuffle
+    prefix, so it is deterministic and resumable.
+
+    TWO-PHASE (SCALE.md "two-phase rank"): rank within (source, lang,
+    md5-prefix bucket) + broadcast per-bucket offsets and stratum totals —
+    no window ever partitions on the bounded (source, lang) grid alone,
+    so no task sorts a whole stratum at 100 TB. The oracle is the plain
+    single-window SQL: hash-equality proves the rewrite changes the plan,
+    not the assignment."""
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("mh"),
+    ).withColumn("bkt", F.substring("mh", 1, 2))
+    ranked = d.withColumn(
+        "rn_b",
+        F.row_number().over(
+            Window.partitionBy("source", "lang", "bkt").orderBy("mh", "doc_id")
+        ),
+    )
+    grid = d.groupBy("source", "lang", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (
+        Window.partitionBy("source", "lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = grid.select(
+        "source",
+        "lang",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("source", "lang")).alias("n"),
+    )
+    rn = F.col("off") + F.col("rn_b")
+    split = (
+        F.when(rn <= F.floor(F.col("n") * 0.8), "train")
+        .when(rn <= F.floor(F.col("n") * 0.9), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["source", "lang", "bkt"])
+        .withColumn("split", split)
+        .groupBy("source", "lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
     )

@@ -101,6 +101,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the 4-row MIX_WEIGHTS literal and groupBy(source) "
         "counts: exactly |domains| = 4 rows at any SF",
     ),
+    "d_split_stratified": (
+        {"bounded:documents"},
+        "broadcast side is the (source, lang, md5-prefix-bucket) offset grid: "
+        "≤ |source|×|lang|×256 rows at any SF",
+    ),
     "d13b_sequence_packing_subsharded": (
         {"bounded:documents"},
         "broadcast side is the (source, lang, doc-id-bucket) token-offset grid: "

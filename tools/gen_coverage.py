@@ -59,6 +59,7 @@ ROWS = [
     ("D19", "Perplexity-proxy quality filter (added r4)"),
     ("D20", "BPE merge step / vocab induction (added r4)"),
     ("D21", "Sub-sharded sequence packing (added r4)"),
+    ("D22", "Stratified train/val/test split (added r4)"),
 ]
 
 STREAMING_EXTRA = {
