@@ -61,3 +61,61 @@ def test_garbage_rejected_cleanly(garbage):
         parse(garbage)
     except InvalidRequest:
         pass
+
+
+# -- DDL fuzz: the session's statement handlers must never leak an
+# unhandled exception — every generated statement either executes or
+# raises InvalidRequest (Cassandra's contract). DDL execution is pure
+# driver-side bookkeeping, so this runs without Spark actions.
+
+IDENTS = st.sampled_from(["t1", "t2", "mv1", "ty1", "fn1", "ks1", "colx", "coly"])
+CQL_TYPES = st.sampled_from(
+    ["int", "bigint", "text", "double", "boolean", "list<int>", "map<text, int>",
+     "frozen<tuple<int, text>>", "set<text>", "uuid", "nosuchtype", "vector<float, 8>"]
+)
+
+
+@st.composite
+def ddl_statements(draw):
+    kind = draw(st.sampled_from(["table", "type", "function", "aggregate", "mv",
+                                 "keyspace", "drop", "alter"]))
+    a, b = draw(IDENTS), draw(IDENTS)
+    t1, t2 = draw(CQL_TYPES), draw(CQL_TYPES)
+    if kind == "table":
+        return f"CREATE TABLE {a} ({b} {t1} PRIMARY KEY, v {t2})"
+    if kind == "type":
+        return f"CREATE TYPE {a} ({b} {t1})"
+    if kind == "function":
+        body = draw(st.sampled_from(["'return x + 1;'", "'x * 2'", "'int y = 1; return y;'"]))
+        lang = draw(st.sampled_from(["java", "sql", "python"]))
+        return (f"CREATE FUNCTION {a} (x {t1}) CALLED ON NULL INPUT "
+                f"RETURNS {t2} LANGUAGE {lang} AS {body}")
+    if kind == "aggregate":
+        return f"CREATE AGGREGATE {a} ({t1}) SFUNC {b} STYPE {t2} INITCOND 0"
+    if kind == "mv":
+        return (f"CREATE MATERIALIZED VIEW {a} AS SELECT * FROM {b} "
+                f"WHERE {b} IS NOT NULL PRIMARY KEY ({b})")
+    if kind == "keyspace":
+        return draw(st.sampled_from([f"CREATE KEYSPACE {a}", f"USE {a}", f"DROP KEYSPACE {a}"]))
+    if kind == "drop":
+        return draw(st.sampled_from(
+            [f"DROP TABLE {a}", f"DROP TYPE {a}", f"DROP FUNCTION {a}",
+             f"DROP AGGREGATE {a}", f"DROP MATERIALIZED VIEW {a}"]))
+    return draw(st.sampled_from(
+        [f"ALTER TABLE {a} ADD {b} {t1}", f"ALTER TABLE {a} DROP {b}",
+         f"ALTER TABLE {a} RENAME {b} TO znew"]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(ddl_statements(), min_size=1, max_size=6))
+def test_session_ddl_never_crashes(spark, stmts):
+    from dcosb_cassandra_spark.cql_session import CqlSession
+
+    from .conftest import SMOKE_SF_DIR
+
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    for stmt in stmts:
+        try:
+            sess.execute(stmt)
+        except InvalidRequest:
+            pass  # the contract: reject cleanly, never crash
