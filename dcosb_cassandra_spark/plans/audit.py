@@ -25,6 +25,27 @@ SCALING_TABLES = frozenset(
 #: fixed-cardinality dims (25 / 5 rows at every SF) — always safe to hint.
 FIXED_DIMS = frozenset({"nation", "region"})
 
+#: Columns whose cardinality does NOT grow with SF (enums / fixed dims): a
+#: corpus-scale window partitioned ONLY by these funnels the corpus through
+#: a constant number of tasks — the two-phase-rank rule's trigger set
+#: (enforced by tests/test_plans.py::test_no_single_low_card_corpus_windows).
+LOW_CARDINALITY_COLS = frozenset(
+    {
+        "source", "lang", "event_type", "label", "bkt",
+        "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+        "c_mktsegment", "r_name", "n_name", "r_regionkey", "n_nationkey",
+    }
+)
+
+
+def is_low_card_window(partition_cols: list[str]) -> bool:
+    """True when a corpus window's partition key set is empty (global
+    window) or a single low-cardinality column — the shapes the two-phase
+    rank rewrite exists to avoid."""
+    return not partition_cols or (
+        len(partition_cols) < 2 and set(partition_cols) <= LOW_CARDINALITY_COLS
+    )
+
 _COL_PREFIX_TO_TABLE = {
     "c_": "customer", "s_": "supplier", "n_": "nation", "r_": "region",
     "o_": "orders", "l_": "lineitem", "p_": "part",

@@ -11,6 +11,7 @@ from dcosb_cassandra_spark.plans.audit import (
     audit,
     corpus_window_partitions,
     executed_plan_string,
+    is_low_card_window,
     plan_string,
 )
 from dcosb_cassandra_spark.registry import REGISTRY, load_all
@@ -146,18 +147,6 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
     assert not offenders, f"unbounded broadcast hints on scaling tables: {offenders}"
 
 
-#: Columns whose cardinality does NOT grow with SF (enums / fixed dims): a
-#: corpus-scale window partitioned ONLY by these funnels the corpus through
-#: a constant number of tasks — the d14 "weak" finding generalized.
-LOW_CARDINALITY_COLS = frozenset(
-    {
-        "source", "lang", "event_type", "label", "bkt",
-        "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
-        "c_mktsegment", "r_name", "n_name", "r_regionkey", "n_nationkey",
-    }
-)
-
-
 def test_no_single_low_card_corpus_windows(spark):
     """No registered query may run a window over corpus-scale input whose
     partition key set is empty (global window) or drawn entirely from
@@ -167,11 +156,7 @@ def test_no_single_low_card_corpus_windows(spark):
     offenders = {}
     for name, spec in REGISTRY.items():
         wins = corpus_window_partitions(spec.fn(spark, SF_DIR))
-        bad = [
-            w
-            for w in wins
-            if not w or (len(w) < 2 and set(w) <= LOW_CARDINALITY_COLS)
-        ]
+        bad = [w for w in wins if is_low_card_window(w)]
         if bad:
             offenders[name] = bad
     assert not offenders, (
