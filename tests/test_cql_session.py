@@ -778,3 +778,82 @@ def test_composite_token_select_and_range(sess):
     # token() must cover the FULL partition key
     with pytest.raises(Exception, match="full partition key"):
         sess.execute(f"SELECT pid FROM ct WHERE token(pid) > {lo}")
+
+
+def test_full_cql_user_journey(spark):
+    """End-to-end walk of the statement surface a Cassandra app actually
+    uses, in one session: keyspace -> UDT -> table -> index -> MV -> UDF ->
+    UDA -> writes (plain, JSON, batch, TTL, LWT) -> reads (masks, TTL,
+    token, UDF/UDA, MV partition read) -> schema evolution -> teardown."""
+    sess = CqlSession(spark, SMOKE_SF_DIR, now_micros=1_800_000_000_000_000)
+    sess.execute("CREATE KEYSPACE shop WITH replication = {'class': 'SimpleStrategy'}")
+    sess.execute("USE shop")
+    sess.execute("CREATE TYPE shop.addr (city text, zip int)")
+    sess.execute(
+        "CREATE TABLE shop.users (uid bigint PRIMARY KEY, name text, "
+        "email text, home frozen<addr>, spend double)"
+    )
+    sess.execute("CREATE INDEX ON shop.users (email)")
+    sess.execute(
+        "CREATE MATERIALIZED VIEW users_by_city AS "
+        "SELECT uid, name, home FROM users "
+        "WHERE home IS NOT NULL AND uid IS NOT NULL "
+        "PRIMARY KEY (uid)"
+    )
+    sess.execute(
+        "CREATE FUNCTION with_tax (amount double) RETURNS NULL ON NULL INPUT "
+        "RETURNS double LANGUAGE java AS 'return amount * 1.2;'"
+    )
+    sess.execute(
+        "CREATE FUNCTION add_d (s double, v double) CALLED ON NULL INPUT "
+        "RETURNS double LANGUAGE sql AS 'coalesce(s, 0.0) + coalesce(v, 0.0)'"
+    )
+    sess.execute(
+        "CREATE AGGREGATE total_spend (double) SFUNC add_d STYPE double INITCOND 0"
+    )
+    # writes: plain, JSON, batch (shared timestamp), TTL, LWT
+    sess.execute(
+        "INSERT INTO users (uid, name, email, home, spend) "
+        "VALUES (1, 'ann', 'a@x.io', {city: 'oslo', zip: 1234}, 10.5)"
+    )
+    sess.execute(
+        'INSERT INTO users JSON \'{"uid": 2, "name": "bo", "email": "b@x.io", "spend": 4.5}\''
+    )
+    sess.execute(
+        "BEGIN BATCH "
+        "INSERT INTO users (uid, name, spend) VALUES (3, 'cy', 1.0); "
+        "UPDATE users SET spend = 2.0 WHERE uid = 3; "
+        "APPLY BATCH"
+    )
+    sess.execute("INSERT INTO users (uid, name) VALUES (4, 'di') USING TTL 60")
+    applied = sess.execute(
+        "INSERT INTO users (uid, name) VALUES (1, 'dup') IF NOT EXISTS"
+    ).head()["[applied]"]
+    assert applied is False
+    # reads: UDF, UDA, masks, TTL, token, index eq, MV
+    r = sess.execute(
+        "SELECT name, with_tax(spend) AS gross, mask_hash(email) AS eh, home.city "
+        "FROM users WHERE uid = 1"
+    ).head()
+    assert abs(r["gross"] - 12.6) < 1e-9 and len(r["eh"]) == 64 and r["home_city"] == "oslo"
+    assert (
+        abs(sess.execute("SELECT total_spend(spend) AS t FROM users").head()["t"] - 17.0)
+        < 1e-9
+    )
+    assert sess.execute("SELECT ttl(name) AS t FROM users WHERE uid = 4").head()["t"] == 60
+    assert sess.execute("SELECT uid FROM users WHERE email = 'b@x.io'").head()["uid"] == 2
+    assert sess.execute("SELECT token(uid) AS t FROM users WHERE uid = 1").head()["t"] is not None
+    assert sess.execute("SELECT name FROM users_by_city WHERE uid = 1").head()["name"] == "ann"
+    # batch atomicity under LWW: the UPDATE and INSERT share one writetime;
+    # value tiebreak keeps the lexically greater spend
+    assert sess.execute("SELECT spend FROM users WHERE uid = 3").head()["spend"] == 2.0
+    # schema evolution + teardown
+    sess.execute("ALTER TABLE users ADD vip boolean")
+    sess.execute("UPDATE users SET vip = true WHERE uid = 1")
+    assert sess.execute("SELECT vip FROM users WHERE uid = 1").head()["vip"] is True
+    sess.execute("DROP MATERIALIZED VIEW users_by_city")
+    sess.execute("DROP AGGREGATE total_spend")
+    sess.execute("DROP FUNCTION with_tax")
+    sess.execute("DROP TABLE users")
+    with pytest.raises(Exception):
+        sess.execute("SELECT * FROM users WHERE uid = 1")
