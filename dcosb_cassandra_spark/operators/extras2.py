@@ -107,8 +107,8 @@ def b27b_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                bool_or(event_type = 'purchase')  AS ever_purchased,
                bool_and(value >= 0)              AS all_nonneg,
-               count_if(event_type = 'error')    AS n_errors,
-               count_if(value > 95)              AS n_high
+               CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
+               CAST(count_if(value > 95) AS BIGINT)           AS n_high
         FROM events GROUP BY user_id
     """,
     tags=("B28", "B9", "P1"),
@@ -150,9 +150,10 @@ def b28b_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM sessions GROUP BY user_id, session_id
         )
         SELECT count(*)                                        AS n_sessions,
-               count_if(saw)                                   AS with_view,
-               count_if(saw AND clicked)                       AS view_click,
-               count_if(saw AND clicked AND purchased)         AS full_funnel,
+               CAST(count_if(saw) AS BIGINT)                   AS with_view,
+               CAST(count_if(saw AND clicked) AS BIGINT)       AS view_click,
+               CAST(count_if(saw AND clicked AND purchased)
+                    AS BIGINT)                                 AS full_funnel,
                round(count_if(saw AND clicked AND purchased) * 1.0
                      / count(*), 6)                            AS conversion
         FROM per_session

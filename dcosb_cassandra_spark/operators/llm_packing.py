@@ -52,7 +52,7 @@ _WS_TOKENS_SQL = "len(string_split(text, ' '))"
             FROM toks
         )
         SELECT source, lang, seq_id, count(*) AS n_docs,
-               sum(tok) AS seq_tokens,
+               CAST(sum(tok) AS BIGINT) AS seq_tokens,
                round(least(sum(tok), {SEQ_BUDGET}) / {SEQ_BUDGET}.0, 6) AS fill_ratio
         FROM packed GROUP BY source, lang, seq_id
     """,
@@ -141,7 +141,7 @@ def sequence_packing(
             FROM toks
         )
         SELECT source, lang, seq_id, count(*) AS n_docs,
-               sum(tok) AS seq_tokens,
+               CAST(sum(tok) AS BIGINT) AS seq_tokens,
                round(least(sum(tok), {SEQ_BUDGET}) / {SEQ_BUDGET}.0, 6) AS fill_ratio
         FROM packed GROUP BY source, lang, seq_id
     """,
@@ -355,7 +355,7 @@ BATCH_SIZE = 16
         )
         SELECT bucket_cap, count(*) AS n_docs,
                CAST(ceil(count(*) * 1.0 / {BATCH_SIZE}) AS BIGINT) AS n_batches,
-               sum(bucket_cap - tok) AS padding_tokens,
+               CAST(sum(bucket_cap - tok) AS BIGINT) AS padding_tokens,
                round(sum(tok) * 1.0 / sum(bucket_cap), 6) AS efficiency
         FROM bucketed GROUP BY bucket_cap
     """,
