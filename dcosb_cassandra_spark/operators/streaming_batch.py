@@ -187,3 +187,189 @@ def c5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("ts").alias("first_ts"), F.col("event_id").alias("first_event_id"))
     )
+
+
+# --- C8/C9/D12 oracle-checkable twins -------------------------------------
+# These three RUN the real Structured Streaming path (availableNow replay
+# into a sink) inside a batch-callable, so the driver's DuckDB oracle
+# grades the streaming machinery itself — not just a batch re-statement.
+
+#: documents schema for the file-source stream (explicit: schema inference
+#: is an extra full pass at 100 TB and file streams require one anyway)
+_DOCS_SCHEMA_FULL = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+_SINK_SEQ = [0]
+_STREAM_DIRS: dict = {}
+
+
+def _stage_stream_dir(sf_dir: str, tbl: str) -> str:
+    """The file stream source requires a *directory*; testdata ships one
+    parquet file per table. Stage a temp dir holding a symlink to the file
+    (no copy — the data never moves), cached per (sf_dir, table)."""
+    import os
+    import tempfile
+
+    key = (sf_dir, tbl)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix=f"stream_{tbl}_")
+        os.symlink(
+            os.path.join(sf_dir, f"{tbl}.parquet"),
+            os.path.join(d, f"{tbl}.parquet"),
+        )
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
+
+
+def _sink_name(prefix: str) -> str:
+    """Unique memory-sink name per invocation (the driver may run a query
+    twice in one session; memory sink tables persist per name)."""
+    import uuid
+
+    _SINK_SEQ[0] += 1
+    return f"{prefix}_{_SINK_SEQ[0]}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "c8b_sink_roundtrip",
+    oracle="""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source, lang
+    """,
+    tags=("C8", "D12", "P1"),
+)
+def c8b_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 output modes/sinks, end to end: a streaming aggregation over the
+    documents file source runs availableNow in COMPLETE mode into a memory
+    sink, then the sink table is written through the parquet file sink
+    (sources/io.py) and read back — memory sink, complete mode, file sink,
+    and schema'd re-read all on the graded path. The oracle is the direct
+    batch aggregate: availableNow replay must be exactly batch-equivalent.
+    Scale: the streamed agg is partial-per-microbatch (state = O(groups));
+    the file sink is the real 100 TB egress path."""
+    import os
+    import tempfile
+
+    from ..session import ensure_engine_conf
+    from ..sources import io as sio
+    from ..streaming.streams import c8_write_stream
+
+    ensure_engine_conf(spark)
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA_FULL)
+        .parquet(_stage_stream_dir(sf_dir, "documents"))
+    )
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    name = _sink_name("c8b_sink")
+    q = c8_write_stream(agg, name, output_mode="complete")
+    q.awaitTermination(120)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="c8b_"), "roundtrip")
+    sio.write_parquet(spark.table(name), out_dir)
+    return sio.read_parquet(spark, out_dir)
+
+
+@query(
+    "c9c_view_parity",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                   AS value_floor_sum
+        FROM events GROUP BY event_type
+    """,
+    tags=("C9", "A26", "P1"),
+)
+def c9c_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 foreachBatch materialized-view maintenance vs direct recompute:
+    a foreachBatch loop merges per-micro-batch integer deltas (count +
+    sum(floor(value))) into a running per-event_type view; the oracle
+    recomputes the view from scratch. Integer deltas make the merge
+    order-independent, so parity is exact (float accumulation across
+    micro-batches would be order-sensitive). The per-batch collect is the
+    view itself — O(event types), never O(events) — which is exactly the
+    boundedness argument for Cassandra-style MV maintenance at 100 TB/day."""
+    import os
+
+    from ..session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        .parquet(_stage_stream_dir(sf_dir, "events"))
+    )
+    state: dict[str, tuple[int, int]] = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.floor("value")), F.lit(0)).alias("vfloor"),
+            )
+            .collect()
+        )
+        for row in delta:
+            cur = state.get(row["event_type"], (0, 0))
+            state[row["event_type"]] = (cur[0] + row["n"], cur[1] + row["vfloor"])
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(k, n, v) for k, (n, v) in sorted(state.items())]
+    return spark.createDataFrame(
+        rows, "event_type STRING, n_events LONG, value_floor_sum LONG"
+    )
+
+
+@query(
+    "c11b_ingest_replay",
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' ')), 6) AS uniq_ratio,
+                   sha256(text) AS fingerprint,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g') AS redacted
+            FROM documents
+        )
+        SELECT * FROM feat WHERE n_tokens >= 5 AND uniq_ratio > 0.2
+    """,
+    tags=("D12", "C8", "D5", "P1"),
+)
+def c11b_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 streaming training-data ingest, graded: the ACTUAL c11 stream
+    (quality features + PII redaction + dedup fingerprint, stateless
+    projection per micro-batch) replayed availableNow into an append-mode
+    memory sink; the oracle computes the same features in SQL. Row-for-row
+    hash equality proves batch/stream parity of the ingest path — the
+    property that lets a 100 TB/day pipeline backfill with the same code
+    it streams with."""
+    import os
+
+    from ..streaming.streams import (
+        c8_write_stream,
+        c11_training_ingest_stream,
+        read_documents_stream,
+    )
+
+    docs = read_documents_stream(spark, _stage_stream_dir(sf_dir, "documents"))
+    name = _sink_name("c11b_sink")
+    q = c8_write_stream(c11_training_ingest_stream(docs), name, output_mode="append")
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -43,6 +43,12 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Streaming micro-batches don't get AQE partition coalescing, so a
+    # driver-built session's default 200 shuffle partitions means 200
+    # state-store tasks per tiny micro-batch — pin to the engine default.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    )
     # events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it via this
     # legacy flag (as a nanos long) — the catalog converts it to micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
