@@ -64,6 +64,51 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int = DEFAULT_NUM_HASHES, bands: 
     )
 
 
+def lsh_bands_keyed(sigs: DataFrame, id_col: str, k: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, bh0..bh{bands-1}, band_idx, band_hash) — one row per band, but
+    each row also carries ALL of the doc's band hashes as scalar columns.
+
+    That extra width is what lets the candidate join dedup pairs WITHOUT a
+    distinct: a pair colliding in several bands is kept only where
+    band_idx is its FIRST colliding band (``a.bh_j == b.bh_j`` for some
+    j < band_idx ⇒ drop). The check is a short chain of scalar string
+    equalities — whole-stage-codegen'd, zero allocation — versus a full
+    shuffle of every enumerated pair for DISTINCT. On a skewed corpus the
+    pair stream is the dominant volume (a dup cluster of m docs emits
+    ~m²/2 pairs per colliding band), so removing its shuffle is the
+    difference between one map-side pass and re-materializing the pair
+    set."""
+    r = k // bands
+    bh = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    keyed = sigs.select(id_col, *bh)
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"bh{b}").alias("band_hash"))
+            for b in range(bands)
+        ]
+    )
+    bh_names = [f"bh{b}" for b in range(bands)]
+    return keyed.select(id_col, *bh_names, F.explode(entries).alias("e")).select(
+        id_col,
+        *bh_names,
+        F.col("e.band_idx").alias("band_idx"),
+        F.col("e.band_hash").alias("band_hash"),
+    )
+
+
+def first_collision_only(a_idx: Column, bands: int, eq) -> Column:
+    """True when the pair ALREADY collided in an earlier band than a_idx —
+    i.e. this row is a duplicate enumeration and must be dropped. ``eq(j)``
+    is the caller's equality column for band j."""
+    cond = F.lit(False)
+    for j in range(bands - 1):
+        cond = cond | ((a_idx > j) & eq(j))
+    return cond
+
+
 def minhash_oracle_sql(k: int = DEFAULT_NUM_HASHES) -> str:
     """DuckDB twin of minhash_signature over `documents` (doc_id, text)."""
     mins = ",\n               ".join(

@@ -19,7 +19,8 @@ from ..catalog import table
 from ..functions.minhash import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
-    lsh_bands,
+    first_collision_only,
+    lsh_bands_keyed,
     minhash_oracle_sql,
     minhash_signature,
     tokens_of,
@@ -100,30 +101,50 @@ def d2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact Jaccard ≥ 0.5. The cross join never happens: LSH
     banding makes candidate generation a hash join, the 100 TB-safe shape.
 
+    Pair-stream shape (the part that dominates on clustered corpora, where
+    a dup cluster of m docs emits ~m²/2 pairs per colliding band):
+    - NO DISTINCT. Each band row carries all of the doc's band hashes
+      (lsh_bands_keyed), and a pair survives only in its FIRST colliding
+      band — a scalar-equality filter replaces a full shuffle of the
+      enumerated pair stream.
+    - The probe side is repartitioned round-robin BEFORE enumeration: the
+      sf0.1 corpus arrives as one input split, and without the spread one
+      task would enumerate+verify every pair of the dominant LSH bucket
+      serially (measured 24 s → 6 s on local[32]).
+    - Build side and token arrays are broadcast (n_docs-bounded — fine up
+      to dims of ~10⁷ docs; past that, drop the hints: the same plan runs
+      as shuffle equi-joins and the first-collision dedup still holds).
+
     Verify-join shape: each candidate pair fetches the two docs' token
     SETS as int64-hashed arrays and intersects them in one expression —
-    2.2× faster than the exploded token equi-join (which materializes
+    faster than the exploded token equi-join (which materializes
     |pairs| × |tokens| rows) when docs are short; for very long documents
     the exploded join wins, because pair rows then carry whole documents.
     xxhash64 keeps the intersection exact up to 64-bit collisions
     (probability ~|tokens|²/2⁶⁴ per pair — negligible at any doc size).
-    The corpus-scale caveat: a dup CLUSTER of size m yields m²/2 pairs by
-    definition, so pair ENUMERATION is quadratic on clustered corpora
-    regardless of engine — cluster-level dedup (d2f) is the 100 TB
-    endpoint; this operator is the verified-pairs building block."""
+    The corpus-scale caveat: pair ENUMERATION is inherently quadratic on
+    clustered corpora regardless of engine — cluster-level dedup (d2f) is
+    the 100 TB endpoint; this operator is the verified-pairs building
+    block."""
     d = table(spark, sf_dir, "documents")
     sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spark.sparkContext.defaultParallelism * 2)
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
     cand = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(~dup_enum)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
     )
     ts = d.select(
         "doc_id",
@@ -133,8 +154,8 @@ def d2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
         .select(
             (inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("jaccard")
         )
