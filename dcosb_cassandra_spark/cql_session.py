@@ -1128,7 +1128,152 @@ class CqlSession:
             df = df.select(*keep)
         return df
 
+    #: key metadata for the system_schema/system virtual tables, mirroring
+    #: Cassandra's layouts [PK `schema/SchemaKeyspace.java`,
+    #: `db/SystemKeyspace.java`]: real drivers and tools introspect by
+    #: SELECTing these on connect, so the session exposes them as queryable
+    #: tables derived from its live catalog metadata.
+    _SYSTEM_KEYS = {
+        "keyspaces": (("keyspace_name",), ()),
+        "tables": (("keyspace_name",), ("table_name",)),
+        "columns": (("keyspace_name",), ("table_name", "column_name")),
+        "views": (("keyspace_name",), ("view_name",)),
+        "types": (("keyspace_name",), ("type_name",)),
+        "functions": (("keyspace_name",), ("function_name",)),
+        "aggregates": (("keyspace_name",), ("aggregate_name",)),
+        "local": (("key",), ()),
+        "peers": (("peer",), ()),
+    }
+
+    def _all_tables(self) -> dict[str, list[tuple[str, str, tuple, tuple]]]:
+        """(column, type, pk, cc) rows per table — parquet catalog tables
+        plus session-created ones, the single source the system_schema
+        virtual tables render from."""
+        out: dict[str, list[tuple[str, str, tuple, tuple]]] = {}
+        for tbl, (pk, cc) in TABLE_KEYS.items():
+            cols = [
+                (f.name, f.dataType.simpleString())
+                for f in table(self.spark, self.sf_dir, tbl).schema.fields
+            ]
+            out[tbl] = [(c, t, pk, cc) for c, t in cols]
+        for tbl, td in self._created.items():
+            out[tbl] = [
+                (c, t, td.partition_key, td.clustering) for c, t in td.columns.items()
+            ]
+        return out
+
+    def _system_schema(self, which: str) -> DataFrame:
+        """Render one system_schema/system virtual table from the session's
+        live metadata. Single-engine: everything lives in the session's
+        keyspaces; replication/topology columns carry the fixed values a
+        single-node cluster would report."""
+        ks = self._current_ks
+        if which == "keyspaces":
+            rows = [(k, True) for k in sorted(self._keyspaces)]
+            return self.spark.createDataFrame(
+                rows, "keyspace_name STRING, durable_writes BOOLEAN"
+            )
+        if which == "tables":
+            rows = [(ks, t) for t in sorted(self._all_tables())]
+            return self.spark.createDataFrame(
+                rows, "keyspace_name STRING, table_name STRING"
+            )
+        if which == "columns":
+            rows = []
+            for tbl, cols in sorted(self._all_tables().items()):
+                for c, t, pk, cc in cols:
+                    kind = (
+                        "partition_key"
+                        if c in pk
+                        else "clustering" if c in cc else "regular"
+                    )
+                    pos = pk.index(c) if c in pk else cc.index(c) if c in cc else -1
+                    order = "asc" if c in cc else "none"
+                    rows.append((ks, tbl, c, order, kind, pos, t))
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, table_name STRING, column_name STRING, "
+                "clustering_order STRING, kind STRING, position INT, type STRING",
+            )
+        if which == "views":
+            rows = [(ks, v.name, v.base) for v in self._views.values()]
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, view_name STRING, base_table_name STRING",
+            )
+        if which == "types":
+            rows = [
+                (ks, name, list(fields), [fields[f] for f in fields])
+                for name, fields in sorted(self._udts.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, type_name STRING, "
+                "field_names ARRAY<STRING>, field_types ARRAY<STRING>",
+            )
+        if which == "functions":
+            rows = [
+                (ks, f.name, [t for _, t in f.args], f.returns, f.body_sql)
+                for f in self._functions.values()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, function_name STRING, "
+                "argument_types ARRAY<STRING>, return_type STRING, body STRING",
+            )
+        if which == "aggregates":
+            rows = [
+                (ks, a.name, a.arg_type, a.stype, a.sfunc, a.finalfunc)
+                for a in self._aggregates.values()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, aggregate_name STRING, "
+                "argument_type STRING, state_type STRING, state_func STRING, "
+                "final_func STRING",
+            )
+        if which == "local":
+            rows = [
+                ("local", "dcosb", "3.4.7", "5.0.0",
+                 "org.apache.spark.sql.catalyst.expressions.Murmur3Hash", ks)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "key STRING, cluster_name STRING, cql_version STRING, "
+                "release_version STRING, partitioner STRING, keyspace_name STRING",
+            )
+        if which == "peers":  # single-engine: no peers, schema only
+            return self.spark.createDataFrame(
+                [], "peer STRING, data_center STRING, release_version STRING"
+            )
+        raise InvalidRequest(f"unknown system table {which}")
+
     def _select(self, statement: str) -> DataFrame:
+        msys = re.search(
+            r"\bFROM\s+(system_schema|system)\s*\.\s*(\w+)", statement, re.IGNORECASE
+        )
+        if msys:
+            which = msys.group(2).lower()
+            ns = msys.group(1).lower()
+            valid = (
+                which in ("local", "peers")
+                if ns == "system"
+                else which not in ("local", "peers")
+            )
+            if which not in self._SYSTEM_KEYS or not valid:
+                raise InvalidRequest(f"unknown table {ns}.{which}")
+            src = self._system_schema(which)
+            stmt = re.sub(
+                r"\b(system_schema|system)\s*\.\s*", "", statement, flags=re.IGNORECASE
+            )
+            return cql(
+                self.spark,
+                self.sf_dir,
+                stmt,
+                source_df=src,
+                extra_keys={which: self._SYSTEM_KEYS[which]},
+                extra_indexed={which: tuple(src.columns)},
+            )
         m = re.search(r"\bFROM\s+(\w+)", statement, re.IGNORECASE)
         if not m:
             raise InvalidRequest("SELECT needs FROM")

@@ -857,3 +857,102 @@ def test_full_cql_user_journey(spark):
     sess.execute("DROP TABLE users")
     with pytest.raises(Exception):
         sess.execute("SELECT * FROM users WHERE uid = 1")
+
+
+# -- system_schema / system virtual tables ---------------------------------
+# Real drivers introspect by SELECTing these on connect [PK
+# schema/SchemaKeyspace.java, db/SystemKeyspace.java]; the session renders
+# them from its live catalog metadata.
+
+
+def test_system_schema_keyspaces(sess):
+    rows = sess.execute("SELECT * FROM system_schema.keyspaces").collect()
+    assert {r["keyspace_name"] for r in rows} >= {"dcosb"}
+    sess.execute("CREATE KEYSPACE ks2 WITH replication = {'class': 'SimpleStrategy'}")
+    rows = sess.execute("SELECT * FROM system_schema.keyspaces").collect()
+    assert {r["keyspace_name"] for r in rows} >= {"dcosb", "ks2"}
+
+
+def test_system_schema_tables_lists_catalog_and_created(sess):
+    base = {
+        r["table_name"]
+        for r in sess.execute("SELECT table_name FROM system_schema.tables").collect()
+    }
+    assert {"customer", "orders", "lineitem", "events", "documents"} <= base
+    sess.execute("CREATE TABLE notes (id int PRIMARY KEY, body text)")
+    after = {
+        r["table_name"]
+        for r in sess.execute("SELECT table_name FROM system_schema.tables").collect()
+    }
+    assert "notes" in after
+
+
+def test_system_schema_columns_kinds_and_filter(sess):
+    rows = sess.execute(
+        "SELECT column_name, kind, position, type FROM system_schema.columns "
+        "WHERE keyspace_name = 'dcosb' AND table_name = 'customer'"
+    ).collect()
+    by_name = {r["column_name"]: r for r in rows}
+    assert by_name["c_custkey"]["kind"] == "partition_key"
+    assert by_name["c_custkey"]["position"] == 0
+    assert by_name["c_name"]["kind"] == "regular"
+    assert by_name["c_name"]["position"] == -1
+    assert by_name["c_acctbal"]["type"] == "double"
+
+
+def test_system_schema_columns_created_table_uses_declared_types(sess):
+    sess.execute(
+        "CREATE TABLE sensor (site text, ts timestamp, temp double, "
+        "PRIMARY KEY (site, ts))"
+    )
+    rows = sess.execute(
+        "SELECT column_name, kind, type FROM system_schema.columns "
+        "WHERE keyspace_name = 'dcosb' AND table_name = 'sensor'"
+    ).collect()
+    by_name = {r["column_name"]: (r["kind"], r["type"]) for r in rows}
+    assert by_name == {
+        "site": ("partition_key", "text"),
+        "ts": ("clustering", "timestamp"),
+        "temp": ("regular", "double"),
+    }
+
+
+def test_system_schema_views_types_functions(sess):
+    sess.execute(
+        "CREATE MATERIALIZED VIEW cust_by_seg AS SELECT * FROM customer "
+        "WHERE c_mktsegment IS NOT NULL AND c_custkey IS NOT NULL "
+        "PRIMARY KEY (c_mktsegment, c_custkey)"
+    )
+    views = sess.execute("SELECT * FROM system_schema.views").collect()
+    assert [(v["view_name"], v["base_table_name"]) for v in views] == [
+        ("cust_by_seg", "customer")
+    ]
+    sess.execute("CREATE TYPE address (street text, zip int)")
+    trows = sess.execute("SELECT * FROM system_schema.types").collect()
+    assert trows[0]["type_name"] == "address"
+    assert trows[0]["field_names"] == ["street", "zip"]
+    sess.execute(
+        "CREATE FUNCTION double_it (x int) RETURNS NULL ON NULL INPUT "
+        "RETURNS int LANGUAGE java AS $$ return x * 2; $$"
+    )
+    frows = sess.execute(
+        "SELECT function_name, argument_types, return_type "
+        "FROM system_schema.functions"
+    ).collect()
+    assert frows[0]["function_name"] == "double_it"
+    assert frows[0]["argument_types"] == ["int"]
+    assert frows[0]["return_type"] == "int"
+
+
+def test_system_local_and_peers(sess):
+    local = sess.execute("SELECT * FROM system.local").collect()
+    assert len(local) == 1 and local[0]["key"] == "local"
+    assert local[0]["cluster_name"] == "dcosb"
+    assert sess.execute("SELECT * FROM system.peers").collect() == []
+
+
+def test_system_schema_unknown_table_raises(sess):
+    with pytest.raises(InvalidRequest):
+        sess.execute("SELECT * FROM system_schema.nonsense")
+    with pytest.raises(InvalidRequest):
+        sess.execute("SELECT * FROM system.keyspaces")
