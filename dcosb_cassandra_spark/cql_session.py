@@ -176,6 +176,48 @@ _DELETE = re.compile(
     r"\s+WHERE\s+(?P<where>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_KEYSPACE = re.compile(
+    r"^\s*ALTER\s+KEYSPACE\s+(?P<name>\w+)\s+WITH\s+.*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: role-auth DDL [PK `auth/CassandraRoleManager.java`,
+#: `cql3/statements/*RoleStatement.java`, `*PermissionsStatement.java`]
+_CREATE_ROLE = re.compile(
+    r"^\s*CREATE\s+(?P<kind>ROLE|USER)\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<q>'?)(?P<name>\w+)(?P=q)(?:\s+WITH\s+(?P<opts>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_ROLE = re.compile(
+    r"^\s*DROP\s+(?:ROLE|USER)\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<q>'?)(?P<name>\w+)(?P=q)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ROLE = re.compile(
+    r"^\s*ALTER\s+(?:ROLE|USER)\s+(?P<q>'?)(?P<name>\w+)(?P=q)"
+    r"\s+WITH\s+(?P<opts>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GRANT_REVOKE = re.compile(
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<perm>ALL(?:\s+PERMISSIONS)?|SELECT|MODIFY|"
+    r"CREATE|ALTER|DROP|AUTHORIZE|DESCRIBE|EXECUTE)\s+ON\s+(?P<res>.+?)\s+"
+    r"(?:TO|FROM)\s+(?P<q>'?)(?P<role>\w+)(?P=q)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GRANT_ROLE = re.compile(
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<q1>'?)(?P<granted>\w+)(?P=q1)\s+"
+    r"(?:TO|FROM)\s+(?P<q2>'?)(?P<role>\w+)(?P=q2)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_LIST_ROLES = re.compile(
+    r"^\s*LIST\s+(?:ROLES|USERS)(?:\s+OF\s+(?P<q>'?)(?P<role>\w+)(?P=q))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_LIST_PERMISSIONS = re.compile(
+    r"^\s*LIST\s+(?P<perm>ALL|SELECT|MODIFY|CREATE|ALTER|DROP|AUTHORIZE|"
+    r"DESCRIBE|EXECUTE)(?:\s+PERMISSIONS?)?"
+    r"(?:\s+ON\s+(?P<res>.+?))?(?:\s+OF\s+(?P<q>'?)(?P<role>\w+)(?P=q))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 #: quote-aware comma split (tracks (), [], {} and <> depth) — shared with
@@ -318,6 +360,16 @@ class CqlSession:
         #: qualification is stripped for known keyspaces
         self._keyspaces: set[str] = {"dcosb"}
         self._current_ks: str = "dcosb"
+        #: role-auth catalog [PK `auth/`]: single analytical engine, so
+        #: permissions are RECORDED and introspectable (LIST ROLES / LIST
+        #: PERMISSIONS, system-auth style) but not enforced — enforcement
+        #: belongs to the serving deployment (Spark ACLs / table ACLs), not
+        #: the session. Cassandra ships a default superuser role.
+        self._roles: dict[str, dict] = {
+            "cassandra": {"super": True, "login": True, "member_of": set()}
+        }
+        #: (role, permission, resource) grants
+        self._grants: set[tuple[str, str, str]] = set()
         #: non-None while executing a BEGIN BATCH: the shared writetime
         self._pinned_wt: int | None = None
         #: table -> writetime of its last TRUNCATE: every cell (incl. the
@@ -844,7 +896,144 @@ class CqlSession:
             else:  # row tombstone
                 self._emit(tbl, key, ROW_TOMBSTONE, None, wt, None, True)
             return None
+
+        out = self._auth_ddl(s)
+        if out is not NotImplemented:
+            return out
         raise InvalidRequest(f"unparseable statement: {statement!r}")
+
+    def _auth_ddl(self, s: str):
+        """ALTER KEYSPACE + the role-auth statement family [PK `auth/`]:
+        CREATE/ALTER/DROP ROLE|USER, GRANT/REVOKE permissions and role
+        membership, LIST ROLES / LIST PERMISSIONS. Returns NotImplemented
+        when the statement is not an auth statement (caller keeps parsing).
+
+        Single-engine posture: the grants are recorded and fully
+        introspectable, mirroring Cassandra's system_auth tables; runtime
+        ENFORCEMENT is a deployment concern (the analytical session has no
+        authenticated principal), documented here rather than faked."""
+        m = _ALTER_KEYSPACE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name not in self._keyspaces:
+                raise InvalidRequest(f"unknown keyspace {name}")
+            return None  # replication/durable_writes accepted and ignored
+        m = _CREATE_ROLE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name in self._roles:
+                if m.group("ine"):
+                    return None
+                raise InvalidRequest(f"role {name} already exists")
+            opts = (m.group("opts") or "").upper()
+            # CREATE USER defaults LOGIN=true, CREATE ROLE defaults false
+            # [PK `cql3/statements/CreateRoleStatement.java`]
+            login = m.group("kind").upper() == "USER"
+            if "LOGIN = TRUE" in opts:
+                login = True
+            if "LOGIN = FALSE" in opts:
+                login = False
+            # both forms: WITH SUPERUSER = true (role) and the legacy
+            # trailing keyword (CREATE USER x WITH PASSWORD 'p' SUPERUSER)
+            is_super = bool(
+                "SUPERUSER = TRUE" in opts
+                or re.search(r"\bSUPERUSER\b(?!\s*=)", opts)
+            )
+            self._roles[name] = {
+                "super": is_super,
+                "login": login,
+                "member_of": set(),
+            }
+            return None
+        m = _DROP_ROLE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name not in self._roles:
+                if m.group("ine"):
+                    return None
+                raise InvalidRequest(f"unknown role {name}")
+            del self._roles[name]
+            self._grants = {g for g in self._grants if g[0] != name}
+            for r in self._roles.values():
+                r["member_of"].discard(name)
+            return None
+        m = _ALTER_ROLE.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name not in self._roles:
+                raise InvalidRequest(f"unknown role {name}")
+            opts = m.group("opts").upper()
+            if "SUPERUSER = TRUE" in opts:
+                self._roles[name]["super"] = True
+            if "SUPERUSER = FALSE" in opts:
+                self._roles[name]["super"] = False
+            if "LOGIN = TRUE" in opts:
+                self._roles[name]["login"] = True
+            if "LOGIN = FALSE" in opts:
+                self._roles[name]["login"] = False
+            return None
+        m = _GRANT_REVOKE.match(s)
+        if m:
+            role = m.group("role").lower()
+            if role not in self._roles:
+                raise InvalidRequest(f"unknown role {role}")
+            perm = re.sub(r"\s+PERMISSIONS$", "", m.group("perm").upper())
+            res = re.sub(r"\s+", " ", m.group("res").strip().upper())
+            if m.group("verb").upper() == "GRANT":
+                self._grants.add((role, perm, res))
+            else:
+                self._grants.discard((role, perm, res))
+            return None
+        m = _GRANT_ROLE.match(s)
+        if m:
+            granted, role = m.group("granted").lower(), m.group("role").lower()
+            if granted not in self._roles or role not in self._roles:
+                raise InvalidRequest(f"unknown role in {m.group('verb')}")
+            if m.group("verb").upper() == "GRANT":
+                self._roles[role]["member_of"].add(granted)
+            else:
+                self._roles[role]["member_of"].discard(granted)
+            return None
+        m = _LIST_ROLES.match(s)
+        if m:
+            of = m.group("role")
+            if of and of.lower() not in self._roles:
+                raise InvalidRequest(f"unknown role {of}")
+            names = (
+                sorted(self._roles)
+                if not of
+                else sorted(self._roles[of.lower()]["member_of"] | {of.lower()})
+            )
+            rows = [
+                (n, self._roles[n]["super"], self._roles[n]["login"])
+                for n in names
+                if n in self._roles
+            ]
+            return self.spark.createDataFrame(
+                rows, "role STRING, super BOOLEAN, login BOOLEAN"
+            )
+        m = _LIST_PERMISSIONS.match(s)
+        if m:
+            of = m.group("role")
+            if of and of.lower() not in self._roles:
+                raise InvalidRequest(f"unknown role {of}")
+            want_perm = m.group("perm").upper()
+            want_res = (
+                re.sub(r"\s+", " ", m.group("res").strip().upper())
+                if m.group("res")
+                else None
+            )
+            rows = sorted(
+                (r, res, p)
+                for (r, p, res) in self._grants
+                if (not of or r == of.lower())
+                and (want_perm == "ALL" or p == want_perm)
+                and (want_res is None or res == want_res)
+            )
+            return self.spark.createDataFrame(
+                rows, "role STRING, resource STRING, permission STRING"
+            )
+        return NotImplemented
 
     # -- read path ----------------------------------------------------------
 

@@ -956,3 +956,69 @@ def test_system_schema_unknown_table_raises(sess):
         sess.execute("SELECT * FROM system_schema.nonsense")
     with pytest.raises(InvalidRequest):
         sess.execute("SELECT * FROM system.keyspaces")
+
+
+# -- role-auth DDL + ALTER KEYSPACE ----------------------------------------
+# Recorded and introspectable (system_auth posture); enforcement is a
+# deployment concern — the session has no authenticated principal.
+
+
+def test_alter_keyspace_accepted_unknown_raises(sess):
+    sess.execute("ALTER KEYSPACE dcosb WITH replication = "
+                 "{'class': 'NetworkTopologyStrategy', 'dc1': 3}")
+    with pytest.raises(InvalidRequest):
+        sess.execute("ALTER KEYSPACE nope WITH durable_writes = false")
+
+
+def test_create_list_drop_role(sess):
+    sess.execute("CREATE ROLE analyst WITH LOGIN = true AND PASSWORD = 's3'")
+    sess.execute("CREATE ROLE batch_etl")
+    roles = {r["role"]: r for r in sess.execute("LIST ROLES").collect()}
+    assert roles["cassandra"]["super"] is True
+    assert roles["analyst"]["login"] is True and roles["analyst"]["super"] is False
+    assert roles["batch_etl"]["login"] is False
+    with pytest.raises(InvalidRequest):
+        sess.execute("CREATE ROLE analyst")
+    sess.execute("CREATE ROLE IF NOT EXISTS analyst")  # idempotent form
+    sess.execute("DROP ROLE batch_etl")
+    assert "batch_etl" not in {
+        r["role"] for r in sess.execute("LIST ROLES").collect()
+    }
+    with pytest.raises(InvalidRequest):
+        sess.execute("DROP ROLE batch_etl")
+    sess.execute("DROP ROLE IF EXISTS batch_etl")
+
+
+def test_legacy_create_user_superuser(sess):
+    sess.execute("CREATE USER admin2 WITH PASSWORD 'pw' SUPERUSER")
+    roles = {r["role"]: r for r in sess.execute("LIST USERS").collect()}
+    assert roles["admin2"]["super"] is True and roles["admin2"]["login"] is True
+
+
+def test_grant_revoke_list_permissions(sess):
+    sess.execute("CREATE ROLE analyst")
+    sess.execute("GRANT SELECT ON TABLE customer TO analyst")
+    sess.execute("GRANT MODIFY ON KEYSPACE dcosb TO analyst")
+    rows = sess.execute("LIST ALL PERMISSIONS OF analyst").collect()
+    assert {(r["permission"], r["resource"]) for r in rows} == {
+        ("SELECT", "TABLE CUSTOMER"),
+        ("MODIFY", "KEYSPACE DCOSB"),
+    }
+    only_sel = sess.execute("LIST SELECT PERMISSIONS OF analyst").collect()
+    assert [r["permission"] for r in only_sel] == ["SELECT"]
+    sess.execute("REVOKE SELECT ON TABLE customer FROM analyst")
+    rows = sess.execute("LIST ALL PERMISSIONS OF analyst").collect()
+    assert {r["permission"] for r in rows} == {"MODIFY"}
+    with pytest.raises(InvalidRequest):
+        sess.execute("GRANT SELECT ON TABLE customer TO ghost")
+
+
+def test_grant_role_membership(sess):
+    sess.execute("CREATE ROLE readers")
+    sess.execute("CREATE ROLE alice WITH LOGIN = true")
+    sess.execute("GRANT readers TO alice")
+    of = {r["role"] for r in sess.execute("LIST ROLES OF alice").collect()}
+    assert of == {"alice", "readers"}
+    sess.execute("REVOKE readers FROM alice")
+    of = {r["role"] for r in sess.execute("LIST ROLES OF alice").collect()}
+    assert of == {"alice"}
