@@ -418,3 +418,99 @@ def d1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("lang").alias("lang"),
     ).drop("h")
+
+
+@query(
+    "d2h_semdedup",
+    oracle="""
+        WITH pos AS (
+            SELECT label, unnest(embedding::DOUBLE[]) AS x, unnest(range(0, 64)) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS cand, list(ax ORDER BY i) AS ce FROM (
+                SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i
+            ) GROUP BY label
+        ),
+        assign AS (
+            SELECT vec_id, cand AS bucket FROM (
+                SELECT e.vec_id, c.cand,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(1, 65),
+                               i -> (e.embedding[i]::DOUBLE - c.ce[i])
+                                    * (e.embedding[i]::DOUBLE - c.ce[i]))) ASC,
+                           c.cand) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        v AS (
+            SELECT a.bucket, e.vec_id, e.embedding::DOUBLE[] AS ve
+            FROM embeddings e JOIN assign a USING (vec_id)
+        ),
+        pruned AS (
+            SELECT a.bucket, b.vec_id FROM v a JOIN v b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]))
+                  / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.ve, x -> x * x)))) >= 0.35
+            GROUP BY a.bucket, b.vec_id
+        ),
+        members AS (SELECT bucket, count(*) AS n_members FROM v GROUP BY bucket),
+        pc AS (SELECT bucket, count(*) AS n_pruned FROM pruned GROUP BY bucket)
+        SELECT m.bucket AS cluster, m.n_members,
+               coalesce(pc.n_pruned, 0) AS n_pruned,
+               round((m.n_members - coalesce(pc.n_pruned, 0)) * 1.0
+                     / m.n_members, 6) AS keep_ratio
+        FROM members m LEFT JOIN pc ON pc.bucket = m.bucket
+    """,
+    tags=("D2", "D4", "D17", "P1"),
+)
+def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, PAPERS.md): semantic dedup = cluster
+    the embedding space, then prune within-cluster cosine near-duplicates,
+    keeping each similarity clique's lowest-id member. Composes the IVF
+    codebook (D4/D17: per-label centroid means, broadcast k rows) with the
+    embedding near-dup verify (D2e): pairs are enumerated ONLY within a
+    cluster via the bucket equi-join — never across the corpus — which is
+    the whole point of the algorithm at 100 TB: |cluster|² ≪ |corpus|².
+    A vector is pruned when ANY lower-id cluster-mate has cosine ≥ τ
+    (greedy keep-min representative; τ=0.35 on the synthetic vectors,
+    where cosine concentrates near 0 — real corpora use ~0.95). Output: per-cluster members/pruned/keep
+    ratio — the dataset-card numbers a curation run reports."""
+    from .llm_similarity import _centroid_assignments, _label_centroids
+    from ..functions.vectors import as_double, cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    assign = _centroid_assignments(emb, _label_centroids(emb))
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve")).join(
+        assign, "vec_id"
+    )
+    a = v.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("ve").alias("va")
+    )
+    b = v.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("ve").alias("vb")
+    )
+    pruned = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .groupBy("bucket", "id_b")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pruned"))
+    )
+    members = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(pruned, "bucket", "left")
+        .select(
+            F.col("bucket").alias("cluster"),
+            "n_members",
+            F.coalesce(F.col("n_pruned"), F.lit(0)).alias("n_pruned"),
+            F.round(
+                (F.col("n_members") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+                / F.col("n_members"),
+                6,
+            ).alias("keep_ratio"),
+        )
+    )

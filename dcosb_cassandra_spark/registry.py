@@ -61,8 +61,8 @@ _DRIVER_WINDOW = (
     "b25b_string_functions_2",
     "b27b_bitwise_ops",
     "b28b_bool_aggregates",
-    # subqueries / reshape / sampling (kept from r4)
-    "b21b_scalar_subquery",
+    # semantic dedup (new in r5) + reshape / sampling (kept from r4)
+    "d2h_semdedup",
     "b22b_posexplode",
     "b23_pivot",
     "b23b_unpivot",

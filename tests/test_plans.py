@@ -72,6 +72,22 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:events"},
         "broadcast side is agg(max(ts)): exactly 1 row at any SF",
     ),
+    "d2b_minhash_lsh_pairs": (
+        {"documents", "bounded:documents"},
+        "broadcast sides are the LSH band rows (aggregate-bounded: bands "
+        "rows of k minhashes per doc — k hashes, not tokens) and the "
+        "per-doc xxhash64 token-set arrays; both scale with n_docs, not "
+        "corpus bytes, and the docstring documents dropping the hints past "
+        "~10⁷ docs, where the identical plan runs as shuffle equi-joins "
+        "(first-collision dedup unchanged). The bands hint is also the "
+        "skew guard: a broadcast probe keeps the dominant bucket's pair "
+        "enumeration spread across the round-robin partitions",
+    ),
+    "d2h_semdedup": (
+        {"bounded:embeddings"},
+        "broadcast side is the per-label centroid codebook groupBy(label): "
+        "exactly |labels| rows at any SF (same bound as d4b/d4d)",
+    ),
     "d4b_centroid_assignment": (
         {"bounded:embeddings"},
         "broadcast side is groupBy(label) centroid means: exactly |labels| = 5 "
