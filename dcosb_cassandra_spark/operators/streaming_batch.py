@@ -373,3 +373,39 @@ def c11b_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(c11_training_ingest_stream(docs), name, output_mode="append")
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "c10b_interval_join_replay",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+               p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("C10", "C4", "B5", "P1"),
+)
+def c10b_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, graded: the ACTUAL c10 join (purchases
+    ⋈ clicks per user within the preceding 2h, watermarks on both sides
+    bounding the state store) replayed availableNow into an append memory
+    sink; the oracle is the equivalent batch range join. Row-for-row hash
+    equality proves the streaming state machine emits exactly the batch
+    semantics — the property that makes stream backfill trustworthy. At
+    100 TB/day the watermark bound is what keeps click-state O(2h of
+    clicks), not O(stream history)."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c8_write_stream,
+        c10_stream_stream_join,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    stream = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    name = _sink_name("c10b_sink")
+    q = c8_write_stream(c10_stream_stream_join(stream), name, output_mode="append")
+    q.awaitTermination(180)
+    return spark.table(name)

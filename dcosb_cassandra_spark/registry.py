@@ -65,7 +65,6 @@ _DRIVER_WINDOW = (
     "d2h_semdedup",
     "b22b_posexplode",
     "b23_pivot",
-    "b23b_unpivot",
     "b24_sampling",
     # statistics suite (B9 family)
     "b_percentiles",
@@ -86,6 +85,7 @@ _DRIVER_WINDOW = (
     "c7_stream_static_join",
     "c8b_sink_roundtrip",
     "c9c_view_parity",
+    "c10b_interval_join_replay",
     "c11b_ingest_replay",
     # LLM training-pipeline layer (D9-D22 + splits/samples)
     "d1b_incremental_dedup",
