@@ -55,6 +55,8 @@ HEADLINE = [
 #: ops is visible to the bench gate, not just the headline queries.
 PIPELINE = [
     "d2b_minhash_lsh_pairs",
+    "d2h_semdedup",
+    "d4d_ivf_probe_knn",
     "d16_substring_dedup",
     "d13_sequence_packing",
     "d_pipeline_end_to_end",

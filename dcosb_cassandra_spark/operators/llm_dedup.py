@@ -478,23 +478,39 @@ def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where cosine concentrates near 0 — real corpora use ~0.95). Output: per-cluster members/pruned/keep
     ratio — the dataset-card numbers a curation run reports."""
     from .llm_similarity import _centroid_assignments, _label_centroids
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
     assign = _centroid_assignments(emb, _label_centroids(emb))
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve")).join(
-        assign, "vec_id"
-    )
-    a = v.select(
-        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("ve").alias("va")
+    ve = as_double(F.col("embedding"))
+    # per-vector norm computed ONCE (a per-pair cosine() would recompute
+    # both norms for every pair — 2/3 of the pair-stream's flops for free)
+    v = emb.select(
+        "vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")
+    ).join(assign, "vec_id")
+    # probe side spread round-robin BEFORE pair enumeration (same lesson as
+    # d2b: the corpus arrives as one input split and `bucket` is
+    # low-cardinality, so a shuffle join on it would funnel each cluster's
+    # |c|² pair stream through one task); build side broadcast — n_corpus
+    # rows of 64-dim doubles, documented bound, at true scale the same
+    # plan runs as a cluster-bucketed shuffle join
+    a = v.repartition(spark.sparkContext.defaultParallelism * 2).select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_a"),
+        F.col("ve").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = v.select(
-        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("ve").alias("vb")
+        F.col("bucket"),
+        F.col("vec_id").alias("id_b"),
+        F.col("ve").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pruned = (
-        a.join(b, "bucket")
+        a.join(F.broadcast(b), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .filter(sim >= 0.35)
         .groupBy("bucket", "id_b")
         .agg(F.lit(1).alias("_one"))
         .groupBy("bucket")

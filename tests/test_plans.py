@@ -84,9 +84,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "enumeration spread across the round-robin partitions",
     ),
     "d2h_semdedup": (
-        {"bounded:embeddings"},
-        "broadcast side is the per-label centroid codebook groupBy(label): "
-        "exactly |labels| rows at any SF (same bound as d4b/d4d)",
+        {"embeddings", "bounded:embeddings"},
+        "broadcast sides are the per-label centroid codebook groupBy(label) "
+        "(exactly |labels| rows at any SF, same bound as d4b/d4d) and the "
+        "assigned-vector build side of the within-cluster pair join — "
+        "n_corpus rows of 64-dim doubles, the d2b posture: docstring "
+        "documents dropping the hint past broadcastability, where the "
+        "identical plan runs as a cluster-bucketed shuffle join",
     ),
     "d4b_centroid_assignment": (
         {"bounded:embeddings"},
