@@ -146,3 +146,66 @@ def test_sign_lsh_multiprobe_recall_on_planted_vectors(spark):
         hit += sum(1 for d in range(200) if got.get(2 * d + 1) == 2 * d)
         recall = hit / 400
         assert recall >= floor, f"bits={bits} probes={probes}: recall {recall} < {floor}"
+
+
+def test_first_collision_dedup_equals_distinct(spark):
+    """The distinct-free pair dedup (lsh_bands_keyed + first_collision_only,
+    the d2b/r5 rewrite) must produce EXACTLY the distinct pair set of the
+    reference DISTINCT formulation, on a corpus constructed to collide in
+    multiple bands (identical docs collide in all 4; near-dups in some)."""
+    from dcosb_cassandra_spark.functions.minhash import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
+        first_collision_only,
+        lsh_bands_keyed,
+    )
+
+    docs = []
+    base = [f"w{i}" for i in range(12)]
+    for d in range(10):
+        a = [f"g{d}_{t}" for t in base]
+        b = list(a)
+        b[0] = f"g{d}_x"
+        docs.append((3 * d, " ".join(a)))
+        docs.append((3 * d + 1, " ".join(a)))   # identical: all-band collision
+        docs.append((3 * d + 2, " ".join(b)))   # near-dup: some-band collision
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    sigs = minhash_signature(df, "doc_id", "text", DEFAULT_NUM_HASHES)
+
+    ref_bands = lsh_bands(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    ra, rb = ref_bands.alias("a"), ref_bands.alias("b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in ra.join(
+            rb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+
+    keyed = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    ka, kb = keyed.alias("a"), keyed.alias("b")
+    dup = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    got_rows = (
+        ka.join(
+            kb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .collect()
+    )
+    got = [(r["id_a"], r["id_b"]) for r in got_rows]
+    assert len(got) == len(set(got)), "first-collision filter emitted a duplicate pair"
+    assert set(got) == want
+    assert len(want) >= 20, "fixture must actually produce multi-band collisions"
