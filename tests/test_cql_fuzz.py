@@ -78,9 +78,37 @@ CQL_TYPES = st.sampled_from(
 @st.composite
 def ddl_statements(draw):
     kind = draw(st.sampled_from(["table", "type", "function", "aggregate", "mv",
-                                 "keyspace", "drop", "alter"]))
+                                 "keyspace", "drop", "alter", "auth", "system"]))
     a, b = draw(IDENTS), draw(IDENTS)
     t1, t2 = draw(CQL_TYPES), draw(CQL_TYPES)
+    if kind == "auth":
+        perm = draw(st.sampled_from(["SELECT", "MODIFY", "ALL PERMISSIONS", "DROP"]))
+        return draw(st.sampled_from([
+            f"CREATE ROLE {a}",
+            f"CREATE ROLE {a} WITH LOGIN = true AND PASSWORD = 'p'",
+            f"CREATE USER {a} WITH PASSWORD 'p' SUPERUSER",
+            f"ALTER ROLE {a} WITH SUPERUSER = false",
+            f"DROP ROLE {a}",
+            f"DROP ROLE IF EXISTS {a}",
+            f"GRANT {perm} ON TABLE {b} TO {a}",
+            f"REVOKE {perm} ON KEYSPACE {b} FROM {a}",
+            f"GRANT {a} TO {b}",
+            "LIST ROLES",
+            f"LIST ROLES OF {a}",
+            "LIST ALL PERMISSIONS",
+            f"LIST SELECT PERMISSIONS OF {a}",
+            f"ALTER KEYSPACE {a} WITH durable_writes = false",
+        ]))
+    if kind == "system":
+        vt = draw(st.sampled_from(["keyspaces", "tables", "columns", "views",
+                                   "types", "functions", "aggregates", "bogus"]))
+        return draw(st.sampled_from([
+            f"SELECT * FROM system_schema.{vt}",
+            f"SELECT * FROM system_schema.{vt} WHERE keyspace_name = 'dcosb'",
+            "SELECT * FROM system.local",
+            "SELECT * FROM system.peers",
+            f"SELECT * FROM system.{vt}",
+        ]))
     if kind == "table":
         return f"CREATE TABLE {a} ({b} {t1} PRIMARY KEY, v {t2})"
     if kind == "type":
