@@ -95,7 +95,10 @@ WARM_CACHE_PARTITIONS = {
     "orders": 8,
     "events": 8,
     "customer": 4,
-    "documents": 4,
+    # the pipeline suite's hot tables: minhash signatures / embedding math
+    # parallelize from the cached snapshot's partitioning
+    "documents": 8,
+    "embeddings": 4,
 }
 
 
