@@ -768,3 +768,109 @@ def d_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@query(
+    "d5l_vocab_growth",
+    oracle="""
+        WITH first_seen AS (
+            SELECT token, min(doc_id) AS first_doc FROM (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                       AS token
+                FROM documents
+            ) GROUP BY token
+        ),
+        per_bucket AS (
+            SELECT CAST(first_doc // 100 AS BIGINT) AS bucket,
+                   count(*) AS new_tokens
+            FROM first_seen GROUP BY 1
+        )
+        SELECT bucket, new_tokens,
+               CAST(sum(new_tokens) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM per_bucket
+    """,
+    tags=("D5", "B13", "P1"),
+)
+def d5l_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law probe): per 100-doc ingest
+    bucket, how many NEVER-before-seen tokens appear, plus the cumulative
+    vocabulary — the curve tokenizer-budget and dedup-health monitoring
+    read (a flattening curve on a growing crawl means the corpus is
+    saturating with duplicates). Shape: token explode → min(doc_id) per
+    token (partial-aggregated shuffle on token — the corpus' only big
+    exchange) → bucket histogram; the running sum windows over the
+    BUCKET-count table (n_docs/100 rows, aggregate-bounded), never the
+    corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (
+        first_seen.select(F.floor(F.col("first_doc") / 100).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+@query(
+    "d5m_gopher_rules",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                         / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '[#…]')) * 1.0
+                         / len(string_split(text, ' ')), 6) AS symbol_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> list_contains({_STOP_SQL}, t))) AS BIGINT)
+                       AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stopwords,
+               (n_words >= 5 AND n_words <= 100000
+                AND mean_word_len >= 2 AND mean_word_len <= 12
+                AND symbol_ratio <= 0.1) AS passes
+        FROM feats
+    """,
+    tags=("D5", "D9", "P1"),
+)
+def d5m_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 [public], the rule set
+    most pre-training curations start from): word-count bounds, mean word
+    length bounds, symbol-to-word ratio, stopword count — evaluated per
+    document in ONE scan of JVM expressions (no explode, no shuffle; a
+    100 TB corpus filters at read throughput). Thresholds are the paper's
+    shape adapted to the synthetic corpus' ~23-word documents (word-count
+    floor 5 instead of 50) so `passes` is non-vacuous here; a production
+    run swaps the constants."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_word_len = F.round((F.length("text") - n_words + 1) / n_words, 6)
+    symbol_ratio = F.round(
+        F.size(F.expr("regexp_extract_all(text, '[#…]', 0)")) / n_words, 6
+    )
+    feats = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stopword_hits(F.col("text")).cast("bigint").alias("n_stopwords"),
+    )
+    return feats.withColumn(
+        "passes",
+        (F.col("n_words") >= 5)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 12)
+        & (F.col("symbol_ratio") <= 0.1),
+    )

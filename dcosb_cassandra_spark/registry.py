@@ -61,10 +61,10 @@ _DRIVER_WINDOW = (
     "b25b_string_functions_2",
     "b27b_bitwise_ops",
     "b28b_bool_aggregates",
-    # semantic dedup (new in r5) + reshape / sampling (kept from r4)
+    # new r5 D-layer ops: semantic dedup + text-curation suite
     "d2h_semdedup",
-    "b22b_posexplode",
-    "b23_pivot",
+    "d5l_vocab_growth",
+    "d5m_gopher_rules",
     "b24_sampling",
     # statistics suite (B9 family)
     "b_percentiles",
