@@ -309,40 +309,50 @@ _CENT_SQL = """
 """
 
 
+#: embedding dimensionality of the fixture corpus (FIXTURES.md)
+_EMB_DIM = 64
+
+
 def _label_centroids(emb: DataFrame) -> DataFrame:
     """(cand, ce): per-label mean vector — the IVF coarse quantizer's
-    codebook (one aggregation; 10 labels → 10 rows, broadcastable)."""
-    expanded = emb.select(
-        "vec_id", "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "x")
-    )
+    codebook (10 labels → 10 rows, broadcastable). Computed as 64 columnar
+    avg aggregates in ONE partial-aggregatable groupBy — no posexplode
+    (which would materialize dim× the corpus rows) and no second shuffle.
+    Per-(label, dim) accumulation order is unchanged vs the exploded form,
+    so centroid floats are bit-identical to the SQL oracle's avg."""
+    e = emb.select("label", as_double(F.col("embedding")).alias("ve"))
+    avgs = [
+        F.avg(F.element_at(F.col("ve"), i + 1)).alias(f"c{i}") for i in range(_EMB_DIM)
+    ]
     return (
-        expanded.groupBy("label", "i")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        e.groupBy("label")
+        .agg(*avgs)
         .select(
             F.col("label").alias("cand"),
-            F.transform(F.col("pairs"), lambda p: p.cx).alias("ce"),
+            F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("ce"),
         )
     )
 
 
 def _centroid_assignments(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, bucket): nearest-centroid id per vector. The codebook side
-    is aggregate-bounded (k centroids) and broadcast; the corpus streams."""
+    is aggregate-bounded (k centroids) and broadcast; the corpus streams.
+    argmin = min(struct(dist2, cand)) — a partial-aggregatable groupBy
+    (map-side combine leaves one row per vector per task) with the same
+    (dist2, cand) lexicographic tie-break the window formulation had, but
+    no per-key sort."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
     dist2 = F.aggregate(
         F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand"))
     return (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cand", dist2.alias("dist2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cand").alias("bucket"))
+        .select("vec_id", F.struct(dist2.alias("dist2"), F.col("cand").alias("cand")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cand").alias("bucket"))
     )
 
 
