@@ -218,6 +218,14 @@ _LIST_PERMISSIONS = re.compile(
     r"(?:\s+ON\s+(?P<res>.+?))?(?:\s+OF\s+(?P<q>'?)(?P<role>\w+)(?P=q))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: cqlsh catalog listings: DESCRIBE KEYSPACES/TABLES/TYPES/FUNCTIONS/
+#: AGGREGATES/MATERIALIZED VIEWS — rendered from the same live metadata as
+#: the system_schema virtual tables
+_DESCRIBE_CATALOG = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?P<what>KEYSPACES|TABLES|TYPES|FUNCTIONS|"
+    r"AGGREGATES|MATERIALIZED\s+VIEWS)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 #: quote-aware comma split (tracks (), [], {} and <> depth) — shared with
@@ -615,6 +623,19 @@ class CqlSession:
             self._keys(tbl)
             self._truncated[tbl] = self._next_writetime()
             return None
+
+        m = _DESCRIBE_CATALOG.match(s)
+        if m:
+            what = re.sub(r"\s+", " ", m.group("what").upper())
+            sys_table = {
+                "KEYSPACES": "keyspaces",
+                "TABLES": "tables",
+                "TYPES": "types",
+                "FUNCTIONS": "functions",
+                "AGGREGATES": "aggregates",
+                "MATERIALIZED VIEWS": "views",
+            }[what]
+            return self._system_schema(sys_table)
 
         m = _DESCRIBE.match(s)
         if m:

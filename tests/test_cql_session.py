@@ -1022,3 +1022,20 @@ def test_grant_role_membership(sess):
     sess.execute("REVOKE readers FROM alice")
     of = {r["role"] for r in sess.execute("LIST ROLES OF alice").collect()}
     assert of == {"alice"}
+
+
+def test_describe_catalog_listings(sess):
+    ks = {r["keyspace_name"] for r in sess.execute("DESCRIBE KEYSPACES").collect()}
+    assert "dcosb" in ks
+    tbls = {r["table_name"] for r in sess.execute("DESC TABLES").collect()}
+    assert {"customer", "events", "documents"} <= tbls
+    sess.execute("CREATE TYPE pt (x int, y int)")
+    assert [r["type_name"] for r in sess.execute("DESCRIBE TYPES").collect()] == ["pt"]
+    sess.execute(
+        "CREATE MATERIALIZED VIEW mv_seg AS SELECT * FROM customer "
+        "WHERE c_mktsegment IS NOT NULL AND c_custkey IS NOT NULL "
+        "PRIMARY KEY (c_mktsegment, c_custkey)"
+    )
+    views = sess.execute("DESCRIBE MATERIALIZED VIEWS").collect()
+    assert views[0]["view_name"] == "mv_seg"
+    assert sess.execute("DESCRIBE FUNCTIONS").collect() == []
