@@ -407,3 +407,80 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "nbr_id", F.round("sim", 6).alias("sim"))
     )
+
+
+@query(
+    "d4e_domain_outliers",
+    oracle="""
+        WITH j AS (
+            SELECT d.source, e.vec_id, e.embedding::DOUBLE[] AS ve
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        pos AS (
+            SELECT source, unnest(ve) AS x, unnest(range(0, 64)) AS i FROM j
+        ),
+        cent AS (
+            SELECT source, list(ax ORDER BY i) AS ce FROM (
+                SELECT source, i, avg(x) AS ax FROM pos GROUP BY source, i
+            ) GROUP BY source
+        ),
+        scored AS (
+            SELECT j.source, j.vec_id,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (j.ve[i] - c.ce[i]) * (j.ve[i] - c.ce[i]))) AS dist2
+            FROM j JOIN cent c USING (source)
+        )
+        SELECT source, vec_id, round(dist2, 6) AS dist2, rk FROM (
+            SELECT *, rank() OVER (PARTITION BY source ORDER BY dist2 DESC)
+                      AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    """,
+    tags=("D4", "D5", "B13", "P1"),
+)
+def d4e_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection per domain — the curation filter that
+    flags documents far from their domain's semantic center (mislabeled,
+    spam, or boilerplate candidates): documents ⋈ embeddings on
+    doc_id = vec_id, per-source centroid (columnar avg aggregates, one
+    shuffle), squared distance to own centroid (broadcast |domains| rows),
+    top-5 farthest per domain. The per-source rank uses the two-phase
+    recipe (rank within (source, dist-bucket) + broadcast offsets) because
+    `source` is low-cardinality — a single corpus-wide window on it would
+    funnel each domain through one task at 100 TB (SCALE.md two-phase
+    rank; enforced by tests/test_plans.py)."""
+    from .windows import two_phase_ranking
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    j = d.join(e, d.doc_id == e.vec_id).select("source", "vec_id", "ve")
+    avgs = [
+        F.avg(F.element_at(F.col("ve"), i + 1)).alias(f"c{i}") for i in range(_EMB_DIM)
+    ]
+    cent = (
+        j.groupBy("source")
+        .agg(*avgs)
+        .select("source", F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("ce"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = j.join(F.broadcast(cent), "source").select(
+        "source", "vec_id", dist2.alias("dist2")
+    )
+    ranked = two_phase_ranking(
+        scored,
+        part_col="source",
+        val_col="dist2",
+        id_col="vec_id",
+        bucket=F.floor(F.col("dist2")),
+        ntile_k=4,
+    )
+    top = ranked.filter(F.col("rk") <= 5).select("source", "vec_id", "rk")
+    return top.join(scored, ["source", "vec_id"]).select(
+        "source", "vec_id", F.round("dist2", 6).alias("dist2"), "rk"
+    )

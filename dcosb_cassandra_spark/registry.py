@@ -61,11 +61,11 @@ _DRIVER_WINDOW = (
     "b25b_string_functions_2",
     "b27b_bitwise_ops",
     "b28b_bool_aggregates",
-    # new r5 D-layer ops: semantic dedup + text-curation suite
+    # new r5 D-layer ops: semantic dedup + text-curation + outlier suite
     "d2h_semdedup",
+    "d4e_domain_outliers",
     "d5l_vocab_growth",
     "d5m_gopher_rules",
-    "b24_sampling",
     # statistics suite (B9 family)
     "b_percentiles",
     "b_approx_percentiles",

@@ -92,6 +92,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "d4e_domain_outliers": (
+        {"bounded:documents"},
+        "broadcast sides are the per-source centroid codebook "
+        "groupBy(source) (exactly |domains| rows at any SF) and the "
+        "two-phase rank offset grid (≤ |domains| × dist-buckets rows — "
+        "bounded by the squared-distance DOMAIN, not the corpus)",
+    ),
     "d4b_centroid_assignment": (
         {"bounded:embeddings"},
         "broadcast side is groupBy(label) centroid means: exactly |labels| = 5 "
