@@ -6,14 +6,15 @@ DataFrame plan through the same operators as the registry queries:
 
     SELECT [JSON] [DISTINCT] selector[, ...] FROM table
       [WHERE cond AND ...]
-      [GROUP BY col[, ...]]
+      [GROUP BY col | floor(col, duration[, start])[, ...]]
       [ORDER BY col [ASC|DESC][, ...]]
       [PER PARTITION LIMIT n] [LIMIT n] [ALLOW FILTERING]
 
     selector := * | col | col AS alias | udt.field[.field] | count(*) |
                 min|max|sum|avg|count(col) | writetime(col) |
                 maxwritetime(col) | ttl(col) | token(col[, col...]) |
-                cast(col AS type) | toDate|toTimestamp|toUnixTimestamp(col) |
+                cast(col AS type) | floor(col, duration[, start]) |
+                toDate|toTimestamp|toUnixTimestamp(col) |
                 currenttimestamp() | currentdate() | uuid() |
                 mask_*(col, ...) | similarity_{cosine,euclidean,dot_product} |
                 <session UDF/UDA>(args)   [all with optional AS alias]
@@ -83,7 +84,7 @@ _STMT = re.compile(
     r"^\s*SELECT\s+(?P<json>JSON\s+)?(?P<distinct>DISTINCT\s+)?(?P<sel>.*?)\s+"
     r"FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w,\s]*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w,\s()':.-]*?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<anncol>\w+)\s+ANN\s+OF\s+(?P<annvec>\[[^\]]*\])"
     r"|\s+ORDER\s+BY\s+(?P<order>[\w,\s]*?))?"
     r"(?:\s+PER\s+PARTITION\s+LIMIT\s+(?P<pplimit>\d+))?"
@@ -301,7 +302,9 @@ def parse(statement: str, extra_keys: dict | None = None) -> _Select:
             else:
                 sel.conds.append((col, c.group("op"), _literal(c.group("lit"))))
     if m.group("group"):
-        sel.group_by = [g.strip().lower() for g in m.group("group").split(",") if g.strip()]
+        sel.group_by = [
+            g.strip().lower() for g in split_top_level(m.group("group")) if g.strip()
+        ]
     if m.group("anncol"):
         # ORDER BY col ANN OF [v, ...] [PK Cassandra 5.0 SAI vector search]
         vec = _literal(m.group("annvec"))
@@ -362,6 +365,42 @@ def _check_restrictions(
         for col, _ in q.order_by:
             if col not in cc:
                 raise InvalidRequest(f"ORDER BY is only supported on clustering columns, got {col!r}")
+    if q.group_by:
+        # [PK `cql3/statements/SelectStatement.java` getGroupMaker]: GROUP BY
+        # accepts primary-key columns in prefix order (equality-restricted
+        # key columns may be skipped), plus at most a floor() time bucket on
+        # a key column (CASSANDRA-11871). Documented relaxation for the
+        # analytics engine: indexed or equality-restricted non-key columns
+        # also group (Cassandra rejects them; this engine's scans support
+        # them and a13/a14-style rollups rely on it).
+        seq = (*pk, *cc)
+        #: only strict equality lets a key column be omitted from the prefix
+        #: (IN produces several groups, so the column must still be named)
+        skippable = {c for c, op, _ in q.conds if op == "="}
+        eq_restricted = {c for c, op, _ in q.conds if op in ("=", "in")}
+        idx = 0
+        for item in q.group_by:
+            fm = _FLOOR_ITEM.match(item)
+            col = _parse_floor(fm.group("args"))[0] if fm else item
+            if fm and col not in seq:
+                raise InvalidRequest(
+                    f"floor() in GROUP BY is only supported on primary key "
+                    f"columns, got {col!r}"
+                )
+            if col in seq:
+                while idx < len(seq) and seq[idx] != col and seq[idx] in skippable:
+                    idx += 1
+                if idx >= len(seq) or seq[idx] != col:
+                    raise InvalidRequest(
+                        f"GROUP BY primary-key columns must follow declaration "
+                        f"order {seq}, got {col!r}"
+                    )
+                idx += 1
+            elif col not in indexed and col not in eq_restricted:
+                raise InvalidRequest(
+                    f"GROUP BY is only supported on primary key, indexed, or "
+                    f"equality-restricted columns, got {col!r}"
+                )
     if q.per_partition_limit is not None and not cc:
         raise InvalidRequest("PER PARTITION LIMIT requires clustering columns")
 
@@ -386,6 +425,94 @@ def _apply_op(c: Column, op: str, lit) -> Column:
     if op == "in":
         return c.isin(lit)
     raise InvalidRequest(f"unknown operator {op}")
+
+
+# -- floor(ts, duration[, start]) time-bucket grouping [PK CASSANDRA-11871,
+# `cql3/functions/TimeFcts.java` FloorTimestampFunction] ---------------------
+
+_DUR_COMPONENT = re.compile(r"(\d+)(ns|us|µs|ms|mo|s|m|h|d|w|y)", re.IGNORECASE)
+
+#: fixed-width duration units in microseconds (calendar units rejected:
+#: a floor() bucket must be constant-width, exactly Cassandra's rule)
+_DUR_US = {
+    "us": 1,
+    "µs": 1,
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+    "w": 7 * 86_400_000_000,
+}
+
+
+def parse_duration_micros(s: str) -> int:
+    """CQL duration literal (`12h30m`, `90s`, `2w`) → microseconds
+    [PK `cql3/Duration.java`]. Calendar-dependent components (y/mo) and
+    sub-microsecond remainders raise InvalidRequest, matching Cassandra's
+    "fixed-width durations only" restriction on floor()."""
+    s = s.strip()
+    pos, total = 0, 0
+    for m in _DUR_COMPONENT.finditer(s):
+        if m.start() != pos:
+            break
+        unit = m.group(2).lower()
+        if unit in ("mo", "y"):
+            raise InvalidRequest(
+                f"floor() requires a fixed-width duration, got calendar unit {unit!r}"
+            )
+        if unit == "ns":
+            ns = int(m.group(1))
+            if ns % 1000:
+                raise InvalidRequest("sub-microsecond durations are not representable")
+            total += ns // 1000
+        else:
+            total += int(m.group(1)) * _DUR_US[unit]
+        pos = m.end()
+    if pos != len(s) or total <= 0:
+        raise InvalidRequest(f"unparseable duration literal: {s!r}")
+    return total
+
+
+_FLOOR_ARGS = re.compile(
+    r"^\s*(?P<col>\w+)\s*,\s*(?P<dur>[\w.µ]+)\s*(?:,\s*(?P<start>'[^']*')\s*)?$",
+    re.IGNORECASE,
+)
+
+
+def _parse_floor(argstr: str) -> tuple[str, int, int]:
+    """floor() argument pack → (column, bucket_micros, start_micros)."""
+    m = _FLOOR_ARGS.match(argstr)
+    if not m:
+        raise InvalidRequest(f"unparseable floor() arguments: {argstr!r}")
+    dur_us = parse_duration_micros(m.group("dur"))
+    start_us = 0
+    if m.group("start"):
+        from datetime import datetime, timezone
+
+        raw = m.group("start").strip("'")
+        try:
+            dt = datetime.fromisoformat(raw)
+        except ValueError as e:
+            raise InvalidRequest(f"unparseable floor() start time: {raw!r}") from e
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        start_us = int(dt.timestamp() * 1_000_000)
+    return m.group("col").lower(), dur_us, start_us
+
+
+def _floor_bucket(col: str, dur_us: int, start_us: int) -> Column:
+    """Constant-width time bucket: start + floor((ts-start)/dur)*dur, all in
+    epoch micros — stays in whole-stage codegen (no UDF, no window)."""
+    us = F.unix_micros(F.col(col).cast("timestamp"))
+    bucket = (
+        F.lit(start_us)
+        + F.floor((us - F.lit(start_us)) / F.lit(dur_us)).cast("long") * F.lit(dur_us)
+    )
+    return F.timestamp_micros(bucket.cast("long"))
+
+
+_FLOOR_ITEM = re.compile(r"^floor\s*\((?P<args>.*)\)$", re.IGNORECASE | re.DOTALL)
 
 
 #: CQL scalar built-ins resolvable in SELECT [PK `cql3/functions/
@@ -490,7 +617,32 @@ def cql(
             if fn == "count" and arg != "*":
                 col = F.count(arg)
             exprs.append(col.alias(name))
-        df = df.groupBy(*q.group_by).agg(*exprs) if q.group_by else df.agg(*exprs)
+        if q.group_by:
+            group_cols: list[Column] = []
+            for item in q.group_by:
+                fm = _FLOOR_ITEM.match(item)
+                if fm:
+                    col, dur_us, start_us = _parse_floor(fm.group("args"))
+                    # the matching floor(...) selector's alias names the
+                    # bucket column; default mirrors Cassandra's
+                    # system-generated selector name shape
+                    name = next(
+                        (
+                            alias
+                            for kind, arg, alias in q.selectors
+                            if alias
+                            and kind == "call:floor"
+                            and re.sub(r"\s+", "", arg).lower()
+                            == re.sub(r"\s+", "", fm.group("args")).lower()
+                        ),
+                        f"floor_{col}",
+                    )
+                    group_cols.append(_floor_bucket(col, dur_us, start_us).alias(name))
+                else:
+                    group_cols.append(F.col(item))
+            df = df.groupBy(*group_cols).agg(*exprs)
+        else:
+            df = df.agg(*exprs)
     else:
         cols: list[Column] = []
         for kind, arg, alias in q.selectors:
@@ -552,6 +704,15 @@ def cql(
                         F.col(cm.group(1))
                         .cast(cql_type_to_spark(cm.group(2).strip().lower()))
                         .alias(alias or f"cast_{cm.group(1)}")
+                    )
+                    continue
+                if fn == "floor":
+                    # floor(ts, duration[, start]) time bucket [PK
+                    # CASSANDRA-11871 FloorTimestampFunction] — same
+                    # compilation as the GROUP BY form
+                    col, dur_us, start_us = _parse_floor(arg)
+                    cols.append(
+                        _floor_bucket(col, dur_us, start_us).alias(alias or f"floor_{col}")
                     )
                     continue
                 if fn in _BUILTIN_SCALARS:

@@ -347,6 +347,37 @@ def a16_group_by_key_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a16b_group_by_floor",
+    oracle="""
+        SELECT user_id,
+               CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS TIMESTAMP)
+                   AS bucket,
+               count(*) AS n_events,
+               max(value) AS max_value
+        FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2
+    """,
+    tags=("A16", "A29", "C1", "P1"),
+)
+def a16b_group_by_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL `GROUP BY floor(ts, 6h)` time-bucket grouping [PK
+    CASSANDRA-11871, `cql3/functions/TimeFcts.java` FloorTimestampFunction]
+    executed through the CQL front-end: key-prefix grouping plus a
+    constant-width bucket on the clustering timestamp. Compiles to a
+    codegen'd epoch-micros floor + one hash aggregate keyed on
+    (user_id, bucket) — the IN-restricted partition keys reach the scan as
+    pushed-down filters."""
+    from ..cql import cql
+
+    return cql(
+        spark,
+        sf_dir,
+        "SELECT user_id, floor(ts, 6h) AS bucket, count(*) AS n_events, "
+        "max(value) AS max_value FROM events "
+        "WHERE user_id IN (1, 2, 3) GROUP BY user_id, floor(ts, 6h)",
+    )
+
+
+@query(
     "a17_order_by_clustering",
     oracle="""
         SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem

@@ -220,3 +220,85 @@ def test_cast_and_time_builtins_in_select(spark):
     assert len(r["g"]) == 36
     r2 = cql(spark, SF, "SELECT currenttimestamp() AS t FROM region LIMIT 1").head()
     assert r2["t"] is not None
+
+
+def test_group_by_floor_time_bucket(spark):
+    """GROUP BY floor(ts, duration) [PK CASSANDRA-11871]: bucket boundaries
+    match date_trunc for aligned durations, and the selector alias names
+    the bucket column."""
+    got = cql(
+        spark,
+        SF,
+        "SELECT user_id, floor(ts, 1h) AS hour, count(*) AS n FROM events "
+        "WHERE user_id = 1 GROUP BY user_id, floor(ts, 1h)",
+    )
+    assert got.columns == ["user_id", "hour", "n"]
+    e = table(spark, SF, "events")
+    want = (
+        e.filter(F.col("user_id") == 1)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_floor_selector_and_start_offset(spark):
+    """floor(ts, dur, start) buckets relative to the start epoch; plain
+    floor() selectors project without grouping."""
+    r = cql(
+        spark,
+        SF,
+        "SELECT floor(ts, 1d, '2020-01-02') AS b, ts FROM events "
+        "WHERE user_id = 1 LIMIT 5",
+    ).collect()
+    import datetime
+
+    for row in r:
+        delta = row["ts"] - row["b"]
+        assert datetime.timedelta(0) <= delta < datetime.timedelta(days=1)
+        # bucket aligned to the 2020-01-02 origin, not the epoch
+        assert (row["b"] - datetime.datetime(2020, 1, 2)).days % 1 == 0
+
+
+def test_group_by_restrictions(spark):
+    """Cassandra's GROUP BY contract: primary-key prefix order, skippable
+    only under equality, floor() only on key columns, fixed-width
+    durations only."""
+    with pytest.raises(InvalidRequest, match="primary key, indexed"):
+        cql(spark, SF, "SELECT count(*) AS n FROM events GROUP BY value")
+    with pytest.raises(InvalidRequest, match="declaration order"):
+        cql(spark, SF, "SELECT count(*) AS n FROM events GROUP BY ts")
+    with pytest.raises(InvalidRequest, match="primary key columns"):
+        cql(spark, SF, "SELECT count(*) AS n FROM events GROUP BY floor(value, 1h)")
+    with pytest.raises(InvalidRequest, match="fixed-width duration"):
+        cql(
+            spark,
+            SF,
+            "SELECT count(*) AS n FROM events WHERE user_id = 1 "
+            "GROUP BY floor(ts, 1mo)",
+        )
+    # equality on the partition key lets GROUP BY start at the clustering col
+    n = cql(
+        spark, SF, "SELECT count(*) AS n FROM events WHERE user_id = 1 GROUP BY ts"
+    ).count()
+    assert n > 0
+    # IN is NOT skippable — the partition key must still be named
+    with pytest.raises(InvalidRequest, match="declaration order"):
+        cql(
+            spark,
+            SF,
+            "SELECT count(*) AS n FROM events WHERE user_id IN (1, 2) GROUP BY ts",
+        )
+
+
+def test_duration_literal_parsing():
+    from dcosb_cassandra_spark.cql import parse_duration_micros
+
+    assert parse_duration_micros("90s") == 90_000_000
+    assert parse_duration_micros("12h30m") == 45_000_000_000
+    assert parse_duration_micros("2w") == 14 * 86_400_000_000
+    assert parse_duration_micros("250ms") == 250_000
+    with pytest.raises(InvalidRequest):
+        parse_duration_micros("1y")
+    with pytest.raises(InvalidRequest):
+        parse_duration_micros("wat")
