@@ -298,3 +298,105 @@ def a19b_range_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_live"), F.round(F.sum("value"), 4).alias("live_value"))
     )
+
+
+_CDC_T1, _CDC_T2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+@query(
+    "c12_cdc_change_feed",
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id, event_type AS payload_type, value AS payload,
+                   epoch_us(ts) AS writetime, event_id AS mutation_id,
+                   event_type = 'error' AS tombstone
+            FROM events
+        ),
+        l1 AS (
+            SELECT * FROM (
+                SELECT m.*, row_number() OVER (PARTITION BY user_id
+                            ORDER BY writetime DESC, mutation_id DESC) AS rn
+                FROM m WHERE writetime <= epoch_us(TIMESTAMP '{_CDC_T1}')
+            ) WHERE rn = 1
+        ),
+        l2 AS (
+            SELECT * FROM (
+                SELECT m.*, row_number() OVER (PARTITION BY user_id
+                            ORDER BY writetime DESC, mutation_id DESC) AS rn
+                FROM m WHERE writetime <= epoch_us(TIMESTAMP '{_CDC_T2}')
+            ) WHERE rn = 1
+        ),
+        feed AS (
+            SELECT l2.user_id,
+                   NOT coalesce(l1.tombstone, TRUE) AS live1,
+                   NOT l2.tombstone AS live2,
+                   l1.payload_type AS old_type, l1.payload AS old_payload,
+                   l2.payload_type AS new_type, l2.payload AS new_payload
+            FROM l2 LEFT JOIN l1 USING (user_id)
+        )
+        SELECT user_id,
+               CASE WHEN NOT live1 AND live2 THEN 'INSERT'
+                    WHEN live1 AND NOT live2 THEN 'DELETE'
+                    ELSE 'UPDATE' END AS op,
+               CASE WHEN live1 THEN old_type END AS old_type,
+               CASE WHEN live1 THEN round(old_payload, 4) END AS old_payload,
+               CASE WHEN live2 THEN new_type END AS new_type,
+               CASE WHEN live2 THEN round(new_payload, 4) END AS new_payload
+        FROM feed
+        WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
+           OR (live1 AND live2 AND (old_payload != new_payload
+                                    OR old_type != new_type))
+    """,
+    tags=("C8", "A18", "A19", "P1"),
+)
+def c12_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed [PK `cdc=true` table property, `db/commitlog/
+    CommitLogReader.java`]: the per-key delta between the LWW states at two
+    snapshot times t1 < t2 — op INSERT (dead/absent → live), DELETE
+    (live → tombstoned), UPDATE (live → live with changed cell), with
+    before/after images. Downstream consumers (search indexers, caches,
+    replication targets) apply exactly this feed.
+
+    Scale shape: ONE hash aggregate on the partition key — both snapshot
+    states come from conditional struct-max aggregates (lexicographic
+    (writetime, mutation_id) max = LWW order), which partial-aggregate
+    map-side, so the log is scanned once and shuffled once; no self-join
+    of the mutation log and no window. The log is append-only and t1 < t2,
+    so the t2 state exists wherever the t1 state does (the LEFT JOIN in
+    the oracle is the same containment)."""
+    log = row_mutation_log(spark, sf_dir)
+
+    def state_at(bound: str):
+        cutoff = F.unix_micros(F.lit(bound).cast("timestamp"))
+        return F.max(
+            F.when(
+                F.col("writetime") <= cutoff,
+                F.struct("writetime", "mutation_id", "tombstone", "payload_type", "payload"),
+            )
+        )
+
+    agg = log.groupBy("user_id").agg(
+        state_at(_CDC_T1).alias("s1"), state_at(_CDC_T2).alias("s2")
+    )
+    live1 = F.col("s1").isNotNull() & ~F.col("s1.tombstone")
+    live2 = F.col("s2").isNotNull() & ~F.col("s2.tombstone")
+    changed = (F.col("s1.payload") != F.col("s2.payload")) | (
+        F.col("s1.payload_type") != F.col("s2.payload_type")
+    )
+    op = (
+        F.when(~live1 & live2, F.lit("INSERT"))
+        .when(live1 & ~live2, F.lit("DELETE"))
+        .when(live1 & live2 & changed, F.lit("UPDATE"))
+    )
+    return (
+        agg.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "user_id",
+            "op",
+            F.when(live1, F.col("s1.payload_type")).alias("old_type"),
+            F.when(live1, F.round("s1.payload", 4)).alias("old_payload"),
+            F.when(live2, F.col("s2.payload_type")).alias("new_type"),
+            F.when(live2, F.round("s2.payload", 4)).alias("new_payload"),
+        )
+    )

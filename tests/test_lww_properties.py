@@ -102,3 +102,44 @@ def test_gc_grace_purge_and_zombie_hazard(spark):
     # the SAME late write now resurrects k=1 — the zombie
     zombie = lww_compact(purged.unionByName(late), ["k"], tiebreak_col="mutation_id")
     assert {r["k"]: r["payload"] for r in zombie.collect()} == {1: 99, 2: 20}
+
+
+def test_cdc_feed_replays_t1_state_to_t2_state(spark):
+    """CDC invariants (c12_cdc_change_feed): op images are consistent
+    (INSERT has no before-image, DELETE no after-image, UPDATE changes the
+    cell), and applying the feed's key deltas to the live set at t1
+    reproduces the live set at t2."""
+    from dcosb_cassandra_spark.operators.cql_write import (
+        _CDC_T1,
+        _CDC_T2,
+        c12_cdc_change_feed,
+    )
+    from dcosb_cassandra_spark.sources.mutations import row_mutation_log
+
+    from .conftest import SMOKE_SF_DIR
+
+    feed = c12_cdc_change_feed(spark, SMOKE_SF_DIR).collect()
+    for r in feed:
+        if r["op"] == "INSERT":
+            assert r["old_type"] is None and r["old_payload"] is None
+            assert r["new_type"] is not None
+        elif r["op"] == "DELETE":
+            assert r["new_type"] is None and r["new_payload"] is None
+            assert r["old_type"] is not None
+        else:
+            assert r["op"] == "UPDATE"
+            assert (r["old_type"], r["old_payload"]) != (r["new_type"], r["new_payload"])
+
+    log = row_mutation_log(spark, SMOKE_SF_DIR)
+
+    def live_keys(bound: str) -> set:
+        cut = F.unix_micros(F.lit(bound).cast("timestamp"))
+        live = lww_compact(log.filter(F.col("writetime") <= cut), ["user_id"],
+                           tiebreak_col="mutation_id")
+        return {r["user_id"] for r in live.select("user_id").collect()}
+
+    t1, t2 = live_keys(_CDC_T1), live_keys(_CDC_T2)
+    inserts = {r["user_id"] for r in feed if r["op"] == "INSERT"}
+    deletes = {r["user_id"] for r in feed if r["op"] == "DELETE"}
+    assert (t1 - deletes) | inserts == t2
+    assert inserts.isdisjoint(t1) and deletes <= t1
