@@ -336,6 +336,110 @@ def d14b_domain_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature for resampling (tau=0.5 = sqrt scaling). sqrt is IEEE
+#: correctly-rounded, so both engines derive bit-identical weights — the
+#: reason tau is fixed at 0.5 rather than an arbitrary exponent (pow()
+#: may differ in the last ulp across libm implementations).
+TEMPERATURE_TAU = 0.5
+
+
+@query(
+    "d14c_temperature_mixing",
+    oracle="""
+        -- floor() before every BIGINT cast (DuckDB CAST rounds, Spark
+        -- truncates); q quantized to 9 decimals in both engines before any
+        -- threshold arithmetic (same trick as d17 centroid rounding).
+        WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        z AS (SELECT sum(sqrt(n_s)) AS z, sum(n_s) AS n_total FROM c),
+        w AS (SELECT lang, n_s, n_total, round(sqrt(n_s) / z, 9) AS q FROM c, z),
+        feas AS (SELECT CAST(floor(min(n_s / q)) AS BIGINT) AS t FROM w),
+        ranked AS (
+            SELECT d.lang, q, n_s, n_total,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents d JOIN w ON d.lang = w.lang
+        ),
+        grand AS (SELECT sum(CAST(floor(t * q) AS BIGINT)) AS g FROM feas, w)
+        SELECT lang, count(*) AS kept,
+               round(count(*) / (SELECT g FROM grand), 6) AS achieved_share,
+               round(q, 6) AS target_share,
+               round(n_s * 1.0 / n_total, 6) AS natural_share
+        FROM ranked, feas
+        WHERE rn <= CAST(floor(t * q) AS BIGINT)
+        GROUP BY lang, q, n_s, n_total
+    """,
+    tags=("D14", "B24", "P1"),
+)
+def d14c_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain resampling (the multilingual-pretraining
+    recipe): target share q_s ∝ (n_s/N)^τ with τ=0.5, which upweights
+    low-resource domains relative to their natural share. Unlike d14's
+    STATIC weight table, the weights here are DERIVED from the corpus —
+    one k-row count aggregate — then the same content-stable md5-prefix
+    selection keeps each domain's feasible quota floor(T·q_s),
+    T = min_s(n_s/q_s).
+
+    Domains here are languages (the corpus's skewed axis: en ~44%
+    natural → ~31% at τ=0.5, the tail languages upweighted accordingly).
+
+    Scale shape: identical to d14 — the weight/quota frames are k-row
+    broadcasts, and the per-domain rank is two-phase (rank within
+    (lang, md5-prefix bucket), globals recovered from a broadcast
+    (lang, bucket) offset grid), so no window ever partitions the corpus
+    on `lang` alone."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    z = counts.agg(
+        F.sum(F.sqrt("n_s")).alias("z"), F.sum("n_s").alias("n_total")
+    )
+    w = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_s",
+            "n_total",
+            F.round(F.sqrt("n_s") / F.col("z"), 9).alias("q"),
+        )
+    )
+    t = w.agg(F.floor(F.min(F.col("n_s") / F.col("q"))).cast("bigint").alias("t"))
+    docs = (
+        d.join(F.broadcast(w), "lang")
+        .select(
+            "lang", "q", "n_s", "n_total", "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("mh"),
+        )
+        .withColumn("bkt", F.substring("mh", 1, 2))
+    )
+    ranked = docs.withColumn(
+        "rn_b",
+        F.row_number().over(Window.partitionBy("lang", "bkt").orderBy("mh", "doc_id")),
+    )
+    bcounts = docs.groupBy("lang", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = (
+        Window.partitionBy("lang").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.withColumn("off", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)))
+    grand = (
+        t.crossJoin(w)
+        .agg(F.sum(F.floor(F.col("t") * F.col("q")).cast("bigint")).alias("g"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets.select("lang", "bkt", "off")), ["lang", "bkt"])
+        .join(F.broadcast(t))
+        .filter((F.col("off") + F.col("rn_b")) <= F.floor(F.col("t") * F.col("q")).cast("bigint"))
+        .groupBy("lang", "q", "n_s", "n_total")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(F.broadcast(grand))
+        .select(
+            "lang",
+            "kept",
+            F.round(F.col("kept") / F.col("g"), 6).alias("achieved_share"),
+            F.round("q", 6).alias("target_share"),
+            F.round(F.col("n_s") / F.col("n_total"), 6).alias("natural_share"),
+        )
+    )
+
+
 #: power-of-two length buckets and examples per batch; padding waste is
 #: the trainer-visible cost of bucketing granularity.
 BATCH_SIZE = 16

@@ -484,3 +484,100 @@ def d4e_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(scored, ["source", "vec_id"]).select(
         "source", "vec_id", F.round("dist2", 6).alias("dist2"), "rk"
     )
+
+
+_BUCKET4_SQL = (
+    "(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)"
+    " || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)"
+    " || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)"
+    " || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+@query(
+    "d4f_ann_recall_eval",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                          {_BUCKET4_SQL} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, e, bucket AS qbucket FROM v WHERE vec_id < 5),
+        scored AS (
+            SELECT a.qid, a.qbucket, b.vec_id, b.bucket,
+                   {_DOT} / ({_NORM.format(v='a.e')} * {_NORM.format(v='b.e')}) AS sim
+            FROM q a JOIN v b ON b.vec_id <> a.qid
+        ),
+        top10 AS (
+            SELECT * FROM (
+                SELECT qid, qbucket, bucket,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        ),
+        hits AS (
+            SELECT qid, count(*) FILTER (WHERE bucket = qbucket) AS hits
+            FROM top10 GROUP BY qid
+        ),
+        cand AS (
+            SELECT qid, count(*) AS n_candidates
+            FROM scored WHERE bucket = qbucket GROUP BY qid
+        )
+        SELECT qid AS query_id,
+               coalesce(n_candidates, 0) AS n_candidates,
+               CAST(hits AS BIGINT) AS hits,
+               round(hits / 10.0, 4) AS recall_at_10
+        FROM hits LEFT JOIN cand USING (qid)
+    """,
+    tags=("D4", "D3", "P1"),
+)
+def d4f_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the sign-bit LSH bucket (demo 4-bit
+    config) against exact brute-force top-10 cosine, per query vector —
+    the measurement that turns "approximate" from a hope into a dial
+    (compare against the bits/probes table in SCALE.md before promoting
+    an index config). Queries = vec_ids 0–4, a key-bounded broadcast batch.
+
+    Scale shape: the corpus is scored once per query through a broadcast
+    nested-loop bounded by the 5-row query side; exact top-10 is TWO-PHASE
+    (per-input-partition top-10 under a (qid, partition) window, then a
+    final window over the ≤10·P survivors) so no corpus-sized window ever
+    partitions on the 5-value qid alone. Candidate counting is a
+    plain filtered aggregate. Ranking compares raw doubles: both engines
+    evaluate the dot product in the same index order, so the sims are
+    bit-identical and the tie-break (vec_id) is engine-independent."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        sign_bits(F.col("embedding"), DEMO_LSH_BITS).alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", "qbucket", "vec_id", "bucket", cosine(F.col("e"), F.col("qe")).alias("sim")
+    )
+    w1 = Window.partitionBy("qid", "pid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 10)
+        .drop("rn", "pid")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top10 = survivors.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= 10)
+    hits = top10.groupBy("qid").agg(
+        F.count(F.when(F.col("bucket") == F.col("qbucket"), 1)).alias("hits")
+    )
+    cand = (
+        scored.filter(F.col("bucket") == F.col("qbucket"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return hits.join(cand, "qid", "left").select(
+        F.col("qid").alias("query_id"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        "hits",
+        F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
+    )

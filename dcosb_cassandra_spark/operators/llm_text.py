@@ -874,3 +874,64 @@ def d5m_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("mean_word_len") <= 12)
         & (F.col("symbol_ratio") <= 0.1),
     )
+
+
+@query(
+    "d5n_unigram_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tc AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        tot AS (
+            SELECT lang, sum(n) AS n_tokens, count(*) AS n_types,
+                   max(n) AS max_n
+            FROM tc GROUP BY 1
+        )
+        SELECT lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               n_types,
+               round(n_types * 1.0 / n_tokens, 6) AS type_token_ratio,
+               round(-sum((n * 1.0 / n_tokens) * log2(n * 1.0 / n_tokens)), 6)
+                   AS unigram_entropy_bits,
+               round(max_n * 1.0 / n_tokens, 6) AS top_token_share
+        FROM tc JOIN tot USING (lang)
+        GROUP BY lang, n_tokens, n_types, max_n
+    """,
+    tags=("D5", "D19", "P1"),
+)
+def d5n_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram-distribution profile: Shannon entropy (bits),
+    type/token ratio, and the head token's share — the corpus-health
+    triple that flags template spam (entropy collapses), boilerplate
+    floods (head share spikes), and crawl saturation (TTR decays) before
+    any model sees the data.
+
+    Scale shape: explode → (lang, token) hash aggregate (the only
+    corpus-sized shuffle, partial-aggregated map-side) → per-lang totals
+    as a k-row broadcast joined back → final per-lang aggregate whose
+    shuffle carries one partial row per (task, lang), not the vocabulary.
+    The entropy sum runs over ≤|vocab| stable double terms; rounded to 6
+    decimals on both engines (accumulated ulp error ~1e-12)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = tc.groupBy("lang").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("n").alias("max_n"),
+    )
+    p = F.col("n") / F.col("n_tokens")
+    return (
+        tc.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_tokens", "n_types", "max_n")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("unigram_entropy_bits"))
+        .select(
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+            "unigram_entropy_bits",
+            F.round(F.col("max_n") / F.col("n_tokens"), 6).alias("top_token_share"),
+        )
+    )

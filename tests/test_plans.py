@@ -124,6 +124,21 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible-total "
         "scalar (1 row), and per-(domain,bucket) offsets: ≤ |domains|×256 rows",
     ),
+    "d14c_temperature_mixing": (
+        {"bounded:documents"},
+        "broadcast sides are all groupBy(lang) derivatives: the sqrt-weight "
+        "table, feasible-total scalar, grand total, and per-(lang,bucket) "
+        "offsets — ≤ |langs|×256 rows at any SF",
+    ),
+    "d5n_unigram_entropy": (
+        {"bounded:documents"},
+        "broadcast side is the groupBy(lang) token-total table: exactly "
+        "|langs| rows at any SF",
+    ),
+    "d4f_ann_recall_eval": (
+        {"embeddings"},
+        "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
+    ),
     "d14b_domain_upsampling": (
         {"bounded:documents", "bounded:local_rows"},
         "broadcast sides are the 4-row MIX_WEIGHTS literal and groupBy(source) "
