@@ -66,13 +66,15 @@ _DRIVER_WINDOW = (
     "d4e_domain_outliers",
     "d5l_vocab_growth",
     "d5m_gopher_rules",
-    # statistics suite (B9 family)
-    "b_percentiles",
+    # B9-family approx stats (rest of the stats suite went green in r4 and
+    # rotated out mid-r5 for the five operators added after the first
+    # r5 window was cut: C12 CDC + D23-D25 + the floor() grouping)
     "b_approx_percentiles",
-    "b_moments",
-    "b_arg_extremes",
-    "b_string_agg",
-    "b_column_profile",
+    "a16b_group_by_floor",
+    "c12_cdc_change_feed",
+    "d4f_ann_recall_eval",
+    "d5n_unigram_entropy",
+    "d14c_temperature_mixing",
     # CQL surface still ungraded (A5/A6/static)
     "a05b_token_murmur3_scan",
     "a06b_page_state_scan",
