@@ -487,3 +487,67 @@ def d15_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("bucket_cap") - F.col("tok")).alias("padding_tokens"),
         F.round(F.sum("tok") / F.sum("bucket_cap"), 6).alias("efficiency"),
     )
+
+
+#: context-window chunking geometry: window of CHUNK_SIZE tokens advancing
+#: by CHUNK_STRIDE (= CHUNK_SIZE - overlap); demo-sized like SEQ_BUDGET
+#: (production: 2048/4096/8192 with 128-256 overlap)
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "d13c_context_chunking",
+    oracle=f"""
+        -- integer ceil-div form on both sides (no float ceil);
+        -- generate_series is inclusive so the +1 of the chunk count and
+        -- the -1 of the last index cancel
+        WITH t AS (
+            SELECT doc_id, {_WS_TOKENS_SQL} AS n FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(
+                       0, (greatest(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+                          // {CHUNK_STRIDE})) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+               CAST(least({CHUNK_SIZE}, n - chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+                   AS chunk_len
+        FROM c
+    """,
+    tags=("D13", "D27", "B22", "P1"),
+)
+def d13c_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    training windows of CHUNK_SIZE tokens advancing by CHUNK_STRIDE
+    (overlapping by CHUNK_SIZE - CHUNK_STRIDE), the standard long-document
+    treatment when sequence packing (D13) would otherwise truncate. Emits
+    one row per (doc, window) with its start offset and actual length —
+    the trainer's index, verifiable against exact arithmetic.
+
+    Scale: pure narrow per-row explode — zero shuffles, zero windows; the
+    chunk count is computed from the token count by integer arithmetic, so
+    a 100 TB corpus chunks in one map stage with predicate pushdown and
+    column pruning intact (only `text` and `doc_id` are read)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _ws_tokens(F.col("text")).alias("n")
+    )
+    last_chunk = F.floor(
+        (F.greatest(F.col("n") - CHUNK_SIZE, F.lit(0)) + CHUNK_STRIDE - 1) / CHUNK_STRIDE
+    ).cast("int")
+    c = d.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("long").alias("chunk_start"),
+        F.least(
+            F.lit(CHUNK_SIZE), F.col("n") - F.col("chunk_id") * CHUNK_STRIDE
+        ).cast("long").alias("chunk_len"),
+    )

@@ -935,3 +935,62 @@ def d5n_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("max_n") / F.col("n_tokens"), 6).alias("top_token_share"),
         )
     )
+
+
+@query(
+    "d_quality_weighted_sample",
+    oracle="""
+        -- hb = first md5 byte as 0..255 (the d14b idiom: bit-identical
+        -- Spark<->DuckDB); keep iff hb < floor(256 * p) where p is the
+        -- doc's quality weight (distinct-token ratio, in (0, 1]).
+        -- p is the raw double ratio of two BIGINTs -- no pre-rounding, so
+        -- both engines compare the identical IEEE value.
+        WITH q AS (
+            SELECT doc_id, source,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS p,
+                   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 17) AS hb
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (WHERE hb < CAST(floor(256 * p) AS BIGINT)) AS kept,
+               round(count(*) FILTER (WHERE hb < CAST(floor(256 * p) AS BIGINT))
+                     * 1.0 / count(*), 6) AS achieved_rate,
+               round(avg(p), 6) AS mean_weight
+        FROM q GROUP BY source
+    """,
+    tags=("D26", "D14", "B24", "P1"),
+)
+def d_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document is kept with
+    probability proportional to a per-document quality score — here the
+    distinct-token ratio, standing in for a FineWeb-Edu-style classifier
+    score — via the content-stable md5-byte threshold (keep iff
+    first-md5-byte < floor(256·p)). Unlike D14's domain-level quotas or
+    D23's temperature reweighting, the weight varies PER DOCUMENT, which
+    is how classifier-scored corpora are actually subsampled. The
+    selection itself is deterministic and oracle-checked, not just the
+    summary counts.
+
+    Scale: one scan, one partial-aggregatable groupBy on the k-row source
+    key — no window, no join; the md5 threshold makes the sample
+    reproducible across re-runs and engines at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    p = F.size(F.array_distinct(toks)) / F.size(toks)
+    hb = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    kept = hb < F.floor(F.lit(256) * p).cast("bigint")
+    q = d.select("source", p.alias("p"), kept.alias("kept"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("kept"),
+        F.round(F.count(F.when(F.col("kept"), 1)) / F.count(F.lit(1)), 6).alias(
+            "achieved_rate"
+        ),
+        F.round(F.avg("p"), 6).alias("mean_weight"),
+    )
