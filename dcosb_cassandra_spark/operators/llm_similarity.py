@@ -581,3 +581,54 @@ def d4f_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits") / 10.0, 4).alias("recall_at_10"),
     )
+
+
+@query(
+    "d8c_domain_affinity",
+    oracle=f"""
+        -- mean-pool per-label centroids (bit-identical avg on both sides,
+        -- the d17/d2h codebook idiom), then pairwise cosine over the
+        -- k-row codebook
+        WITH pos AS (
+            SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                   unnest(range(0, {_EMB_DIM})) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, list(ax ORDER BY i) AS ce FROM (
+                SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i
+            ) GROUP BY label
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               round(
+                   list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                                           i -> a.ce[i] * b.ce[i]))
+                   / (sqrt(list_sum(list_transform(a.ce, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.ce, x -> x * x)))),
+                   6) AS affinity
+        FROM cent a JOIN cent b ON a.label < b.label
+    """,
+    tags=("D8", "D30", "D17", "P1"),
+)
+def d8c_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-affinity matrix: mean-pool each domain's embeddings into a
+    centroid, then report pairwise cosine between domain centroids — the
+    map a mixing recipe (D14/D23) consults to see which domains are
+    near-duplicates of each other in embedding space and which add
+    diversity.
+
+    Scale: the corpus collapses to a k-row codebook in ONE partial
+    aggregate (the `_label_centroids` 64-column avg — no posexplode);
+    everything after is a k x k self-join on k rows. 100 TB in, k² tiny
+    rows out."""
+    cent = _label_centroids(table(spark, sf_dir, "embeddings"))
+    a = cent.select(F.col("cand").alias("label_a"), F.col("ce").alias("ca"))
+    b = cent.select(F.col("cand").alias("label_b"), F.col("ce").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("affinity"),
+        )
+    )

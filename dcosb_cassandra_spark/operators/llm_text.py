@@ -994,3 +994,133 @@ def d_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("p"), 6).alias("mean_weight"),
     )
+
+
+@query(
+    "d5o_text_normalization",
+    oracle="""
+        -- same normalization chain both sides: lower -> strip
+        -- non-alphanumeric/space -> collapse space runs -> trim
+        WITH norm AS (
+            SELECT doc_id, lang, text,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS raw_chars,
+               CAST(length(norm_text) AS BIGINT) AS norm_chars,
+               (norm_text <> text) AS changed,
+               md5(norm_text) AS norm_fp
+        FROM norm WHERE doc_id < 100
+    """,
+    tags=("D5", "D28", "P1"),
+)
+def d5o_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization — the cleaning pass every corpus
+    gets before dedup/tokenization: lowercase, strip non-alphanumerics,
+    collapse whitespace runs, trim. The normalized fingerprint (md5) is
+    what exact dedup (D1) keys on after cleaning, so the op is verified by
+    fingerprint, not just by lengths: a one-character divergence between
+    engines flips the hash.
+
+    Scale: pure per-row JVM regexp expressions — narrow, zero shuffle,
+    whole-stage-codegen'd; normalization of 100 TB is a map-only pass."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("raw_chars"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_fp"),
+    )
+
+
+#: fixed tokenizer vocabulary size for the OOV-rate estimate (top-V corpus
+#: tokens by frequency; production: 32k-256k BPE vocab)
+OOV_VOCAB_SIZE = 50
+
+
+@query(
+    "d5q_oov_rate",
+    oracle=f"""
+        -- top-V vocabulary by global frequency (count DESC, token ASC for a
+        -- total deterministic order), then per-doc OOV share against it
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+                FROM tok GROUP BY token
+            ) WHERE rn <= {OOV_VOCAB_SIZE}
+        ),
+        per_doc AS (
+            SELECT t.doc_id, lang,
+                   count(*) AS n_tokens,
+                   count(*) FILTER (WHERE v.token IS NULL) AS n_oov
+            FROM tok t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY t.doc_id, lang
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_oov) AS BIGINT) AS total_oov,
+               round(sum(n_oov) * 1.0 / sum(n_tokens), 6) AS oov_rate,
+               round(avg(n_oov * 1.0 / n_tokens), 6) AS mean_doc_oov_rate
+        FROM per_doc GROUP BY lang
+    """,
+    tags=("D5", "D29", "B09", "P1"),
+)
+def d5q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate against a fixed top-V frequency vocabulary —
+    the tokenizer-design number (what UNK share would a V-token vocab
+    leave?), reported per language both corpus-weighted and doc-averaged.
+
+    Scale: token counts are one partial-aggregated shuffle; the top-V rank
+    is TWO-PHASE (per-input-partition top-V window, then a final window
+    over the <= V*P survivors — the d4f pattern) because the distinct
+    vocabulary of a web corpus is NOT small, so a single global
+    row_number would funnel it through one task. The per-doc membership
+    probe is then a broadcast join against a bounded V-row table
+    (V = {OOV_VOCAB_SIZE}); the per-doc aggregate shuffles on doc_id. No
+    corpus-sized build side anywhere — the same plan runs at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w_local = Window.partitionBy("_part").orderBy(F.desc("n"), F.asc("token"))
+    w_global = Window.orderBy(F.desc("n"), F.asc("token"))
+    vocab = (
+        counts.withColumn("_part", F.spark_partition_id())
+        .withColumn("_rn_local", F.row_number().over(w_local))
+        .filter(F.col("_rn_local") <= OOV_VOCAB_SIZE)
+        .select("token", "n", F.row_number().over(w_global).alias("rn"))
+        .filter(F.col("rn") <= OOV_VOCAB_SIZE)
+        .select("token")
+    )
+    per_doc = (
+        tok.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+        F.round(F.sum("n_oov") / F.sum("n_tokens"), 6).alias("oov_rate"),
+        F.round(F.avg(F.col("n_oov") / F.col("n_tokens")), 6).alias(
+            "mean_doc_oov_rate"
+        ),
+    )
