@@ -129,3 +129,79 @@ def test_d13b_subshard_bounds_partition_rows(spark):
     plain = sequence_packing(spark, SF_DIR).collect()
     sub = sequence_packing(spark, SF_DIR, sub_shard_span=span).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, sub))
+
+
+def test_d13c_chunks_cover_every_token_exactly_once_per_stride(spark):
+    """Chunk geometry invariants: starts advance by CHUNK_STRIDE, every
+    chunk is non-empty and <= CHUNK_SIZE, the last chunk reaches the final
+    token, and consecutive chunks overlap by CHUNK_SIZE - CHUNK_STRIDE
+    (except possibly the last, which may be shorter)."""
+    from dcosb_cassandra_spark.operators.llm_packing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        d13c_context_chunking,
+    )
+
+    rows = d13c_context_chunking(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tok = {
+        r.doc_id: r.n
+        for r in table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert set(by_doc) == set(n_tok)  # every doc chunked, even short ones
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_tok[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_id * CHUNK_STRIDE
+            assert 0 < c.chunk_len <= CHUNK_SIZE
+        last = chunks[-1]
+        assert last.chunk_start + last.chunk_len == n  # reaches final token
+        if len(chunks) > 1:  # no chunk is redundant: one fewer wouldn't cover
+            assert chunks[-2].chunk_start + CHUNK_SIZE < n
+
+
+def test_d13c_short_doc_single_chunk(spark):
+    """A doc with <= CHUNK_SIZE tokens yields exactly one full-coverage
+    chunk (the n<=C branch of the ceil-div)."""
+    from dcosb_cassandra_spark.operators.llm_packing import (
+        CHUNK_SIZE,
+        d13c_context_chunking,
+    )
+
+    rows = d13c_context_chunking(spark, SF_DIR).collect()
+    n_tok = {
+        r.doc_id: r.n
+        for r in table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    short = [r for r in rows if n_tok[r.doc_id] <= CHUNK_SIZE]
+    assert short, "fixture should contain short docs"
+    for r in short:
+        assert r.chunk_id == 0 and r.chunk_start == 0 and r.chunk_len == n_tok[r.doc_id]
+
+
+def test_quality_weighted_sample_is_deterministic_and_weight_ordered(spark):
+    """The md5-threshold selection is reproducible across runs, and the
+    corpus-wide keep rate tracks the mean weight (binomial bound)."""
+    from dcosb_cassandra_spark.operators.llm_text import d_quality_weighted_sample
+
+    a = {r.source: r for r in d_quality_weighted_sample(spark, SF_DIR).collect()}
+    b = {r.source: r for r in d_quality_weighted_sample(spark, SF_DIR).collect()}
+    assert {s: (r.kept, r.n_docs) for s, r in a.items()} == {
+        s: (r.kept, r.n_docs) for s, r in b.items()
+    }
+    total = sum(r.n_docs for r in a.values())
+    kept = sum(r.kept for r in a.values())
+    mean_w = sum(r.mean_weight * r.n_docs for r in a.values()) / total
+    # keep rate ~ Binomial(total, ~mean_w); 5 sigma
+    import math
+
+    sigma = math.sqrt(mean_w * (1 - mean_w) / total)
+    assert abs(kept / total - mean_w) < 5 * sigma + 1.0 / 256  # + threshold quantization
