@@ -92,6 +92,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "d5q_oov_rate": (
+        {"bounded:documents"},
+        "broadcast side is the top-V vocabulary: a token-count aggregate "
+        "TRUNCATED to OOV_VOCAB_SIZE rows by the two-phase row_number "
+        "filter — exactly V rows at any SF",
+    ),
     "d4e_domain_outliers": (
         {"bounded:documents"},
         "broadcast sides are the per-source centroid codebook "
