@@ -530,3 +530,172 @@ def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_ratio"),
         )
     )
+
+
+@query(
+    "d2i_lsh_dedup_eval",
+    oracle=f"""
+        -- LSH config promotion gate: candidate pairs (4 bands x 2 rows)
+        -- vs ground-truth blocked Jaccard>=0.5 pairs; precision/recall
+        -- define as 1.0 on an empty denominator (vacuously perfect)
+        WITH sigs AS ({{MINHASH_SQL}}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        attrs AS (SELECT doc_id, lang, source FROM documents),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        cand_blocked AS (
+            SELECT c.id_a, c.id_b FROM cand c
+            JOIN attrs aa ON aa.doc_id = c.id_a
+            JOIN attrs ab ON ab.doc_id = c.id_b
+            WHERE aa.lang = ab.lang AND aa.source = ab.source
+        ),
+        tok AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        pair AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS both_n
+            FROM tok a JOIN tok b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT p.id_a, p.id_b
+            FROM pair p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE p.both_n * 1.0 / (sa.n + sb.n - p.both_n) >= 0.5
+        ),
+        m AS (
+            SELECT (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT count(*) FROM cand_blocked) AS n_candidates,
+                   (SELECT count(*) FROM cand_blocked c
+                    JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+        )
+        SELECT n_truth, n_candidates, n_hits,
+               round(coalesce(n_hits * 1.0 / nullif(n_candidates, 0), 1.0), 6)
+                   AS precision,
+               round(coalesce(n_hits * 1.0 / nullif(n_truth, 0), 1.0), 6)
+                   AS recall
+        FROM m
+    """.replace("{MINHASH_SQL}", minhash_oracle_sql()),
+    tags=("D2", "D31", "P1"),
+)
+def d2i_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup-config evaluation: precision/recall of the 4x2 MinHash
+    band candidate set against ground-truth blocked Jaccard >= 0.5 pairs —
+    the D2-family analog of d4f's ANN recall gate. This is how a curation
+    run decides whether a cheaper band config may replace exact
+    verification: recall says what fraction of true near-dups the bands
+    surface; precision says how much verify work the false candidates
+    cost. Candidates are restricted to the ground truth's (lang, source)
+    blocking so both sides measure the same pair universe.
+
+    Scale: candidates come from the d2b first-collision band equi-join
+    (no DISTINCT, no cross join); ground truth from the d2c inverted-index
+    token join — both blocked/bucketed shapes audited at 100 TB. The
+    metric joins shuffle only (id_a, id_b) pair keys; counts are single
+    partial aggregates."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spark.sparkContext.defaultParallelism * 2)
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    attrs = d.select("doc_id", "lang", "source")
+    aa = attrs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+    )
+    ab = attrs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+    )
+    cand_blocked = (
+        cand.join(F.broadcast(aa), "id_a")
+        .join(F.broadcast(ab), "id_b")
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+        )
+        .select("id_a", "id_b")
+    )
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    pair = (
+        ta.join(
+            tb,
+            (F.col("ta.lang") == F.col("tb.lang"))
+            & (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("id_a"), F.col("tb.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    truth = (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand_blocked.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = cand_blocked.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    m = n_truth.crossJoin(n_cand).crossJoin(n_hits)
+    return m.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.coalesce(
+                F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), F.lit(1.0)
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.coalesce(
+                F.col("n_hits") / F.nullif(F.col("n_truth"), F.lit(0)), F.lit(1.0)
+            ),
+            6,
+        ).alias("recall"),
+    )

@@ -92,6 +92,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "d2i_lsh_dedup_eval": (
+        {"documents", "bounded:documents"},
+        "same broadcast sides as d2b (band rows + per-doc attr/token "
+        "projections, n_docs-bounded with the same drop-the-hint posture "
+        "past ~10⁷ docs) plus three single-row count aggregates "
+        "cross-joined for the metric row",
+    ),
     "d5q_oov_rate": (
         {"bounded:documents"},
         "broadcast side is the top-V vocabulary: a token-count aggregate "
