@@ -649,3 +649,125 @@ def b02b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("first_seen").alias("first_seen"),
         )
     )
+
+
+@query(
+    "b32_zorder_layout_eval",
+    oracle="""
+        -- Z-order (Morton) key: bit-interleave 16 bits of custkey with
+        -- 16 bits of days-since-epoch-start; compare per-file key spans
+        -- of a 32-file Z-ordered layout vs a hash layout. Integer-only
+        -- math end to end (bit ops, `//` division, exact int avg).
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS ck,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS dk
+            FROM orders
+        ),
+        keyed AS (
+            SELECT o_orderkey, ck, dk,
+                   (((ck >> 0) & 1) << 0) | (((dk >> 0) & 1) << 1)
+                 | (((ck >> 1) & 1) << 2) | (((dk >> 1) & 1) << 3)
+                 | (((ck >> 2) & 1) << 4) | (((dk >> 2) & 1) << 5)
+                 | (((ck >> 3) & 1) << 6) | (((dk >> 3) & 1) << 7)
+                 | (((ck >> 4) & 1) << 8) | (((dk >> 4) & 1) << 9)
+                 | (((ck >> 5) & 1) << 10) | (((dk >> 5) & 1) << 11)
+                 | (((ck >> 6) & 1) << 12) | (((dk >> 6) & 1) << 13)
+                 | (((ck >> 7) & 1) << 14) | (((dk >> 7) & 1) << 15)
+                 | (((ck >> 8) & 1) << 16) | (((dk >> 8) & 1) << 17)
+                 | (((ck >> 9) & 1) << 18) | (((dk >> 9) & 1) << 19)
+                 | (((ck >> 10) & 1) << 20) | (((dk >> 10) & 1) << 21)
+                 | (((ck >> 11) & 1) << 22) | (((dk >> 11) & 1) << 23)
+                 | (((ck >> 12) & 1) << 24) | (((dk >> 12) & 1) << 25)
+                 | (((ck >> 13) & 1) << 26) | (((dk >> 13) & 1) << 27)
+                 | (((ck >> 14) & 1) << 28) | (((dk >> 14) & 1) << 29)
+                 | (((ck >> 15) & 1) << 30) | (((dk >> 15) & 1) << 31)
+                       AS zkey,
+                   (instr('0123456789abcdef',
+                          substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                    - 17) % 32 AS hash_file
+            FROM base
+        ),
+        zmax AS (SELECT max(zkey) AS zm FROM keyed),
+        assigned AS (
+            SELECT 'zorder' AS layout,
+                   least(31, (zkey * 32) // (zm + 1)) AS file_id, ck, dk
+            FROM keyed, zmax
+            UNION ALL
+            SELECT 'hash', hash_file, ck, dk FROM keyed
+        ),
+        spans AS (
+            SELECT layout, file_id,
+                   max(ck) - min(ck) AS ck_span,
+                   max(dk) - min(dk) AS dk_span
+            FROM assigned GROUP BY layout, file_id
+        )
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+               round(avg(ck_span), 6) AS avg_custkey_span,
+               round(avg(dk_span), 6) AS avg_day_span
+        FROM spans GROUP BY layout
+    """,
+    tags=("B32", "B16", "P1"),
+)
+def b32_zorder_layout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout clustering evaluation: Z-order (Morton) interleave of
+    (custkey, order-day) vs a hash layout, 32 files each, reporting the
+    average per-file key span on BOTH dimensions. Z-ordering keeps both
+    spans small simultaneously — the property that lets min/max file
+    statistics prune scans on either predicate column; the hash layout's
+    spans cover the whole domain (no pruning). This is the
+    OPTIMIZE-ZORDER decision metric for laying out a 100 TB table.
+
+    Scale: the Morton key is 64 codegen'd bit operations per row (no
+    join); file assignment needs only the 1-row global max (bounded
+    broadcast); span stats are one partial-aggregatable groupBy on
+    (layout, file). Exact integer math end to end — both engines agree
+    bit-for-bit."""
+    from functools import reduce
+
+    o = table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("bigint")
+    dk = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+    ).cast("bigint")
+    terms = []
+    for i in range(16):
+        terms.append(F.shiftleft(F.shiftright(ck, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(dk, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    zkey = reduce(lambda a, b: a.bitwiseOR(b), terms)
+    hb = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
+    keyed = o.select(
+        ck.alias("ck"),
+        dk.alias("dk"),
+        zkey.alias("zkey"),
+        F.pmod(hb.cast("bigint"), F.lit(32)).alias("hash_file"),
+    )
+    zmax = keyed.agg(F.max("zkey").alias("zm"))
+    zfiles = (
+        keyed.crossJoin(F.broadcast(zmax))
+        .select(
+            F.lit("zorder").alias("layout"),
+            F.least(F.lit(31), F.expr("(zkey * 32) div (zm + 1)")).alias("file_id"),
+            "ck",
+            "dk",
+        )
+    )
+    hfiles = keyed.select(
+        F.lit("hash").alias("layout"), F.col("hash_file").alias("file_id"), "ck", "dk"
+    )
+    spans = (
+        zfiles.unionByName(hfiles)
+        .groupBy("layout", "file_id")
+        .agg(
+            (F.max("ck") - F.min("ck")).alias("ck_span"),
+            (F.max("dk") - F.min("dk")).alias("dk_span"),
+        )
+    )
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.round(F.avg("ck_span"), 6).alias("avg_custkey_span"),
+        F.round(F.avg("dk_span"), 6).alias("avg_day_span"),
+    )

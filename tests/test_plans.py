@@ -92,6 +92,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "b32_zorder_layout_eval": (
+        {"bounded:orders"},
+        "broadcast side is agg(max(zkey)): exactly 1 row at any SF "
+        "(the file-assignment denominator)",
+    ),
     "d2i_lsh_dedup_eval": (
         {"documents", "bounded:documents"},
         "same broadcast sides as d2b (band rows + per-doc attr/token "
