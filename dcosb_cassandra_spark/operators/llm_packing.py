@@ -551,3 +551,110 @@ def d13c_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CHUNK_SIZE), F.col("n") - F.col("chunk_id") * CHUNK_STRIDE
         ).cast("long").alias("chunk_len"),
     )
+
+
+@query(
+    "d13d_boundary_packing",
+    oracle=f"""
+        -- next-fit WITH document boundaries (no doc spans two sequences;
+        -- over-budget docs truncate to the budget): inherently a
+        -- sequential fold per shard, expressed as a recursive CTE that
+        -- advances every (source, lang) shard one doc per iteration
+        WITH RECURSIVE toks AS (
+            SELECT source, lang, doc_id,
+                   least({_WS_TOKENS_SQL}, {SEQ_BUDGET}) AS tok,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        state(source, lang, rn, seq_id, rem) AS (
+            SELECT source, lang, rn, 1, {SEQ_BUDGET} - tok
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.source, t.lang, t.rn,
+                   CASE WHEN t.tok <= s.rem THEN s.seq_id ELSE s.seq_id + 1 END,
+                   CASE WHEN t.tok <= s.rem THEN s.rem - t.tok
+                        ELSE {SEQ_BUDGET} - t.tok END
+            FROM state s
+            JOIN toks t ON t.source = s.source AND t.lang = s.lang
+                       AND t.rn = s.rn + 1
+        ),
+        shard AS (
+            SELECT source, lang, CAST(sum(tok) AS BIGINT) AS total_tok
+            FROM toks GROUP BY source, lang
+        ),
+        packed AS (
+            SELECT source, lang, CAST(max(seq_id) AS BIGINT) AS n_seqs
+            FROM state GROUP BY source, lang
+        )
+        SELECT p.source, p.lang, p.n_seqs,
+               CAST(p.n_seqs * {SEQ_BUDGET} - sh.total_tok AS BIGINT)
+                   AS total_pad,
+               round(sh.total_tok * 1.0 / (p.n_seqs * {SEQ_BUDGET}), 6)
+                   AS fill_ratio
+        FROM packed p JOIN shard sh
+          ON sh.source = p.source AND sh.lang = p.lang
+    """,
+    tags=("D13", "D32", "A34", "P1"),
+)
+def d13d_boundary_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting next-fit sequence packing: unlike D13's
+    concat-and-chunk (which splits documents mid-stream), no document
+    spans two training sequences — a doc that doesn't fit the remaining
+    capacity starts a new sequence, and over-budget docs truncate to the
+    budget. This is the packer trainers use when cross-document attention
+    must not happen; the padding it costs vs D13 is exactly the number
+    this op reports (total_pad / fill_ratio per shard).
+
+    Scale: the fold is inherently sequential PER SHARD (the state is the
+    remaining capacity), so it runs as applyInPandas over the (source,
+    lang) shard grid — parallel across shards, a tight Python loop within
+    one (each group is one corpus shard; at real scale sub-shard by a
+    bounded key exactly like d13b and sum the per-sub-shard counts).
+    The DuckDB twin replays the identical fold as a recursive CTE, so
+    the sequential semantics are oracle-checked, not just asserted."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id",
+        F.least(_ws_tokens(F.col("text")), F.lit(SEQ_BUDGET)).alias("tok"),
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seqs, rem = 0, 0
+        total = 0
+        for tok in pdf["tok"]:
+            tok = int(tok)
+            total += tok
+            if seqs == 0 or tok > rem:
+                seqs += 1
+                rem = SEQ_BUDGET - tok
+            else:
+                rem -= tok
+        pad = seqs * SEQ_BUDGET - total
+        # rounding happens Spark-side below: Python round() is banker's,
+        # Spark/DuckDB round() is half-up — ties like 53/128 would differ
+        return pd.DataFrame(
+            {
+                "source": [key[0]],
+                "lang": [key[1]],
+                "n_seqs": [seqs],
+                "total_pad": [pad],
+                "total_tok": [total],
+            }
+        )
+
+    packed = d.groupBy("source", "lang").applyInPandas(
+        pack,
+        "source string, lang string, n_seqs long, total_pad long, total_tok long",
+    )
+    return packed.select(
+        "source",
+        "lang",
+        "n_seqs",
+        "total_pad",
+        F.round(F.col("total_tok") / (F.col("n_seqs") * SEQ_BUDGET), 6).alias(
+            "fill_ratio"
+        ),
+    )
