@@ -64,3 +64,13 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """ORC sink (Spark-native columnar alternative; zlib by default) —
+    same small-files-controlled writer shape as parquet."""
+    df.repartition(n_files).write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

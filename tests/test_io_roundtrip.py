@@ -1,4 +1,4 @@
-"""Source/sink round-trips: parquet, CSV, JSONL writers and schema-explicit
+"""Source/sink round-trips: parquet, ORC, CSV, JSONL writers and schema-explicit
 readers must preserve values exactly (including microsecond timestamps)."""
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "jsonl"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "jsonl", "orc"])
 def test_orders_roundtrip(spark, fmt):
     src = table(spark, SMOKE_SF_DIR, "orders")
     path = os.path.join(TMP, f"orders_{fmt}")
@@ -37,9 +37,12 @@ def test_orders_roundtrip(spark, fmt):
     elif fmt == "csv":
         sio.write_csv(src, path)
         back = sio.read_csv(spark, path, ORDERS_SCHEMA)
-    else:
+    elif fmt == "jsonl":
         sio.write_jsonl(src, path)
         back = sio.read_jsonl(spark, path, ORDERS_SCHEMA)
+    else:
+        sio.write_orc(src, path)
+        back = sio.read_orc(spark, path)
     assert _rows(back.select(*src.columns)) == _rows(src)
 
 
