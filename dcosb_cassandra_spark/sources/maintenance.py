@@ -51,3 +51,34 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(name)
     )
+
+
+def major_compact(
+    spark: SparkSession,
+    log: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    gc_grace_writetime: int,
+    target_files: int = 4,
+    tiebreak_col: str | None = "mutation_id",
+) -> tuple[int, int]:
+    """Major compaction [PK `db/compaction/CompactionManager.java`]: collapse
+    a mutation log into an on-disk snapshot — LWW winner per key, tombstones
+    within gc_grace RETAINED (they must keep shadowing stragglers in not-yet-
+    compacted logs), tombstones past grace PURGED — written as
+    ``target_files`` parquet files (the small-files control of
+    ``compact_small_files``, applied at the semantic-compaction commit).
+
+    Returns (log_rows, snapshot_rows). Scale: the semantic collapse is ONE
+    shuffle on the partition keys (``compact_with_grace``); the write is a
+    repartition to the target layout. Reading back the snapshot unioned
+    with any newer log and re-compacting yields the same state as
+    compacting everything at once (idempotence property, tested)."""
+    from ..functions.lww import compact_with_grace
+
+    n_log = log.count()
+    snap = compact_with_grace(
+        log, keys, gc_grace_writetime, tiebreak_col=tiebreak_col
+    )
+    snap.repartition(target_files).write.mode("overwrite").parquet(snapshot_path)
+    return n_log, len(parquet_files(snapshot_path))

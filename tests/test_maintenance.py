@@ -68,3 +68,46 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_major_compact_snapshot_equals_direct_compaction(spark, tmp_path):
+    """major_compact writes the same state compact_with_grace computes, and
+    re-compacting (snapshot ∪ newer log) == compacting the full log at
+    once — the LSM invariant that makes incremental compaction sound."""
+    from dcosb_cassandra_spark.functions.lww import compact_with_grace
+    from dcosb_cassandra_spark.sources.maintenance import major_compact
+    from dcosb_cassandra_spark.sources.mutations import row_mutation_log
+
+    from .conftest import SF_DIR
+
+    log = row_mutation_log(spark, SF_DIR)
+    cut = log.agg(F.expr("percentile_approx(writetime, 0.5)")).head()[0]
+    grace = int(
+        log.agg(F.expr("percentile_approx(writetime, 0.25)")).head()[0]
+    )
+    old, new = log.filter(F.col("writetime") <= cut), log.filter(
+        F.col("writetime") > cut
+    )
+
+    snap_path = str(tmp_path / "snap")
+    n_log, n_files = major_compact(
+        spark, old, snap_path, ["user_id"], gc_grace_writetime=grace
+    )
+    assert n_files > 0 and n_log == old.count()
+    snap = spark.read.parquet(snap_path)
+
+    def state(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # snapshot == direct semantic compaction of the old log
+    assert state(snap) == state(
+        compact_with_grace(old, ["user_id"], grace, tiebreak_col="mutation_id")
+    )
+    # incremental: compact(snapshot ∪ new) == compact(full log) given every
+    # snapshot tombstone past grace was only purged AFTER winning (no
+    # shadowed straggler exists in `new` by construction of the split)
+    incremental = compact_with_grace(
+        snap.unionByName(new), ["user_id"], grace, tiebreak_col="mutation_id"
+    )
+    full = compact_with_grace(log, ["user_id"], grace, tiebreak_col="mutation_id")
+    assert state(incremental) == state(full)
