@@ -699,3 +699,83 @@ def d2i_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@query(
+    "d2j_dup_graph_stats",
+    oracle=f"""
+        -- degree profile of the near-dup graph per (lang, source) block:
+        -- how clustered is the duplication? (drives whether pair-level
+        -- dedup suffices or cluster-level d2f is required)
+        WITH {_EDGES_SQL.strip().lstrip()},
+        attrs AS (SELECT doc_id, lang, source FROM documents),
+        und AS (
+            SELECT id_a AS node, id_b AS peer FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges
+        ),
+        deg AS (
+            SELECT a.lang, a.source, u.node, count(*) AS degree
+            FROM und u JOIN attrs a ON a.doc_id = u.node
+            GROUP BY a.lang, a.source, u.node
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_dup_nodes,
+               CAST(sum(degree) // 2 AS BIGINT) AS n_edges,
+               CAST(max(degree) AS BIGINT) AS max_degree,
+               round(avg(degree), 6) AS avg_degree
+        FROM deg GROUP BY lang, source
+    """,
+    tags=("D2", "D33", "P1"),
+)
+def d2j_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree profile per corpus block: number of documents
+    with at least one Jaccard>=0.5 near-duplicate, edge count, max and
+    mean degree. High max-degree blocks are where pair enumeration goes
+    quadratic — this is the diagnostic that says WHERE cluster-level dedup
+    (d2f) must replace pair-level verification, before a 100 TB run
+    commits to either.
+
+    Scale: reuses the d2c/d2f blocked inverted-index edge construction
+    (never a cross join); degrees are one groupBy on doc_id; the final
+    block aggregate is k-row. The edge set never leaves the executors."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    pair = (
+        ta.join(
+            tb,
+            (F.col("ta.lang") == F.col("tb.lang"))
+            & (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("id_a"), F.col("tb.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    edges = (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    und = edges.select(F.col("id_a").alias("node")).unionByName(
+        edges.select(F.col("id_b").alias("node"))
+    )
+    attrs = d.select(F.col("doc_id").alias("node"), "lang", "source")
+    deg = (
+        und.join(attrs, "node")
+        .groupBy("lang", "source", "node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_dup_nodes"),
+        F.expr("sum(degree) div 2").alias("n_edges"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+    )

@@ -771,3 +771,76 @@ def b32_zorder_layout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ck_span"), 6).alias("avg_custkey_span"),
         F.round(F.avg("dk_span"), 6).alias("avg_day_span"),
     )
+
+
+@query(
+    "b33_cohort_retention",
+    oracle="""
+        -- classic cohort-retention matrix: users grouped by first-seen
+        -- ISO week; per (cohort, age-in-weeks) distinct-active share
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        ),
+        cohort_sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size
+            FROM first_seen GROUP BY cohort_week
+        ),
+        cells AS (
+            SELECT f.cohort_week,
+                   date_diff('day', f.cohort_week, a.active_week) // 7
+                       AS age_weeks,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+            GROUP BY 1, 2
+        )
+        SELECT c.cohort_week, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(c.n_active * 1.0 / s.cohort_size, 6) AS retention
+        FROM cells c JOIN cohort_sizes s ON s.cohort_week = c.cohort_week
+    """,
+    tags=("B33", "B10", "C1", "P1"),
+)
+def b33_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-seen ISO week,
+    each cell = the share of that cohort active N weeks later — the
+    product-analytics workhorse the C-layer windows don't cover (it pivots
+    on USER FIRST-SEEN, not event time alone).
+
+    Scale: first-seen is one partial-aggregatable groupBy on user_id;
+    activity dedup is a distinct on (user, week) — same shuffle key; the
+    cells join is user-keyed (co-partitioned with both aggregates), and
+    cohort sizes are a week-cardinality table joined at the end. Nothing
+    shuffles event-cardinality data more than once."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) div 7").alias("age_weeks"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

@@ -92,6 +92,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "b33_cohort_retention": (
+        {"bounded:events"},
+        "broadcast side is the cohort-size table: groupBy(cohort_week) of "
+        "the per-user first-seen aggregate — |calendar weeks| rows at any "
+        "SF",
+    ),
     "b32_zorder_layout_eval": (
         {"bounded:orders"},
         "broadcast side is agg(max(zkey)): exactly 1 row at any SF "
