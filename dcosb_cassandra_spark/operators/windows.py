@@ -198,3 +198,82 @@ def b15_frame_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(frame), 6).alias("moving_avg"),
         F.count(F.lit(1)).over(frame).alias("frame_n"),
     )
+
+
+@query(
+    "b34_rolling_zscore_anomalies",
+    oracle="""
+        -- trailing-window z-score anomaly detection over the daily series:
+        -- each day scored against the mean/stddev_pop of the PRECEDING
+        -- 7 days (never itself — no self-masking); flag |z| > 2.
+        -- z is rounded to 6dp and the flag derived FROM the rounded value
+        -- so the threshold decision is identical on both engines.
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                       AS day_num,
+                   round(sum(value), 6) AS day_total
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, day_num, day_total,
+                   count(*) OVER w AS n_hist,
+                   avg(day_total) OVER w AS mu,
+                   stddev_pop(day_total) OVER w AS sigma
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day_num, day_total,
+               round((day_total - mu) / sigma, 6) AS zscore,
+               (abs(round((day_total - mu) / sigma, 6)) > 2) AS is_anomaly
+        FROM scored
+        WHERE n_hist >= 3 AND sigma > 0
+    """,
+    tags=("B34", "B15", "C1", "P1"),
+)
+def b34_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: each day's per-type total scored
+    against the trailing 7-day mean/stddev (RANGE frame ending at the
+    PRECEDING day, so a spike never masks itself), flagged at |z| > 2 —
+    the monitoring shape (ingest-volume regression, corpus drift) that
+    frame windows express natively.
+
+    Scale: the daily rollup is one partial-aggregatable groupBy; the
+    trailing stats are a RANGE window per (event_type) over
+    days-cardinality rows — the window input is the ROLLUP, not the
+    events, so the frame state is O(|types| x |days|) no matter how many
+    raw events exist."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).cast("bigint").alias("day_num"),
+    ).agg(F.round(F.sum("value"), 6).alias("day_total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day_num",
+        "day_total",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.avg("day_total").over(w).alias("mu"),
+        F.stddev_pop("day_total").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("day_total") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        scored.filter((F.col("n_hist") >= 3) & (F.col("sigma") > 0))
+        .select(
+            "event_type",
+            "day_num",
+            "day_total",
+            z.alias("zscore"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
