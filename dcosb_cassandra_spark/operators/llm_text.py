@@ -1124,3 +1124,65 @@ def d5q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_doc_oov_rate"
         ),
     )
+
+
+#: rank depth for the Zipf head fit (production: 10k-100k head tokens)
+ZIPF_TOP_N = 100
+
+
+@query(
+    "d5r_zipf_slope",
+    oracle=f"""
+        -- log-log OLS over the frequency head: slope of ln(freq) on
+        -- ln(rank) for the top-{ZIPF_TOP_N} tokens per language
+        -- (Zipf's law: slope ~ -1 on natural corpora; template/spam
+        -- corpora flatten it — a generation-quality monitor)
+        WITH tok AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        ranked AS (
+            SELECT lang, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token) AS rnk
+            FROM counts
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_head,
+               round(covar_pop(ln(rnk), ln(n)) / var_pop(ln(rnk)), 5)
+                   AS zipf_slope
+        FROM ranked WHERE rnk <= {ZIPF_TOP_N} GROUP BY lang
+    """,
+    tags=("D5", "D34", "B09", "P1"),
+)
+def d5r_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope estimate per language: OLS slope of ln(frequency) on
+    ln(rank) over the top-{N} head tokens — natural text sits near -1;
+    template spam and saturated synthetic output flatten toward 0, making
+    this the distribution-shape monitor that complements d5n's entropy.
+
+    Scale: token counts are one partial-aggregated shuffle; the head rank
+    is TWO-PHASE (per-partition top-N window, then the final per-lang
+    window over <= N*P survivors — the d5q/d4f pattern, because web-corpus
+    vocabulary is not small); the regression is a covar/var aggregate over
+    N rows per language."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w_local = Window.partitionBy("lang", "_part").orderBy(F.desc("n"), F.asc("token"))
+    w_final = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    head = (
+        counts.withColumn("_part", F.spark_partition_id())
+        .withColumn("_rn_local", F.row_number().over(w_local))
+        .filter(F.col("_rn_local") <= ZIPF_TOP_N)
+        .withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= ZIPF_TOP_N)
+    )
+    return head.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_head"),
+        F.round(
+            F.covar_pop(F.log(F.col("rnk")), F.log(F.col("n")))
+            / F.var_pop(F.log(F.col("rnk"))),
+            5,
+        ).alias("zipf_slope"),
+    )
