@@ -844,3 +844,89 @@ def b33_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+@query(
+    "b35_touch_attribution",
+    oracle="""
+        -- first/last-touch attribution: each purchase credited to the
+        -- earliest and latest click/view touch in its preceding 24h;
+        -- deterministic channel pick via a zero-padded (epoch-us |
+        -- channel) string key, lexicographically min/max on both engines
+        WITH touches AS (
+            SELECT user_id, ts, event_type AS channel FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        joined AS (
+            SELECT p.event_id,
+                   lpad(CAST(epoch_us(t.ts) AS VARCHAR), 20, '0')
+                       || '|' || t.channel AS k
+            FROM purchases p JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts <= p.ts
+             AND t.ts > p.ts - INTERVAL 24 HOURS
+        ),
+        attributed AS (
+            SELECT event_id,
+                   substr(min(k), 22) AS first_channel,
+                   substr(max(k), 22) AS last_channel
+            FROM joined GROUP BY event_id
+        )
+        SELECT first_channel, last_channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+        FROM attributed GROUP BY first_channel, last_channel
+    """,
+    tags=("B35", "B5", "B13", "P1"),
+)
+def b35_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style touch attribution: every purchase is credited to
+    the FIRST and LAST click/view touch in its preceding 24 hours; output
+    is the (first-channel x last-channel) mix with shares. The channel
+    pick rides a zero-padded (epoch-micros | channel) string key so min/
+    max is lexicographic — bit-identical across engines even on timestamp
+    ties.
+
+    Scale: the purchase-touch pairing is a user-keyed range join (the B5
+    shape) whose time bound caps pairs per purchase at touches-per-24h;
+    attribution collapses pairs in ONE partial-aggregatable min/max
+    groupBy on the purchase id; the final mix table is
+    |channels|^2-bounded (the OVER () share runs on those few rows)."""
+    e = table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    k = F.concat(
+        F.lpad(F.unix_micros(F.col("t_ts")).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.col("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (touches.user_id == purchases.user_id)
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("event_id", k.alias("k"))
+    attributed = joined.groupBy("event_id").agg(
+        F.substring(F.min("k"), 22, 64).alias("first_channel"),
+        F.substring(F.max("k"), 22, 64).alias("last_channel"),
+    )
+    mix = attributed.groupBy("first_channel", "last_channel").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    w = Window.partitionBy()
+    return mix.select(
+        "first_channel",
+        "last_channel",
+        "n_purchases",
+        F.round(F.col("n_purchases") / F.sum("n_purchases").over(w), 6).alias("share"),
+    )
