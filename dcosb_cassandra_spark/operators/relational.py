@@ -930,3 +930,65 @@ def b35_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         F.round(F.col("n_purchases") / F.sum("n_purchases").over(w), 6).alias("share"),
     )
+
+
+@query(
+    "b36_rolling_dau",
+    oracle="""
+        -- exact 7-day rolling distinct active users: COUNT(DISTINCT) has
+        -- no sliding-window form in any engine, so each (day, user) pair
+        -- votes into the 7 windows that end on days d..d+6 (offset
+        -- explode), and each window counts its distinct voters once.
+        WITH pairs AS (
+            SELECT DISTINCT
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                       AS day_num,
+                   user_id
+            FROM events
+        ),
+        bounds AS (SELECT max(day_num) AS max_day FROM pairs),
+        votes AS (
+            SELECT p.day_num + o.off AS window_end, p.user_id
+            FROM pairs p
+            CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS o(off)
+        )
+        SELECT v.window_end,
+               CAST(count(DISTINCT v.user_id) AS BIGINT) AS dau7
+        FROM votes v, bounds b
+        WHERE v.window_end BETWEEN 6 AND b.max_day
+        GROUP BY v.window_end
+    """,
+    tags=("B36", "B10", "C2", "P1"),
+)
+def b36_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct active users. Sliding COUNT(DISTINCT)
+    cannot be expressed as a window function (distinct state doesn't
+    retract), so this uses the offset-explode recipe: daily-distinct
+    (day, user) pairs each vote into the 7 windows that end on days
+    d..d+6, then one distinct aggregate per window end. Windows are
+    emitted only where a full 7-day history exists.
+
+    Scale: the input collapses to daily-distinct pairs FIRST (one
+    event-cardinality shuffle); the explode multiplies the already-reduced
+    pair set by exactly 7; the final distinct agg shuffles on window_end.
+    The max-day bound is a 1-row broadcast. This beats re-scanning events
+    7 times (the naive form) by the full event:pair reduction ratio."""
+    e = table(spark, sf_dir, "events")
+    pairs = e.select(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).cast("bigint").alias("day_num"),
+        "user_id",
+    ).distinct()
+    bounds = pairs.agg(F.max("day_num").alias("max_day"))
+    votes = pairs.select(
+        "day_num", "user_id", F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
+    ).select((F.col("day_num") + F.col("off")).alias("window_end"), "user_id")
+    return (
+        votes.crossJoin(F.broadcast(bounds))
+        .filter((F.col("window_end") >= 6) & (F.col("window_end") <= F.col("max_day")))
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("dau7"))
+    )

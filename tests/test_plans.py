@@ -92,6 +92,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "b36_rolling_dau": (
+        {"bounded:events"},
+        "broadcast side is agg(max(day_num)): exactly 1 row at any SF "
+        "(the full-history window bound)",
+    ),
     "b33_cohort_retention": (
         {"bounded:events"},
         "broadcast side is the cohort-size table: groupBy(cohort_week) of "
