@@ -992,3 +992,99 @@ def b36_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.count_distinct("user_id").alias("dau7"))
     )
+
+
+@query(
+    "b37_funnel_conversion",
+    oracle="""
+        -- ordered 3-step funnel with per-step 48h caps: signup ->
+        -- first click within 48h -> first purchase within 48h of that
+        -- click. Each step is a min-aggregate over a user-keyed range
+        -- join, so step timestamps (and therefore the counts) are exact.
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+            SELECT s.user_id, s.s_ts, min(e.ts) AS c_ts
+            FROM s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'click'
+             AND e.ts > s.s_ts AND e.ts <= s.s_ts + INTERVAL 48 HOURS
+            GROUP BY s.user_id, s.s_ts
+        ),
+        p AS (
+            SELECT c.user_id, min(e.ts) AS p_ts
+            FROM c JOIN events e
+              ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 48 HOURS
+            GROUP BY c.user_id
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM c) AS n_clicked,
+               (SELECT count(*) FROM p) AS n_purchased,
+               round((SELECT count(*) FROM c) * 1.0
+                     / (SELECT count(*) FROM s), 6) AS step2_rate,
+               round((SELECT count(*) FROM p) * 1.0
+                     / (SELECT count(*) FROM s), 6) AS full_conv_rate
+    """,
+    tags=("B37", "B5", "B21", "P1"),
+)
+def b37_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step conversion funnel with per-step time caps:
+    signup → first click within 48 h → first purchase within 48 h of that
+    click. Unlike the session funnel (c3b, gap-based) the steps here are
+    ORDER- and DEADLINE-constrained, which is the product-funnel question
+    ("of users who signed up, how many converted within the window?").
+
+    Scale: each step is a user-keyed range join followed by a min
+    aggregate — pairs per user are capped by events-per-48h; the three
+    step tables shrink monotonically; final counts are single-row
+    aggregates. No window over raw events, no cross join."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("e_ts")
+    )
+    c = (
+        s.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("e_ts") > F.col("s_ts"))
+            & (F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        ns.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_signup",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_signup"), 6).alias("step2_rate"),
+            F.round(F.col("n_purchased") / F.col("n_signup"), 6).alias(
+                "full_conv_rate"
+            ),
+        )
+    )
