@@ -162,3 +162,58 @@ def d7c_resize_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal_frame(spark, sf_dir).filter(F.col("doc_id") < 30)
     resized = mm.mapInPandas(resize_image_stub(64, 64), schema=RESIZE_SCHEMA)
     return resized.mapInPandas(sample_frames_stub(4), schema=FRAME_SAMPLE_SCHEMA)
+
+
+@query(
+    "d7d_audio_frame_energy",
+    oracle="""
+        -- the SQL replay of the Python/numpy path: one sample per byte
+        -- (all-ASCII payloads: code point == byte), 32-byte frames,
+        -- trailing partial dropped, RMS per frame, mean/peak per payload
+        WITH samples AS (
+            SELECT doc_id,
+                   unnest(range(1, (length(text) // 32) * 32 + 1)) AS pos
+            FROM documents WHERE doc_id < 40
+        ),
+        vals AS (
+            SELECT s.doc_id, s.pos, ((s.pos - 1) // 32) AS frame_idx,
+                   ascii(substr(d.text, CAST(s.pos AS INT), 1)) * 1.0 AS amp
+            FROM samples s JOIN documents d ON d.doc_id = s.doc_id
+        ),
+        frames AS (
+            SELECT doc_id, frame_idx, sqrt(avg(amp * amp)) AS rms
+            FROM vals GROUP BY doc_id, frame_idx
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+               round(avg(rms), 6) AS mean_rms,
+               round(max(rms), 6) AS peak_rms
+        FROM frames GROUP BY doc_id
+    """,
+    tags=("D7", "D35", "A33", "P2"),
+)
+def d7d_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path multimodal extraction: payloads interpreted as unsigned
+    8-bit PCM, RMS energy per 32-byte frame (numpy over Arrow batches via
+    mapInPandas), mean/peak per payload. Unlike the fingerprint-stubbed
+    image/video stages, the math here runs on the REAL bytes, so the SQL
+    oracle replays the identical arithmetic from the characters' code
+    points — the strongest verification a codec-less container allows.
+
+    Scale: pure map stage (mapInPandas, partition-parallel, zero
+    shuffles) followed by nothing — per-payload features come out of the
+    same pass; rounding to 6dp Spark-side absorbs numpy-vs-SQL float
+    summation-order differences."""
+    from ..sources.multimodal import (
+        AUDIO_ENERGY_SCHEMA,
+        audio_frame_energy_stub,
+        multimodal_frame,
+    )
+
+    mm = multimodal_frame(spark, sf_dir).filter(F.col("doc_id") < 40)
+    out = mm.mapInPandas(audio_frame_energy_stub(32), schema=AUDIO_ENERGY_SCHEMA)
+    return out.filter(F.col("n_frames") > 0).select(
+        "doc_id",
+        "n_frames",
+        F.round("mean_rms", 6).alias("mean_rms"),
+        F.round("peak_rms", 6).alias("peak_rms"),
+    )

@@ -139,3 +139,47 @@ def sample_frames_stub(every_k: int, bytes_per_frame: int = 32):
             )
 
     return body
+
+
+#: output schema of the audio-analysis stage: whole-payload PCM-style
+#: frame energies, aggregated per payload
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id LONG, n_frames INT, mean_rms DOUBLE, peak_rms DOUBLE"
+)
+
+
+def audio_frame_energy_stub(frame_bytes: int = 32):
+    """mapInPandas body factory for audio feature extraction. The payload
+    is interpreted as unsigned 8-bit PCM (one sample per byte); RMS per
+    ``frame_bytes`` frame, trailing partial frame dropped. Unlike the
+    image/video stubs this computes REAL math on the real bytes (numpy,
+    vectorized per Arrow batch), so the whole Python path is
+    oracle-checkable from the characters' code points — a real deployment
+    swaps only the sample decode (s16le/flac) for the byte view."""
+    import numpy as np
+
+    def body(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            n_frames, mean_rms, peak_rms = [], [], []
+            for b in batch["payload"]:
+                samples = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+                k = len(samples) // frame_bytes
+                n_frames.append(k)
+                if k == 0:
+                    mean_rms.append(0.0)
+                    peak_rms.append(0.0)
+                    continue
+                frames_arr = samples[: k * frame_bytes].reshape(k, frame_bytes)
+                rms = np.sqrt((frames_arr * frames_arr).mean(axis=1))
+                mean_rms.append(float(rms.mean()))
+                peak_rms.append(float(rms.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_frames": n_frames,
+                    "mean_rms": mean_rms,
+                    "peak_rms": peak_rms,
+                }
+            )
+
+    return body
