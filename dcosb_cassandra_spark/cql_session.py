@@ -146,6 +146,14 @@ _DROP_TYPE = re.compile(
     r"^\s*DROP\s+TYPE\s+(?P<ine>IF\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_TYPE_ADD = re.compile(
+    r"^\s*ALTER\s+TYPE\s+(?:\w+\.)?(?P<name>\w+)\s+ADD\s+(?P<f>\w+)\s+(?P<t>.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_RENAME = re.compile(
+    r"^\s*ALTER\s+TYPE\s+(?:\w+\.)?(?P<name>\w+)\s+RENAME\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_KEYSPACE = re.compile(
     r"^\s*CREATE\s+KEYSPACE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
     r"(?:\s+WITH\s+.*)?;?\s*$",
@@ -595,6 +603,37 @@ class CqlSession:
             if not fields:
                 raise InvalidRequest("CREATE TYPE requires at least one field")
             self._udts[name] = fields
+            return None
+
+        m = _ALTER_TYPE_ADD.match(s)
+        if m:
+            # [PK cql3/statements/schema/AlterTypeStatement.java] — new
+            # fields append with null values in existing data; renames are
+            # metadata-only. Cassandra forbids dropping UDT fields.
+            name = m.group("name").lower()
+            if name not in self._udts:
+                raise InvalidRequest(f"unknown type {name}")
+            f = m.group("f").lower()
+            if f in self._udts[name]:
+                raise InvalidRequest(f"type {name} already has field {f}")
+            ftype = m.group("t").strip().lower()
+            cql_type_to_spark(ftype, self._udts)
+            self._udts[name][f] = ftype
+            return None
+
+        m = _ALTER_TYPE_RENAME.match(s)
+        if m:
+            name = m.group("name").lower()
+            if name not in self._udts:
+                raise InvalidRequest(f"unknown type {name}")
+            old, new = m.group("old").lower(), m.group("new").lower()
+            if old not in self._udts[name]:
+                raise InvalidRequest(f"type {name} has no field {old}")
+            if new in self._udts[name]:
+                raise InvalidRequest(f"type {name} already has field {new}")
+            self._udts[name] = {
+                (new if k == old else k): v for k, v in self._udts[name].items()
+            }
             return None
 
         m = _DROP_TYPE.match(s)

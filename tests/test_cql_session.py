@@ -1039,3 +1039,24 @@ def test_describe_catalog_listings(sess):
     views = sess.execute("DESCRIBE MATERIALIZED VIEWS").collect()
     assert views[0]["view_name"] == "mv_seg"
     assert sess.execute("DESCRIBE FUNCTIONS").collect() == []
+
+
+def test_alter_type_add_and_rename(sess):
+    sess.execute("CREATE TYPE addr (street text, city text)")
+    sess.execute("ALTER TYPE addr ADD zip int")
+    sess.execute("CREATE TABLE t_addr (id int PRIMARY KEY, home frozen<addr>)")
+    sess.execute(
+        "INSERT INTO t_addr (id, home) VALUES (1, {street: 'a', city: 'b', zip: 7})"
+    )
+    rows = sess.execute("SELECT home FROM t_addr WHERE id = 1").collect()
+    assert rows[0].home["zip"] == 7
+    sess.execute("ALTER TYPE addr RENAME zip TO postcode")
+
+    from dcosb_cassandra_spark.cql_session import InvalidRequest
+
+    with pytest.raises(InvalidRequest):
+        sess.execute("ALTER TYPE addr RENAME nope TO x")
+    with pytest.raises(InvalidRequest):
+        sess.execute("ALTER TYPE addr ADD street text")  # duplicate field
+    with pytest.raises(InvalidRequest):
+        sess.execute("ALTER TYPE missing ADD f int")
