@@ -632,3 +632,66 @@ def d8c_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("affinity"),
         )
     )
+
+
+@query(
+    "d8d_matryoshka_eval",
+    oracle=f"""
+        -- Matryoshka truncation eval: how well does cosine on the FIRST
+        -- 16 dims preserve full 64-dim cosine? Per query: Pearson corr +
+        -- mean abs error over all pairs — the keep-how-many-dims gate
+        -- before shipping truncated embeddings to the ANN index.
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < 5),
+        pairs AS (
+            SELECT q.qid,
+                   list_sum(list_transform(range(1, 65),
+                       i -> v.ve[i] * q.qe[i]))
+                   / (sqrt(list_sum(list_transform(v.ve, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qe, x -> x * x))))
+                       AS cos_full,
+                   list_sum(list_transform(range(1, 17),
+                       i -> v.ve[i] * q.qe[i]))
+                   / (sqrt(list_sum(list_transform(v.ve[1:16], x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qe[1:16], x -> x * x))))
+                       AS cos_16
+            FROM v JOIN q ON v.vec_id <> q.qid
+        )
+        SELECT qid AS query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(corr(cos_full, cos_16), 5) AS pearson_r,
+               round(avg(abs(cos_full - cos_16)), 5) AS mae
+        FROM pairs GROUP BY qid
+    """,
+    tags=("D8", "D36", "D4", "P1"),
+)
+def d8d_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: Pearson correlation and
+    mean absolute error between full 64-dim cosine and first-16-dim
+    cosine, per query vector — the decide-the-truncation-width gate
+    before shipping shortened embeddings to a cheaper ANN index
+    (complements d4f, which evaluates the INDEX given an embedding).
+
+    Scale: the query set is key-bounded (vec_id < 5) and broadcast; the
+    corpus streams once past it computing both cosines in the same
+    projection (JVM higher-order functions); per-query corr/avg is one
+    partial-aggregatable groupBy over 5 groups. 5dp rounding absorbs
+    engine summation-order differences in the corr moments."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("ve").alias("qe")
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        cosine(F.col("ve"), F.col("qe")).alias("cos_full"),
+        cosine(F.slice(F.col("ve"), 1, 16), F.slice(F.col("qe"), 1, 16)).alias(
+            "cos_16"
+        ),
+    )
+    return pairs.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("cos_full", "cos_16"), 5).alias("pearson_r"),
+        F.round(F.avg(F.abs(F.col("cos_full") - F.col("cos_16"))), 5).alias("mae"),
+    )

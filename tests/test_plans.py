@@ -63,6 +63,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"embeddings"},
         "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
     ),
+    "d8d_matryoshka_eval": (
+        {"embeddings"},
+        "broadcast side is the query set: vec_id < 5, key-bounded to "
+        "<=5 rows at any SF (the d3b posture)",
+    ),
     "d17_kmeans_lloyd": (
         {"embeddings", "bounded:embeddings"},
         "broadcast sides are the k seed rows (vec_id key-bounded) and the "
