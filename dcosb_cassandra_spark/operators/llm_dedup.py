@@ -779,3 +779,72 @@ def d2j_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("degree").alias("max_degree"),
         F.round(F.avg("degree"), 6).alias("avg_degree"),
     )
+
+
+@query(
+    "d2k_triangle_count",
+    oracle=f"""
+        -- triangles in the near-dup graph per block: the density signal
+        -- that separates pairwise-similar chains from true dup CLIQUES
+        -- (a clique of m near-identical docs has ~m^3/6 triangles)
+        WITH {_EDGES_SQL.strip().lstrip()},
+        attrs AS (SELECT doc_id, lang, source FROM documents),
+        tri AS (
+            SELECT e1.id_a AS a
+            FROM edges e1
+            JOIN edges e2 ON e2.id_a = e1.id_b
+            JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        )
+        SELECT at.lang, at.source,
+               CAST(count(*) AS BIGINT) AS n_triangles
+        FROM tri JOIN attrs at ON at.doc_id = tri.a
+        GROUP BY at.lang, at.source
+    """,
+    tags=("D2", "D37", "P1"),
+)
+def d2k_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the blocked near-dup graph (id_a < id_b edge
+    orientation makes each triangle count exactly once): distinguishes
+    chain-shaped near-duplication (few triangles — transformative edits)
+    from clique-shaped duplication (m³/6 triangles — true copy farms),
+    which picks between pair-level and cluster-level (d2f) dedup.
+
+    Scale: the standard distributed triangle algorithm — two hash joins
+    on the ORIENTED edge list (a<b<c ordering prevents double counting
+    and caps the join fan-out at the forward-degree); edge construction
+    reuses the blocked inverted-index shape. Triangle enumeration is
+    inherently proportional to the triangle count; the oriented join is
+    the minimal enumeration."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    pair = (
+        ta.join(
+            tb,
+            (F.col("ta.lang") == F.col("tb.lang"))
+            & (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("id_a"), F.col("tb.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    edges = (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a")
+    attrs = d.select(F.col("doc_id").alias("a"), "lang", "source")
+    return tri.join(attrs, "a").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
