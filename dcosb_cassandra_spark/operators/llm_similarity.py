@@ -695,3 +695,97 @@ def d8d_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("cos_full", "cos_16"), 5).alias("pearson_r"),
         F.round(F.avg(F.abs(F.col("cos_full") - F.col("cos_16"))), 5).alias("mae"),
     )
+
+
+#: product-quantization geometry: 64 dims -> 8 subspaces x 8 dims
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = _EMB_DIM // _PQ_SUBSPACES
+
+
+@query(
+    "d4g_pq_encoding",
+    oracle=f"""
+        -- product quantization: each vector's 8-dim subspaces quantized
+        -- to the nearest sub-codebook entry (per-label centroid
+        -- sub-vectors as the trained codebook stand-in, the d17/d4d
+        -- posture); output is the per-(subspace, code) usage histogram
+        -- with mean squared quantization error
+        WITH pos AS (
+            SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                   unnest(range(0, {_EMB_DIM})) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, list(ax ORDER BY i) AS ce FROM (
+                SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i
+            ) GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        sub AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+        dists AS (
+            SELECT v.vec_id, c.label AS cand, sub.s,
+                   list_sum(list_transform(
+                       range({_PQ_SUBDIM} * sub.s + 1,
+                             {_PQ_SUBDIM} * sub.s + {_PQ_SUBDIM} + 1),
+                       i -> (v.ve[i] - c.ce[i]) * (v.ve[i] - c.ce[i]))) AS d
+            FROM v CROSS JOIN cent c CROSS JOIN sub
+        ),
+        best AS (
+            SELECT vec_id, s, cand, d,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, cand) AS rn
+            FROM dists
+        )
+        SELECT CAST(s AS BIGINT) AS subspace, cand AS code,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               round(avg(d), 6) AS avg_sq_err
+        FROM best WHERE rn = 1 GROUP BY s, cand
+    """,
+    tags=("D4", "D38", "D17", "P1"),
+)
+def d4g_pq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (the IVF-PQ compression half): each
+    vector's {S} subspaces of {D} dims quantize independently to the
+    nearest sub-codebook entry; output is the per-(subspace, code) usage
+    histogram with mean squared quantization error — the numbers that
+    size a PQ index (code balance) and predict its recall loss (error).
+    The per-label centroid sub-vectors stand in for a trained codebook,
+    as in d17/d4d.
+
+    Scale: codebook is k rows broadcast; the corpus streams once,
+    computing all {S} subspace distances per candidate in one JVM
+    projection, then a (vec, subspace)-keyed rank picks codes — shuffle
+    cardinality is corpus x {S}, never corpus x k x {S} (the rank's
+    input is, but it's map-side generated and immediately windowed)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(emb)
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    pairs = v.crossJoin(
+        F.broadcast(cent.select(F.col("cand"), F.col("ce")))
+    )
+    sub_dists = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("ve"), _PQ_SUBDIM * s + 1, _PQ_SUBDIM),
+                    F.slice(F.col("ce"), _PQ_SUBDIM * s + 1, _PQ_SUBDIM),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        for s in range(_PQ_SUBSPACES)
+    ]
+    dists = pairs.select(
+        "vec_id", "cand", F.explode(F.array(*sub_dists)).alias("sd")
+    ).select("vec_id", "cand", F.col("sd.s").alias("s"), F.col("sd.d").alias("d"))
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("cand"))
+    best = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(
+        F.col("s").cast("bigint").alias("subspace"), F.col("cand").alias("code")
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("d"), 6).alias("avg_sq_err"),
+    )

@@ -63,6 +63,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"embeddings"},
         "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
     ),
+    "d4g_pq_encoding": (
+        {"bounded:embeddings"},
+        "broadcast side is the per-label centroid codebook "
+        "groupBy(label) — exactly |labels| rows at any SF (the d4b/d4d "
+        "bound)",
+    ),
     "d8d_matryoshka_eval": (
         {"embeddings"},
         "broadcast side is the query set: vec_id < 5, key-bounded to "
