@@ -277,3 +277,51 @@ def b34_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "b38_path_transitions",
+    oracle="""
+        -- user-journey transition matrix: consecutive event-type bigrams
+        -- per user (lag over the per-user timeline, microsecond-ordered
+        -- with event_id tiebreak), with per-source-state probabilities
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
+                   AS p_next
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    tags=("B38", "B14", "P1"),
+)
+def b38_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey (Markov) transition matrix: consecutive event-type
+    bigrams along each user's timeline with per-source-state transition
+    probabilities — the path-analysis shape behind "what do users do after
+    an error?". Event-id tiebreak makes equal-timestamp ordering
+    engine-identical.
+
+    Scale: ONE shuffle on user_id for the lag window (per-user ordered
+    scan), then a |types|²-bounded aggregate; the probability OVER()
+    partitions run on those few rows."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p_next"),
+    )
