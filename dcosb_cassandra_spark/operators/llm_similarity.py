@@ -789,3 +789,145 @@ def d4g_pq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.avg("d"), 6).alias("avg_sq_err"),
     )
+
+
+@query(
+    "d4h_pq_adc_eval",
+    oracle=f"""
+        -- ADC fidelity: the asymmetric PQ distance (query sub-vector vs
+        -- each corpus vector's CHOSEN code centroid, summed over
+        -- subspaces) against the exact squared L2 — per query Pearson r
+        -- and mean bias, the accept-the-compression gate
+        WITH pos AS (
+            SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                   unnest(range(0, {_EMB_DIM})) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, list(ax ORDER BY i) AS ce FROM (
+                SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i
+            ) GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        sub AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+        dists AS (
+            SELECT v.vec_id, c.label AS cand, sub.s,
+                   list_sum(list_transform(
+                       range({_PQ_SUBDIM} * sub.s + 1,
+                             {_PQ_SUBDIM} * sub.s + {_PQ_SUBDIM} + 1),
+                       i -> (v.ve[i] - c.ce[i]) * (v.ve[i] - c.ce[i]))) AS d
+            FROM v CROSS JOIN cent c CROSS JOIN sub
+        ),
+        codes AS (
+            SELECT vec_id, s, cand FROM (
+                SELECT vec_id, s, cand,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, cand) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < 5),
+        adc_parts AS (
+            SELECT q.qid, k.vec_id,
+                   list_sum(list_transform(
+                       range({_PQ_SUBDIM} * k.s + 1,
+                             {_PQ_SUBDIM} * k.s + {_PQ_SUBDIM} + 1),
+                       i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS d
+            FROM codes k
+            JOIN cent c ON c.label = k.cand
+            CROSS JOIN q
+            WHERE k.vec_id <> q.qid
+        ),
+        adc AS (
+            SELECT qid, vec_id, sum(d) AS adc_dist
+            FROM adc_parts GROUP BY qid, vec_id
+        ),
+        exact AS (
+            SELECT q.qid, v.vec_id,
+                   list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                       i -> (q.qe[i] - v.ve[i]) * (q.qe[i] - v.ve[i]))) AS ex
+            FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+        )
+        SELECT a.qid AS query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(corr(a.adc_dist, e.ex), 5) AS pearson_r,
+               round(avg(a.adc_dist - e.ex), 5) AS mean_bias
+        FROM adc a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY a.qid
+    """,
+    tags=("D4", "D39", "P1"),
+)
+def d4h_pq_adc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) fidelity: for each query, Pearson
+    correlation and mean bias between the PQ-approximated distance (query
+    sub-vectors vs each corpus vector's CHOSEN code centroids, summed
+    over subspaces) and the exact squared L2 — the accept-the-compression
+    gate that pairs with d4g's encoding histogram. High r with stable
+    positive bias means PQ ranking is trustworthy despite the bias.
+
+    Scale: the encode step is d4g's (codebook broadcast, one corpus
+    stream); ADC needs only (vec, subspace, code) joined back to the
+    k-row codebook and the key-bounded query broadcast — corpus x S x |Q|
+    rows, summed per (query, vec) in one partial aggregate; the exact
+    side is the d8d streaming projection."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(emb)
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    pairs = v.crossJoin(F.broadcast(cent))
+    sub_dists = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("ve"), _PQ_SUBDIM * s + 1, _PQ_SUBDIM),
+                    F.slice(F.col("ce"), _PQ_SUBDIM * s + 1, _PQ_SUBDIM),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        for s in range(_PQ_SUBSPACES)
+    ]
+    dists = pairs.select(
+        "vec_id", F.col("cand"), F.explode(F.array(*sub_dists)).alias("sd")
+    ).select("vec_id", "cand", F.col("sd.s").alias("s"), F.col("sd.d").alias("d"))
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("cand"))
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cand")
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("ve").alias("qe")
+    )
+    sub_q = codes.join(F.broadcast(cent), "cand").crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    qsub_dist = F.aggregate(
+        F.zip_with(
+            F.expr(f"slice(qe, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
+            F.expr(f"slice(ce, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = (
+        sub_q.select("qid", "vec_id", qsub_dist.alias("d"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    ex_dist = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ve"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", ex_dist.alias("ex")
+    )
+    joined = adc.join(exact, ["qid", "vec_id"])
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("adc_dist", "ex"), 5).alias("pearson_r"),
+        F.round(F.avg(F.col("adc_dist") - F.col("ex")), 5).alias("mean_bias"),
+    )

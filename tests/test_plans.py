@@ -63,6 +63,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"embeddings"},
         "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
     ),
+    "d4h_pq_adc_eval": (
+        {"embeddings", "bounded:embeddings"},
+        "broadcast sides are the k-row centroid codebook (bounded "
+        "aggregate, d4g posture) and the key-bounded query set "
+        "(vec_id < 5, d3b/d8d posture)",
+    ),
     "d4g_pq_encoding": (
         {"bounded:embeddings"},
         "broadcast side is the per-label centroid codebook "
