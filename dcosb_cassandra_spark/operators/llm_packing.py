@@ -658,3 +658,108 @@ def d13d_boundary_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+@query(
+    "d14d_token_budget_mixing",
+    oracle=f"""
+        -- D14 with the unit a trainer actually budgets: TOKENS. Each
+        -- domain keeps its md5-shuffled prefix while the running token
+        -- sum stays within floor(T_tok * p); T_tok = min_s(tok_s / p_s)
+        -- is the feasible no-upsampling token total.
+        WITH w AS (SELECT source, CAST(p AS DOUBLE) AS p
+                   FROM (VALUES {_MIX_VALUES}) AS v(source, p)),
+        toks AS (
+            SELECT d.source, p, doc_id, {_WS_TOKENS_SQL} AS tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS mh
+            FROM documents d JOIN w ON d.source = w.source
+        ),
+        c AS (
+            SELECT source, p, tok,
+                   sum(tok) OVER (PARTITION BY source ORDER BY mh, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS ctok
+            FROM toks
+        ),
+        feas AS (
+            SELECT CAST(floor(min(s_tok / p)) AS BIGINT) AS t
+            FROM (SELECT source, p, sum(tok) AS s_tok FROM toks
+                  GROUP BY source, p)
+        ),
+        kept AS (
+            SELECT source, p, tok FROM c, feas
+            WHERE ctok <= CAST(floor(t * p) AS BIGINT)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+               CAST(sum(tok) AS BIGINT) AS kept_tokens,
+               round(sum(tok) * 1.0 / sum(sum(tok)) OVER (), 6)
+                   AS achieved_token_share,
+               p AS target_share
+        FROM kept GROUP BY source, p
+    """,
+    tags=("D14", "D40", "B15", "P1"),
+)
+def d14d_token_budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing against a TOKEN budget (the unit a trainer actually
+    allocates — D14's doc-count quotas over-weight short-doc domains):
+    each domain keeps its content-stable md5-shuffled prefix while the
+    running token sum stays within floor(T_tok x p_s), with
+    T_tok = min_s(tok_s / p_s) the feasible no-upsampling total.
+
+    Scale: the running token sum is the d13b/d14 TWO-PHASE cumsum — docs
+    accumulate within (source, md5-prefix bucket) windows (balanced,
+    ≤ |domains|x256 of them) and recover the global running sum by adding
+    the tiny broadcast bucket-offset grid; no window ever partitions on
+    `source` alone. Quotas and totals are k-row broadcasts."""
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), schema="source string, p double"
+    )
+    docs = (
+        d.join(F.broadcast(w), "source")
+        .select(
+            "source",
+            "p",
+            "doc_id",
+            _ws_tokens(F.col("text")).cast("bigint").alias("tok"),
+            F.md5(F.col("doc_id").cast("string")).alias("mh"),
+        )
+        .withColumn("bkt", F.substring("mh", 1, 2))
+    )
+    in_bucket = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("mh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = docs.withColumn("ctok_b", F.sum("tok").over(in_bucket))
+    bsums = docs.groupBy("source", "p", "bkt").agg(F.sum("tok").alias("btok"))
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.withColumn("off", F.coalesce(F.sum("btok").over(off_w), F.lit(0)))
+    totals = bsums.groupBy("source", "p").agg(F.sum("btok").alias("s_tok"))
+    t = totals.agg(F.floor(F.min(F.col("s_tok") / F.col("p"))).cast("bigint").alias("t"))
+    kept = (
+        ranked.join(F.broadcast(offsets.select("source", "bkt", "off")), ["source", "bkt"])
+        .join(F.broadcast(t))
+        .filter(
+            (F.col("off") + F.col("ctok_b"))
+            <= F.floor(F.col("t") * F.col("p")).cast("bigint")
+        )
+        .groupBy("source", "p")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("tok").alias("kept_tokens"),
+        )
+    )
+    share_w = Window.partitionBy()
+    return kept.select(
+        "source",
+        "kept_docs",
+        "kept_tokens",
+        F.round(
+            F.col("kept_tokens") / F.sum("kept_tokens").over(share_w), 6
+        ).alias("achieved_token_share"),
+        F.col("p").alias("target_share"),
+    )

@@ -170,6 +170,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible-total "
         "scalar (1 row), and per-(domain,bucket) offsets: ≤ |domains|×256 rows",
     ),
+    "d14d_token_budget_mixing": (
+        {"bounded:documents", "bounded:local_rows"},
+        "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible "
+        "token-total scalar (1 row), and the (source, md5-prefix bucket) "
+        "token-offset grid: <= |domains|x256 rows at any SF",
+    ),
     "d14c_temperature_mixing": (
         {"bounded:documents"},
         "broadcast sides are all groupBy(lang) derivatives: the sqrt-weight "
