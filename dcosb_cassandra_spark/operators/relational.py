@@ -1088,3 +1088,65 @@ def b37_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "b39_join_skew_report",
+    oracle="""
+        -- pre-join skew assessment: per candidate join key, the
+        -- cardinality / heaviest-key / skew-factor numbers that decide
+        -- between plain shuffle join, AQE skew split, and manual salting
+        WITH per_key AS (
+            SELECT 'orders.o_custkey' AS join_key, o_custkey AS k,
+                   count(*) AS cnt
+            FROM orders GROUP BY o_custkey
+            UNION ALL
+            SELECT 'lineitem.l_orderkey', l_orderkey, count(*)
+            FROM lineitem GROUP BY l_orderkey
+            UNION ALL
+            SELECT 'events.user_id', user_id, count(*)
+            FROM events GROUP BY user_id
+        )
+        SELECT join_key,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_per_key,
+               round(avg(cnt), 6) AS mean_per_key,
+               round(max(cnt) / avg(cnt), 4) AS skew_factor
+        FROM per_key GROUP BY join_key
+    """,
+    tags=("B39", "B2", "B9", "P1"),
+)
+def b39_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew assessment: per candidate join key, distinct-key count,
+    heaviest key, and skew factor (max/mean per-key rows) — the numbers
+    that pick between a plain shuffle join, AQE's skew split, and the
+    manual salting recipe (b02b). Run this BEFORE committing a 100 TB
+    join strategy; a skew factor in the hundreds means one task gets the
+    whole hot key.
+
+    Scale: each key profile is one partial-aggregatable groupBy followed
+    by a k-row summary — the report costs one pass per table and shuffles
+    only (key, count) pairs."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+    parts = [
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("orders.o_custkey").alias("join_key"), "k", "cnt"),
+        l.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("lineitem.l_orderkey").alias("join_key"), "k", "cnt"),
+        e.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("events.user_id").alias("join_key"), "k", "cnt"),
+    ]
+    per_key = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return per_key.groupBy("join_key").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.avg("cnt"), 6).alias("mean_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    )
