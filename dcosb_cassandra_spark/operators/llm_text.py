@@ -1186,3 +1186,110 @@ def d5r_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "d_dataset_card",
+    oracle=f"""
+        -- the dataset-card header numbers a corpus release ships: size,
+        -- token counts, duplication rates (exact + bag-of-words), source/
+        -- language mix entropy, and mean quality — one row, all exact
+        WITH base AS (
+            SELECT doc_id, source, lang, text,
+                   {{WS}} AS tok,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / {{WS}} AS uniq_ratio
+            FROM documents
+        ),
+        dup AS (
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT sha256(text)) AS n_exact,
+                   count(DISTINCT md5(array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))), ' ')))
+                       AS n_bag
+            FROM base
+        ),
+        lang_mix AS (
+            SELECT -sum(p * log2(p)) AS lang_entropy FROM (
+                SELECT count(*) * 1.0 / (SELECT count(*) FROM base) AS p
+                FROM base GROUP BY lang
+            )
+        ),
+        src_mix AS (
+            SELECT -sum(p * log2(p)) AS source_entropy FROM (
+                SELECT count(*) * 1.0 / (SELECT count(*) FROM base) AS p
+                FROM base GROUP BY source
+            )
+        )
+        SELECT d.n_docs AS n_docs,
+               (SELECT CAST(sum(tok) AS BIGINT) FROM base) AS n_tokens,
+               round((d.n_docs - d.n_exact) * 1.0 / d.n_docs, 6)
+                   AS exact_dup_rate,
+               round((d.n_docs - d.n_bag) * 1.0 / d.n_docs, 6)
+                   AS bag_dup_rate,
+               round(l.lang_entropy, 6) AS lang_entropy_bits,
+               round(s.source_entropy, 6) AS source_entropy_bits,
+               (SELECT round(avg(uniq_ratio), 6) FROM base)
+                   AS mean_uniq_ratio
+        FROM dup d, lang_mix l, src_mix s
+    """.replace("{WS}", "len(string_split(text, ' '))"),
+    tags=("D1", "D5", "D41", "P1"),
+)
+def d_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the one-row corpus summary a training-data
+    release ships — document/token counts, exact and bag-of-words
+    duplication rates, language/source mix entropies (how concentrated is
+    the corpus?), and mean distinct-token quality. Composes D1's digest
+    dedup, D5's quality expressions, and D24's entropy in a single
+    auditable report.
+
+    Scale: one corpus scan computes tokens/quality/fingerprints; the two
+    distinct counts group 16-32-byte digests (never text bodies); the mix
+    entropies are k-row aggregates. Everything partial-aggregates; the
+    final row is a crossJoin of scalar results."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "source",
+        "lang",
+        F.size(toks).alias("tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        F.sha2(F.col("text"), 256).alias("ehash"),
+        fingerprint(F.col("text")).alias("bhash"),
+    )
+    dup = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+        F.countDistinct("ehash").alias("n_exact"),
+        F.countDistinct("bhash").alias("n_bag"),
+        F.round(F.avg("uniq_ratio"), 6).alias("mean_uniq_ratio"),
+    )
+
+    def entropy(col: str, alias: str):
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        tot = counts.agg(F.sum("c").alias("t"))
+        p = F.col("c") / F.col("t")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(F.round(-F.sum(p * F.log2(p)), 6).alias(alias))
+        )
+
+    le = entropy("lang", "lang_entropy_bits")
+    se = entropy("source", "source_entropy_bits")
+    return (
+        dup.crossJoin(le)
+        .crossJoin(se)
+        .select(
+            "n_docs",
+            "n_tokens",
+            F.round((F.col("n_docs") - F.col("n_exact")) / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+            F.round((F.col("n_docs") - F.col("n_bag")) / F.col("n_docs"), 6).alias(
+                "bag_dup_rate"
+            ),
+            "lang_entropy_bits",
+            "source_entropy_bits",
+            "mean_uniq_ratio",
+        )
+    )
