@@ -132,6 +132,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "past ~10⁷ docs) plus three single-row count aggregates "
         "cross-joined for the metric row",
     ),
+    "d_dataset_card": (
+        {"bounded:documents"},
+        "broadcast sides are the two entropy denominators agg(sum(c)): "
+        "exactly 1 row each at any SF",
+    ),
     "d5q_oov_rate": (
         {"bounded:documents"},
         "broadcast side is the top-V vocabulary: a token-count aggregate "
