@@ -58,3 +58,40 @@ def test_after_key_agrees_with_tuple_order(spark, rows, state):
     )
     want = sorted((a, b) for a, b in rows if (a, b) > state)
     assert got == want
+
+
+def test_zorder_interleave_bijective_and_monotone(spark):
+    """b32's Morton key: (1) round-trips — deinterleaving the even/odd
+    bits recovers (ck, dk) exactly; (2) dominance-monotone — growing both
+    coordinates never decreases the key. Checked against a pure-Python
+    mirror on a deterministic grid including the 16-bit edges."""
+    from pyspark.sql import functions as F
+
+    def py_interleave(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    grid = [(x, y) for x in (0, 1, 2, 3, 255, 256, 32767, 65535)
+            for y in (0, 1, 7, 255, 4095, 65535)]
+    df = spark.createDataFrame(grid, "x LONG, y LONG")
+    from functools import reduce
+
+    terms = []
+    for i in range(16):
+        terms.append(F.shiftleft(F.shiftright("x", i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright("y", i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    z = reduce(lambda a, b: a.bitwiseOR(b), terms)
+    rows = df.select("x", "y", z.alias("z")).collect()
+    for r in rows:
+        assert r.z == py_interleave(r.x, r.y), (r.x, r.y)
+        # deinterleave round-trip
+        x_back = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y_back = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x_back, y_back) == (r.x, r.y)
+    # dominance monotonicity on the python mirror (property of the code)
+    for x, y in grid:
+        if x < 65535 and y < 65535:
+            assert py_interleave(x + 1, y + 1) > py_interleave(x, y)
