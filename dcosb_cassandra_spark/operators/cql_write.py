@@ -400,3 +400,147 @@ def c12_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(live2, F.round("s2.payload", 4)).alias("new_payload"),
         )
     )
+
+
+@query(
+    "c12b_cdc_stream_consumer",
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id, event_type AS payload_type, value AS payload,
+                   epoch_us(ts) AS writetime, event_id AS mutation_id,
+                   event_type = 'error' AS tombstone
+            FROM events
+        ),
+        l1 AS (
+            SELECT * FROM (
+                SELECT m.*, row_number() OVER (PARTITION BY user_id
+                            ORDER BY writetime DESC, mutation_id DESC) AS rn
+                FROM m WHERE writetime <= epoch_us(TIMESTAMP '{_CDC_T1}')
+            ) WHERE rn = 1
+        ),
+        l2 AS (
+            SELECT * FROM (
+                SELECT m.*, row_number() OVER (PARTITION BY user_id
+                            ORDER BY writetime DESC, mutation_id DESC) AS rn
+                FROM m WHERE writetime <= epoch_us(TIMESTAMP '{_CDC_T2}')
+            ) WHERE rn = 1
+        ),
+        feed AS (
+            SELECT l2.user_id,
+                   NOT coalesce(l1.tombstone, TRUE) AS live1,
+                   NOT l2.tombstone AS live2,
+                   l1.payload_type AS old_type, l1.payload AS old_payload,
+                   l2.payload_type AS new_type, l2.payload AS new_payload
+            FROM l2 LEFT JOIN l1 USING (user_id)
+        )
+        SELECT user_id,
+               CASE WHEN NOT live1 AND live2 THEN 'INSERT'
+                    WHEN live1 AND NOT live2 THEN 'DELETE'
+                    ELSE 'UPDATE' END AS op,
+               CASE WHEN live1 THEN old_type END AS old_type,
+               CASE WHEN live1 THEN round(old_payload, 4) END AS old_payload,
+               CASE WHEN live2 THEN new_type END AS new_type,
+               CASE WHEN live2 THEN round(new_payload, 4) END AS new_payload
+        FROM feed
+        WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
+           OR (live1 AND live2 AND (old_payload != new_payload
+                                    OR old_type != new_type))
+    """,
+    tags=("C12", "C9", "C8", "P1"),
+)
+def c12b_cdc_stream_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12's CDC feed produced by an ACTUAL streaming consumer: the
+    mutation log replays availableNow and a foreachBatch loop maintains
+    the two snapshot LWW states by merging each micro-batch's conditional
+    struct-max winners (max by (writetime, mutation_id) is associative,
+    so per-batch winners merge to the exact global winner regardless of
+    batch boundaries). The final feed is computed from the merged states
+    and graded against the SAME oracle as batch c12 — proving the
+    changefeed a streaming consumer accumulates equals the batch delta.
+
+    Scale: the per-batch collect is the per-key WINNER SET — O(keys),
+    never O(mutations) — the same boundedness argument as c9c's view
+    maintenance; a production consumer would hold it in a keyed store."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import read_events_stream
+    from .streaming_batch import _stage_stream_dir
+
+    ensure_engine_conf(spark)
+    stream = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    log = stream.select(
+        "user_id",
+        F.col("event_type").alias("payload_type"),
+        F.col("value").alias("payload"),
+        F.unix_micros("ts").alias("writetime"),
+        F.col("event_id").alias("mutation_id"),
+        (F.col("event_type") == "error").alias("tombstone"),
+    )
+
+    def state_at(bound: str):
+        cutoff = F.unix_micros(F.lit(bound).cast("timestamp"))
+        return F.max(
+            F.when(
+                F.col("writetime") <= cutoff,
+                F.struct(
+                    "writetime", "mutation_id", "tombstone", "payload_type", "payload"
+                ),
+            )
+        )
+
+    state1: dict = {}
+    state2: dict = {}
+
+    def merge(batch_df: DataFrame, _bid: int) -> None:
+        rows = batch_df.groupBy("user_id").agg(
+            state_at(_CDC_T1).alias("s1"), state_at(_CDC_T2).alias("s2")
+        ).collect()
+        for r in rows:
+            for st, s in ((state1, r.s1), (state2, r.s2)):
+                if s is None:
+                    continue
+                cur = st.get(r.user_id)
+                if cur is None or (s.writetime, s.mutation_id) > (cur[0], cur[1]):
+                    st[r.user_id] = (
+                        s.writetime,
+                        s.mutation_id,
+                        s.tombstone,
+                        s.payload_type,
+                        s.payload,
+                    )
+
+    q = log.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    schema = (
+        "user_id long, writetime long, mutation_id long, tombstone boolean, "
+        "payload_type string, payload double"
+    )
+    s1 = spark.createDataFrame(
+        [(k, *v) for k, v in state1.items()], schema
+    ).select("user_id", F.struct("writetime", "mutation_id", "tombstone", "payload_type", "payload").alias("s1"))
+    s2 = spark.createDataFrame(
+        [(k, *v) for k, v in state2.items()], schema
+    ).select("user_id", F.struct("writetime", "mutation_id", "tombstone", "payload_type", "payload").alias("s2"))
+    agg = s2.join(s1, "user_id", "left")
+    live1 = F.col("s1").isNotNull() & ~F.col("s1.tombstone")
+    live2 = F.col("s2").isNotNull() & ~F.col("s2.tombstone")
+    changed = (F.col("s1.payload") != F.col("s2.payload")) | (
+        F.col("s1.payload_type") != F.col("s2.payload_type")
+    )
+    op = (
+        F.when(~live1 & live2, F.lit("INSERT"))
+        .when(live1 & ~live2, F.lit("DELETE"))
+        .when(live1 & live2 & changed, F.lit("UPDATE"))
+    )
+    return (
+        agg.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "user_id",
+            "op",
+            F.when(live1, F.col("s1.payload_type")).alias("old_type"),
+            F.when(live1, F.round("s1.payload", 4)).alias("old_payload"),
+            F.when(live2, F.col("s2.payload_type")).alias("new_type"),
+            F.when(live2, F.round("s2.payload", 4)).alias("new_payload"),
+        )
+    )
