@@ -753,13 +753,15 @@ def d14d_token_budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").alias("kept_tokens"),
         )
     )
-    share_w = Window.partitionBy()
-    return kept.select(
+    # grand total via 1-row aggregate crossJoin (not a global window:
+    # empty partitionBy trips the single-partition WindowExec warning)
+    grand = kept.agg(F.sum("kept_tokens").alias("_grand"))
+    return kept.crossJoin(F.broadcast(grand)).select(
         "source",
         "kept_docs",
         "kept_tokens",
-        F.round(
-            F.col("kept_tokens") / F.sum("kept_tokens").over(share_w), 6
-        ).alias("achieved_token_share"),
+        F.round(F.col("kept_tokens") / F.col("_grand"), 6).alias(
+            "achieved_token_share"
+        ),
         F.col("p").alias("target_share"),
     )

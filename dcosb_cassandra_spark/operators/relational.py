@@ -923,12 +923,15 @@ def b35_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = attributed.groupBy("first_channel", "last_channel").agg(
         F.count(F.lit(1)).alias("n_purchases")
     )
-    w = Window.partitionBy()
-    return mix.select(
+    # total via 1-row aggregate crossJoin, not a global window — an empty
+    # Window.partitionBy() moves the (|channels|²-bounded, but still) mix
+    # table to a single partition and trips the WindowExec warning
+    total = mix.agg(F.sum("n_purchases").alias("_total"))
+    return mix.crossJoin(F.broadcast(total)).select(
         "first_channel",
         "last_channel",
         "n_purchases",
-        F.round(F.col("n_purchases") / F.sum("n_purchases").over(w), 6).alias("share"),
+        F.round(F.col("n_purchases") / F.col("_total"), 6).alias("share"),
     )
 
 

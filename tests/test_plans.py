@@ -109,6 +109,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "documents dropping the hint past broadcastability, where the "
         "identical plan runs as a cluster-bucketed shuffle join",
     ),
+    "b35_touch_attribution": (
+        {"bounded:events"},
+        "broadcast side is the 1-row grand-total aggregate of the "
+        "|channels|^2-bounded mix table (the share denominator)",
+    ),
     "b36_rolling_dau": (
         {"bounded:events"},
         "broadcast side is agg(max(day_num)): exactly 1 row at any SF "
