@@ -409,3 +409,78 @@ def c10b_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(c10_stream_stream_join(stream), name, output_mode="append")
     q.awaitTermination(180)
     return spark.table(name)
+
+
+@query(
+    "c1d_tumbling_replay",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS c, round(sum(value), 4) AS s
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("C1", "C8", "P1"),
+)
+def c1d_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1's hourly tumbling aggregation run as the ACTUAL stream
+    (watermarked, availableNow) into a COMPLETE-mode memory sink, graded
+    against the plain batch rollup — proving the streaming window state
+    machine reproduces batch-exact hourly aggregates. Complete mode keeps
+    every window's state so the final table equals the batch answer
+    regardless of where micro-batch boundaries fall."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c1_tumbling_stream,
+        c8_write_stream,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    name = _sink_name("c1d_sink")
+    q = c8_write_stream(c1_tumbling_stream(ev), name, output_mode="complete")
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
+    "c3c_session_replay",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("C3", "C8", "P1"),
+)
+def c3c_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3's session windows (30-min gap) run as the ACTUAL stream
+    (session_window + watermark, availableNow) into a COMPLETE-mode
+    memory sink, graded against the batch gaps-and-islands oracle —
+    the strongest session-semantics check: the streaming session-merge
+    state machine must land on exactly the first-principles session set,
+    including merges that span micro-batch boundaries."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c3_session_stream,
+        c8_write_stream,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    name = _sink_name("c3c_sink")
+    q = c8_write_stream(c3_session_stream(ev), name, output_mode="complete")
+    q.awaitTermination(120)
+    return spark.table(name)
