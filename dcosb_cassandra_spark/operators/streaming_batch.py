@@ -484,3 +484,33 @@ def c3c_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(c3_session_stream(ev), name, output_mode="complete")
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "c2c_sliding_replay",
+    oracle="""
+        SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS w_start,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+        GROUP BY 1
+    """,
+    tags=("C2", "C8", "P1"),
+)
+def c2c_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2's 1h/15m sliding windows run as the ACTUAL stream (watermarked,
+    availableNow) into a COMPLETE-mode memory sink, graded against the
+    arithmetic 4-windows-per-event oracle — overlapping-window streaming
+    state vs first-principles window membership, exact."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c2_sliding_stream,
+        c8_write_stream,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    name = _sink_name("c2c_sink")
+    q = c8_write_stream(c2_sliding_stream(ev), name, output_mode="complete")
+    q.awaitTermination(120)
+    return spark.table(name)
