@@ -477,17 +477,18 @@ def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (greedy keep-min representative; τ=0.35 on the synthetic vectors,
     where cosine concentrates near 0 — real corpora use ~0.95). Output: per-cluster members/pruned/keep
     ratio — the dataset-card numbers a curation run reports."""
-    from .llm_similarity import _centroid_assignments, _label_centroids
+    from .llm_similarity import _label_centroids, _with_centroid_bucket
     from ..functions.vectors import as_double, dot, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
-    assign = _centroid_assignments(emb, _label_centroids(emb))
     ve = as_double(F.col("embedding"))
     # per-vector norm computed ONCE (a per-pair cosine() would recompute
-    # both norms for every pair — 2/3 of the pair-stream's flops for free)
-    v = emb.select(
-        "vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")
-    ).join(assign, "vec_id")
+    # both norms for every pair — 2/3 of the pair-stream's flops for free);
+    # bucket assignment is the map-stage argmin — no join back on vec_id
+    v = _with_centroid_bucket(
+        emb.select("vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")),
+        _label_centroids(emb),
+    )
     # probe side spread round-robin BEFORE pair enumeration (same lesson as
     # d2b: the corpus arrives as one input split and `bucket` is
     # low-cardinality, so a shuffle join on it would funnel each cluster's

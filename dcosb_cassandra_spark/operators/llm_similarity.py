@@ -221,10 +221,11 @@ def d4b_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — no shuffle on the big side). This is one k-means iteration and
     exactly the IVF partition-assignment used to prune ANN search at scale."""
     emb = table(spark, sf_dir, "embeddings")
-    assign = _centroid_assignments(emb, _label_centroids(emb))
+    e = emb.select(
+        F.col("label").alias("true_label"), as_double(F.col("embedding")).alias("ve")
+    )
     return (
-        emb.select("vec_id", F.col("label").alias("true_label"))
-        .join(assign, "vec_id")
+        _with_centroid_bucket(e, _label_centroids(emb))
         .groupBy(F.col("bucket").alias("assigned_label"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -334,26 +335,40 @@ def _label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _with_centroid_bucket(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """Append the nearest-centroid ``bucket`` column to ``df`` (which must
+    carry a ``ve`` double-array column) as a PURE MAP STAGE: the codebook
+    collapses to ONE broadcast row of k (cand, ce) structs, and the argmin
+    is ``array_min`` over a per-row transform — zero shuffle, no n×k
+    intermediate, no join back on vec_id. At 100 TB this is the shape you
+    want anyway: assignment is embarrassingly parallel over the corpus.
+    Float semantics are unchanged vs the old crossJoin+groupBy(min(struct))
+    form — dist2 folds in dim order and ties break on (dist2, cand)
+    lexicographically via struct comparison."""
+    codebook = cent.agg(
+        F.collect_list(F.struct(F.col("cand"), F.col("ce"))).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("ve"), c["ce"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            c["cand"].alias("cand"),
+        ),
+    )
+    return df.crossJoin(F.broadcast(codebook)).withColumn(
+        "bucket", F.array_min(scored)["cand"]
+    ).drop("cents")
+
+
 def _centroid_assignments(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, bucket): nearest-centroid id per vector. The codebook side
-    is aggregate-bounded (k centroids) and broadcast; the corpus streams.
-    argmin = min(struct(dist2, cand)) — a partial-aggregatable groupBy
-    (map-side combine leaves one row per vector per task) with the same
-    (dist2, cand) lexicographic tie-break the window formulation had, but
-    no per-key sort."""
+    """(vec_id, bucket): nearest-centroid id per vector — thin wrapper over
+    :func:`_with_centroid_bucket` (map-stage argmin, no shuffle)."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("ve"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", F.struct(dist2.alias("dist2"), F.col("cand").alias("cand")).alias("dc"))
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", F.col("best.cand").alias("bucket"))
-    )
+    return _with_centroid_bucket(e, cent).select("vec_id", "bucket")
 
 
 @query(
@@ -389,14 +404,15 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall comes back via nprobe>1, same plan shape with the probe list
     exploded — identical to the LSH multi-probe trick)."""
     emb = table(spark, sf_dir, "embeddings")
-    cent = _label_centroids(emb)
-    assign = _centroid_assignments(emb, cent)
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).join(assign, "vec_id")
+    e = _with_centroid_bucket(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("ve")),
+        _label_centroids(emb),
+    )
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qe"), "bucket"
     )
     c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("nbr_id"), F.col("e").alias("ce"), "bucket"
+        F.col("vec_id").alias("nbr_id"), F.col("ve").alias("ce"), "bucket"
     )
     sim = cosine(F.col("qe"), F.col("ce"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
