@@ -78,16 +78,18 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
     )
-    # Adaptive run count: the heavy ops (minhash-LSH is ~25 s per engine at
-    # sf0.1) are measured once — run-to-run noise is a rounding error at that
-    # magnitude, and a fixed 1+3 protocol would quadruple bench wall time.
-    # Sub-5 s ops get warm + best-of-3 like the headline suite.
+    # Warm protocol, same as the headline suite: every op gets one warm-up
+    # run (JIT, codegen cache, broadcast build — on d2b the cold first run
+    # is ~15× the steady state), then sub-5 s ops are best-of-3 and heavy
+    # ops are measured once more (run-to-run noise is a rounding error at
+    # that magnitude, and best-of-3 would triple bench wall time).
     times, builds = {}, {}
     for name in names:
+        run_once(spark, name, sf_dir)  # warm-up, untimed
         b0, e0 = run_once(spark, name, sf_dir)
         if b0 + e0 < 5.0:
-            runs = [run_once(spark, name, sf_dir) for _ in range(3)]
-            b0, e0 = min(runs, key=lambda be: be[0] + be[1])
+            runs = [run_once(spark, name, sf_dir) for _ in range(2)]
+            b0, e0 = min(runs + [(b0, e0)], key=lambda be: be[0] + be[1])
         builds[name], times[name] = round(b0, 4), round(b0 + e0, 4)
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -99,11 +101,12 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
     duck: dict[str, float] = {}
     for name in names:
         sql = REGISTRY[name].oracle
+        con.execute(sql).fetchall()  # warm-up, untimed (same protocol)
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         best = time.perf_counter() - t0
         if best < 5.0:
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)

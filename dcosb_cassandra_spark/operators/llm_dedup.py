@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..session import spread_width
 from ..functions.minhash import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
@@ -129,7 +130,7 @@ def d2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
     bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spark.sparkContext.defaultParallelism * 2)
+    probe = bands.repartition(spread_width(spark))
     a, b = probe.alias("a"), bands.alias("b")
     dup_enum = first_collision_only(
         F.col("a.band_idx"),
@@ -495,7 +496,7 @@ def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |c|² pair stream through one task); build side broadcast — n_corpus
     # rows of 64-dim doubles, documented bound, at true scale the same
     # plan runs as a cluster-bucketed shuffle join
-    a = v.repartition(spark.sparkContext.defaultParallelism * 2).select(
+    a = v.repartition(spread_width(spark)).select(
         F.col("bucket"),
         F.col("vec_id").alias("id_a"),
         F.col("ve").alias("va"),
@@ -616,7 +617,7 @@ def d2i_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
     bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spark.sparkContext.defaultParallelism * 2)
+    probe = bands.repartition(spread_width(spark))
     a, b = probe.alias("a"), bands.alias("b")
     dup_enum = first_collision_only(
         F.col("a.band_idx"),

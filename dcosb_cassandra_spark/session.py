@@ -33,6 +33,21 @@ def get_spark(app_name: str = "dcosb-cassandra-spark", cpus: str | None = None) 
     return builder.getOrCreate()
 
 
+def spread_width(spark: SparkSession) -> int:
+    """Partition count for pre-join round-robin spreads (the d2b/d2h
+    pattern: the probe side arrives as one input split, so it is
+    repartitioned BEFORE a pair-enumerating join to parallelize the pair
+    stream). These stages are COMPUTE-bound (each probe row fans out into
+    its bucket's pair stream), so the width must track cores, not the
+    byte-sized ``spark.sql.shuffle.partitions`` — benchmarked on d2b at
+    sf0.1: width 8 = 27 s, width 2×cores = 9.7 s on local[32]. The 2×
+    oversubscription evens out per-bucket skew between tasks."""
+    return max(
+        2 * spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32),
+    )
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Pin the runtime-settable confs this engine's semantics depend on.
 
