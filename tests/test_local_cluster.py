@@ -1,0 +1,80 @@
+"""Cross-deployment parity: the same plans on a REAL multi-JVM cluster.
+
+``local[32]`` (every other test and the driver) runs driver and executors
+in one JVM — closure serialization, broadcast transport, shuffle-file
+exchange, and executor-spawned Python workers (pandas UDF / applyInPandas
+/ mapInPandas) are all short-circuited. ``local-cluster[2,4,2048]``
+spawns two real worker JVMs with real RPC, so these tests are the
+evidence that the engine's plans survive an actual multi-executor
+deployment unchanged (SURVEY.md "100 TB design rules").
+
+The representative set below covers each physically-distinct execution
+feature once: codegen agg, broadcast join, window, round-robin spread +
+pair-enumeration broadcast join, collect_list codebook broadcast,
+applyInPandas grid UDA, mapInPandas Arrow batches, pandas scalar UDF,
+LWW mutation-log windows, explode+distinct agg, sliding-digest dedup,
+the CQL front-end, iterative k-means, and a salted join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from dcosb_cassandra_spark.compare import canon_rows
+from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: one query per physically-distinct execution feature
+REPRESENTATIVE = [
+    "q1_pricing_summary",        # whole-stage-codegen scan+agg
+    "q5_local_supplier",         # multi-broadcast join tree
+    "window_top2_per_cust",      # ranking window
+    "b02b_salted_join",          # salt explode + shuffle join
+    "a16b_group_by_floor",       # CQL front-end (parser → plan)
+    "a18_upsert_lww",            # mutation-log LWW window
+    "b36_rolling_dau",           # offset-explode + distinct agg
+    "d2b_minhash_lsh_pairs",     # spread + first-collision band join
+    "d2h_semdedup",              # collect_list codebook broadcast + pair join
+    "d4d_ivf_probe_knn",         # IVF bucket equi-join + window top-k
+    "d16_substring_dedup",       # sliding-digest window aggregate
+    "d17_kmeans_lloyd",          # iterative (fixed-round) refinement
+    "d13d_boundary_packing",     # applyInPandas sequential fold per shard
+    "d7d_audio_frame_energy",    # mapInPandas + numpy per Arrow batch
+    "a33_pandas_udf_scalar",     # pandas scalar UDF
+]
+
+
+def _digest(df) -> tuple[int, str]:
+    rows = [tuple(r) for r in df.collect()]
+    canon = canon_rows(rows, len(df.columns), df.columns)
+    return len(rows), hashlib.md5(repr(canon).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def cluster_results() -> dict:
+    """Run the representative set in a local-cluster subprocess (two real
+    worker JVMs); one subprocess amortizes the ~15 s cluster startup."""
+    load_all()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "lc_runner.py"),
+         SF_DIR, ",".join(REPRESENTATIVE)],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert proc.returncode == 0, f"lc_runner failed:\n{proc.stderr[-4000:]}"
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_local_cluster_parity(spark, cluster_results, name):
+    n, digest = _digest(REGISTRY[name].fn(spark, SF_DIR))
+    got = cluster_results[name]
+    assert got["rows"] == n, f"{name}: cluster rows {got['rows']} != local {n}"
+    assert got["digest"] == digest, f"{name}: cluster result diverges from local"
