@@ -496,7 +496,8 @@ def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |c|² pair stream through one task); build side broadcast — n_corpus
     # rows of 64-dim doubles, documented bound, at true scale the same
     # plan runs as a cluster-bucketed shuffle join
-    a = v.repartition(spread_width(spark)).select(
+    spread = v.repartition(spread_width(spark))
+    a = spread.select(
         F.col("bucket"),
         F.col("vec_id").alias("id_a"),
         F.col("ve").alias("va"),
@@ -518,7 +519,10 @@ def d2h_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_pruned"))
     )
-    members = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    # members come off the SAME round-robin exchange as the pair stream —
+    # Catalyst's ReuseExchange dedupes the two consumers, so the corpus
+    # scan + codebook argmin run once, not twice
+    members = spread.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         members.join(pruned, "bucket", "left")
         .select(
@@ -850,3 +854,137 @@ def d2k_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.join(attrs, "a").groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+_SPLIT_SQL = """
+        sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN h < 204 THEN 'train'
+                        WHEN h < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, text,
+                         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                         + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 17 AS h
+                  FROM documents)
+        )
+"""
+
+
+@query(
+    "d_split_leakage_audit",
+    oracle=f"""
+        -- train/val/test leakage audit: cross-split exact-dup pairs
+        -- (sha256) and near-dup candidate pairs (minhash band collision)
+        WITH {_SPLIT_SQL},
+        ex AS (
+            SELECT least(a.split, b.split) AS split_lo,
+                   greatest(a.split, b.split) AS split_hi,
+                   count(*) AS n_pairs
+            FROM sp a JOIN sp b
+              ON sha256(a.text) = sha256(b.text)
+             AND a.doc_id < b.doc_id AND a.split <> b.split
+            GROUP BY 1, 2
+        ),
+        sigs AS ({{MINHASH_SQL}}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        nd AS (
+            SELECT least(sa.split, sb.split) AS split_lo,
+                   greatest(sa.split, sb.split) AS split_hi,
+                   count(*) AS n_pairs
+            FROM cand c
+            JOIN sp sa ON sa.doc_id = c.id_a
+            JOIN sp sb ON sb.doc_id = c.id_b
+            WHERE sa.split <> sb.split
+            GROUP BY 1, 2
+        )
+        SELECT 'exact' AS kind, * FROM ex
+        UNION ALL
+        SELECT 'near' AS kind, * FROM nd
+    """.replace("{MINHASH_SQL}", minhash_oracle_sql()),
+    tags=("D1", "D2", "D22", "D43", "P1"),
+)
+def d_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit — the post-split check every training
+    pipeline runs before a benchmark number is trusted: count document
+    pairs that land in DIFFERENT splits of the deterministic hash split
+    (d_split_train_val_test's rule) yet are exact duplicates (same
+    sha256) or near-duplicate candidates (first-collision MinHash band
+    pair, d2b's machinery). A nonzero 'exact' row between train and test
+    invalidates the eval; 'near' rows bound the softer paraphrase leak.
+
+    Scale shape: exact pairs come from a self-equi-join on the 64-byte
+    digest (bodies never move — d1's rule); near pairs reuse the d2b
+    spread + first-collision band equi-join (no DISTINCT, no cross
+    join). Split labels join back on doc_id — corpus-keyed equi-joins.
+    The pair-enumeration caveat is d2b's: quadratic per dup cluster,
+    bounded by cluster-level dedup upstream (d2f) in a real pipeline."""
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(
+        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
+        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
+    )
+    split = F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    sp = d.select("doc_id", split.alias("split"), F.sha2(F.col("text"), 256).alias("th"))
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"),
+                   F.col("th").alias("th_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"),
+                   F.col("th").alias("th_b"))
+    ex = (
+        sa.join(sb, (F.col("th_a") == F.col("th_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.lit("exact").alias("kind"), "split_lo", "split_hi", "n_pairs")
+    )
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spread_width(spark))
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    spl = sp.select("doc_id", "split")
+    nd = (
+        cand.join(spl.withColumnRenamed("doc_id", "id_a")
+                     .withColumnRenamed("split", "split_a"), "id_a")
+        .join(spl.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("split", "split_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.lit("near").alias("kind"), "split_lo", "split_hi", "n_pairs")
+    )
+    return ex.unionByName(nd)

@@ -947,3 +947,84 @@ def d4h_pq_adc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("adc_dist", "ex"), 5).alias("pearson_r"),
         F.round(F.avg(F.col("adc_dist") - F.col("ex")), 5).alias("mean_bias"),
     )
+
+
+@query(
+    "d4i_semantic_decontamination",
+    oracle="""
+        -- semantic benchmark-overlap filter: flag corpus docs whose
+        -- embedding is cosine-close to ANY benchmark vector
+        WITH b AS (
+            SELECT embedding::DOUBLE[] AS be,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nb
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nv
+            FROM embeddings WHERE vec_id >= 5
+        ),
+        scored AS (
+            SELECT c.vec_id,
+                   max(list_sum(list_transform(range(1, 65), i -> c.ve[i] * b.be[i]))
+                       / (c.nv * b.nb)) AS max_sim
+            FROM c CROSS JOIN b GROUP BY c.vec_id
+        ),
+        j AS (SELECT d.source, s.max_sim
+              FROM scored s JOIN documents d ON d.doc_id = s.vec_id)
+        SELECT source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE max_sim >= 0.3) AS BIGINT) AS n_flagged,
+               round(max(max_sim), 6) AS max_sim
+        FROM j GROUP BY source
+    """,
+    tags=("D4", "D10", "D42", "P1"),
+)
+def d4i_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space complement
+    of the 8-gram check (d5h): a paraphrased eval question shares no
+    8-gram with the benchmark but sits next to it in embedding space, so
+    modern pipelines run BOTH filters before training. Flag every corpus
+    vector whose cosine to ANY benchmark vector is ≥ τ (τ=0.3 on the
+    synthetic corpus, where cosines concentrate near 0; real pipelines use
+    ~0.9), then report per-source flag counts — the number a curation run
+    uses to decide whether a source is systematically contaminated.
+
+    Scale shape: the benchmark set is FIXED-SIZE (key-bounded: vec_id<5;
+    a real benchmark is a few thousand rows), so it collapses to one
+    broadcast row of (be, nb) structs — the d2h codebook trick — and the
+    corpus computes its max-cosine in the SAME narrow projection that
+    scans it: zero shuffles until the k-row per-source aggregate. The
+    doc join (source lookup) is a corpus-keyed equi-join, the one
+    unavoidable shuffle."""
+    from ..functions.vectors import dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    ve = as_double(F.col("embedding"))
+    bench = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(ve.alias("be"), l2_norm(ve).alias("nb"))
+        .agg(F.collect_list(F.struct("be", "nb")).alias("bset"))
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", ve.alias("ve"), l2_norm(ve).alias("nv")
+    )
+    max_sim = F.array_max(
+        F.transform(
+            F.col("bset"),
+            lambda b: dot(F.col("ve"), b["be"]) / (F.col("nv") * b["nb"]),
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", max_sim.alias("max_sim"))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        scored.join(d, scored.vec_id == d.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("max_sim") >= 0.3, 1)).alias("n_flagged"),
+            F.round(F.max("max_sim"), 6).alias("max_sim"),
+        )
+    )
