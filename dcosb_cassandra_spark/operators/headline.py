@@ -322,8 +322,10 @@ def knn_top10_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_sim_to_literal
 
     e = table(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    sim = cosine_sim_to_literal(F.col("embedding"), [float(x) for x in qvec])
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:  # empty corpus: keep the schema, return no rows
+        return e.select("vec_id", F.lit(0.0).alias("sim")).filter(F.lit(False))
+    sim = cosine_sim_to_literal(F.col("embedding"), [float(x) for x in qrow[0]])
     return (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round(sim, 6).alias("sim"))

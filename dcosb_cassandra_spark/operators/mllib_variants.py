@@ -65,6 +65,8 @@ def d4c_mllib_random_projection_knn(spark: SparkSession, sf_dir: str) -> DataFra
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    if e.isEmpty():  # LSH.fit raises on an empty corpus; keep the schema
+        return e.select("vec_id", F.lit(0.0).alias("dist")).filter(F.lit(False))
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     ).fit(e)
