@@ -321,3 +321,92 @@ def a_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_cells").alias("max_cells"),
         F.count(F.when(F.col("n_rows") > 1000, 1)).alias("n_wide"),
     )
+
+
+@query(
+    "a_repair_merkle_ranges",
+    oracle="""
+        -- anti-entropy repair: per token-range digest comparison between
+        -- a full replica (A) and one missing ~1/16 of writes (B)
+        WITH m AS (
+            SELECT user_id, event_type, ts, event_id,
+                   substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> '0' AS surv
+            FROM events
+        ),
+        wa AS (
+            SELECT user_id, event_type, event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM m
+            ) WHERE rn = 1
+        ),
+        wb AS (
+            SELECT user_id, event_type, event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM m WHERE surv
+            ) WHERE rn = 1
+        ),
+        ba AS (
+            SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
+                   count(*) AS n_a, bit_xor(event_id) AS digest_a
+            FROM wa GROUP BY 1
+        ),
+        bb AS (
+            SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
+                   count(*) AS n_b, bit_xor(event_id) AS digest_b
+            FROM wb GROUP BY 1
+        )
+        SELECT ba.bucket, n_a, coalesce(n_b, 0) AS n_b,
+               digest_a, coalesce(digest_b, 0) AS digest_b,
+               (n_a = coalesce(n_b, 0) AND digest_a = coalesce(digest_b, 0))
+                   AS in_sync
+        FROM ba LEFT JOIN bb ON bb.bucket = ba.bucket
+    """,
+    tags=("A35", "A18", "ops", "P1"),
+)
+def a_repair_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair digests [PK `repair/`, `MerkleTree.java`]: what
+    `nodetool repair` computes — per token-range digests of each replica's
+    COMPACTED state, compared to find the ranges that must stream. Replica
+    A sees the full mutation log; replica B deterministically lost ~1/16
+    of writes (md5(event_id) prefix '0' — the dropped-hint model). Rows
+    whose range digests disagree are exactly the ranges repair streams.
+
+    One-pass plan (the c12 CDC trick): BOTH replicas' LWW winners come
+    from a single conditional struct-max aggregate over one log scan —
+    partial-aggregated map-side, one shuffle on the partition key, never
+    a self-join of the log. The range rollup then groups 16 md5-prefix
+    buckets (the token-range analog) with count + bit_xor(winner id)
+    digests — O(ranges) output, the Merkle-leaf comparison at its
+    coarsest level. At 100 TB: log scanned once, shuffled once on
+    user_id, and the per-range digest table is tiny enough to diff
+    anywhere."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) != "0").alias("surv"),
+    )
+    win = e.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id")).alias("wa"),
+        F.max(F.when(F.col("surv"), F.struct("ts", "event_id"))).alias("wb"),
+    )
+    bucket = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    rep = win.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.count("wb").alias("n_b"),
+        F.bit_xor(F.col("wa.event_id")).alias("digest_a"),
+        F.coalesce(F.bit_xor(F.col("wb.event_id")), F.lit(0)).alias("digest_b"),
+    )
+    return rep.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "digest_a",
+        "digest_b",
+        ((F.col("n_a") == F.col("n_b")) & (F.col("digest_a") == F.col("digest_b"))).alias(
+            "in_sync"
+        ),
+    )
