@@ -233,6 +233,17 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:local_rows"},
         "broadcast side is the constant sentiment lexicon literal (dozens of rows)",
     ),
+    "d4i_semantic_decontamination": (
+        {"bounded:embeddings"},
+        "broadcast side is the benchmark set collapsed to ONE collect_list "
+        "row (key-bounded: vec_id < 5; a real benchmark is fixed-size)",
+    ),
+    "d_split_leakage_audit": (
+        {"bounded:documents"},
+        "broadcast side is the LSH band rows (aggregate-bounded: k minhashes "
+        "per doc, the d2b posture) — scales with n_docs, not corpus bytes; "
+        "docstring documents the shuffle-equi-join fallback past ~10⁷ docs",
+    ),
 }
 
 
