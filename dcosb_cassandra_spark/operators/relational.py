@@ -997,6 +997,48 @@ def b36_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b36b_rolling_dau_hll", oracle=None, tags=("B36", "B11", "P1", "rows-only"))
+def b36b_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merged 7-day rolling distinct actives — the 100 TB form of
+    b36. The exact offset-explode recipe multiplies the daily-distinct
+    pair set by the window length; with 90-day windows over billions of
+    users that blow-up dominates. HLL sketches make distinct state
+    MERGEABLE: one partial-aggregated pass builds a fixed-size sketch per
+    day (O(days × sketch_bytes) state, independent of user cardinality),
+    and each window merges 7 sketches with hll_union_agg — so widening
+    the window touches |days| more sketches, not |users| more rows.
+
+    No SQL oracle: the estimate depends on Spark's Apache DataSketches
+    binary format, which DuckDB cannot replay (rows-only driver check,
+    like the MLlib twins). Accuracy is pytest-gated instead: estimates
+    must sit within 5% of the exact b36 counts at both test SFs, far
+    inside the ±1.6% standard error of the default lgConfigK=12 sketch.
+    Window alignment (day numbering, the >=6 full-history cut, the 1-row
+    max-day broadcast) is IDENTICAL to b36 by construction."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).cast("bigint").alias("day_num"),
+            "user_id",
+        )
+        .groupBy("day_num")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    bounds = daily.agg(F.max("day_num").alias("max_day"))
+    votes = daily.select(
+        "day_num", "sk", F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
+    ).select((F.col("day_num") + F.col("off")).alias("window_end"), "sk")
+    return (
+        votes.crossJoin(F.broadcast(bounds))
+        .filter((F.col("window_end") >= 6) & (F.col("window_end") <= F.col("max_day")))
+        .groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_approx"))
+    )
+
+
 @query(
     "b37_funnel_conversion",
     oracle="""
