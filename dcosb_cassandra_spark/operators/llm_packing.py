@@ -368,7 +368,7 @@ TEMPERATURE_TAU = 0.5
         WHERE rn <= CAST(floor(t * q) AS BIGINT)
         GROUP BY lang, q, n_s, n_total
     """,
-    tags=("D14", "B24", "P1"),
+    tags=("D14", "D23", "B24", "P1"),
 )
 def d14c_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain resampling (the multilingual-pretraining

@@ -544,7 +544,7 @@ _BUCKET4_SQL = (
                round(hits / 10.0, 4) AS recall_at_10
         FROM hits LEFT JOIN cand USING (qid)
     """,
-    tags=("D4", "D3", "P1"),
+    tags=("D4", "D25", "D3", "P1"),
 )
 def d4f_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate: recall@10 of the sign-bit LSH bucket (demo 4-bit

@@ -898,7 +898,7 @@ def d5m_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tc JOIN tot USING (lang)
         GROUP BY lang, n_tokens, n_types, max_n
     """,
-    tags=("D5", "D19", "P1"),
+    tags=("D5", "D24", "P1"),
 )
 def d5n_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language unigram-distribution profile: Shannon entropy (bits),

@@ -25,7 +25,7 @@ ROWS = [
     ("A28", "INSERT JSON/fromJson/Variant"), ("A29", "Time functions + timeuuid"),
     ("A30", "uuid()"), ("A31", "Blob conversions"), ("A32", "Arithmetic"), ("A33", "UDF"),
     ("A34", "UDA"),
-    ("A35", "Consistency/replication — N/A by design (single-engine; SURVEY A35)"),
+    ("A35", "Consistency/replication — live coordination N/A by design; analytic repair-digest half covered (SURVEY A35)"),
     ("A-static", "Static columns"),
     ("B1", "Broadcast join"), ("B2", "Shuffle join"), ("B3", "Outer joins"),
     ("B4", "Semi/anti join"), ("B5", "Theta/range join"), ("B6", "As-of join"),
@@ -60,6 +60,40 @@ ROWS = [
     ("D20", "BPE merge step / vocab induction (added r4)"),
     ("D21", "Sub-sharded sequence packing (added r4)"),
     ("D22", "Stratified train/val/test split (added r4)"),
+    ("B32", "Z-order data-layout evaluation (added r5)"),
+    ("B33", "Cohort-retention matrix (added r5)"),
+    ("B34", "Rolling z-score anomaly detection (added r5)"),
+    ("B35", "First/last-touch attribution (added r5)"),
+    ("B36", "Rolling 7-day distinct actives — exact + HLL sketch (added r5)"),
+    ("B37", "Ordered funnel with step deadlines (added r5)"),
+    ("B38", "User-journey transition matrix (added r5)"),
+    ("B39", "Join-skew assessment (added r5)"),
+    ("C10", "Stream-stream interval join (added r5)"),
+    ("C12", "CDC change feed (added r5)"),
+    ("D23", "Temperature-scaled domain resampling (added r5)"),
+    ("D24", "Corpus unigram-distribution profile (added r5)"),
+    ("D25", "ANN recall evaluation (added r5)"),
+    ("D26", "Quality-weighted importance sampling (added r5)"),
+    ("D27", "Context-window chunking with overlap (added r5)"),
+    ("D28", "Deterministic text normalization (added r5)"),
+    ("D29", "OOV/UNK-rate estimation (added r5)"),
+    ("D30", "Domain-affinity matrix (added r5)"),
+    ("D31", "LSH dedup-config evaluation (added r5)"),
+    ("D32", "Boundary-respecting next-fit packing (added r5)"),
+    ("D33", "Near-dup graph degree profile (added r5)"),
+    ("D34", "Zipf-slope estimate (added r5)"),
+    ("D35", "Audio frame-energy extraction (added r5)"),
+    ("D36", "Matryoshka truncation eval (added r5)"),
+    ("D37", "Dup-graph triangle count (added r5)"),
+    ("D38", "Product-quantization encoding (added r5)"),
+    ("D39", "PQ asymmetric-distance fidelity (added r5)"),
+    ("D40", "Token-budget domain mixing (added r5)"),
+    ("D41", "Dataset card (added r5)"),
+    ("D42", "Semantic benchmark decontamination (added r5)"),
+    ("D43", "Split leakage audit (added r5)"),
+    ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
+    ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
+    ("V3", "Dynamic data masking (C* 5.0)"),
 ]
 
 STREAMING_EXTRA = {
@@ -103,7 +137,7 @@ def main() -> None:
         extra = STREAMING_EXTRA.get(tag)
         if extra:
             cell = (cell + "; " if cell else "") + extra
-        if tag == "A35":
+        if tag == "A35" and not entries:
             cell = "out of scope — documented"
         if not cell:
             missing.append(tag)
