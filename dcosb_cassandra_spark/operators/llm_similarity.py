@@ -417,7 +417,8 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = cosine(F.col("qe"), F.col("ce"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
-        q.join(c, "bucket")
+        F.broadcast(q)  # key-bounded: vec_id < 5 — the corpus side never shuffles
+        .join(c, "bucket")
         .select("query_id", "nbr_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

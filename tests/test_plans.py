@@ -201,6 +201,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"embeddings"},
         "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
     ),
+    "d4d_ivf_probe_knn": (
+        {"bounded:embeddings", "embeddings"},
+        "broadcast sides are the k-row centroid codebook and the query set "
+        "(vec_id < 5: key-bounded to ≤5 rows at any SF)",
+    ),
     "d14b_domain_upsampling": (
         {"bounded:documents", "bounded:local_rows"},
         "broadcast sides are the 4-row MIX_WEIGHTS literal and groupBy(source) "
