@@ -53,7 +53,10 @@ _OPERATOR_MODULES = (
 #: window: the 2 deliberately rows-only MLlib twins d2g/d4c, and the
 #: late-r5 additions (B32–B39 analytics pack, D26–D41 curation/eval ops,
 #: c12b) — all sweep-verified vs DuckDB at sf0.01+sf0.1 this round and
-#: queued for the r6 rotation.
+#: queued for the r6 rotation — as are the continuation-session additions
+#: a_repair_merkle_ranges, d4i_semantic_decontamination,
+#: d_split_leakage_audit (oracle-verified at sf0.01+sf0.1 this session)
+#: and the rows-only b36b_rolling_dau_hll (pytest accuracy gate).
 _DRIVER_WINDOW = (
     # CQL variants never graded before r5 (A11/A28/A29 + partition stats)
     "a11b_map_contains_key",
