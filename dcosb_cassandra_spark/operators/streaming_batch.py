@@ -514,3 +514,47 @@ def c2c_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(c2_sliding_stream(ev), name, output_mode="complete")
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "c13_rolling_dau_sketch_replay",
+    oracle=None,
+    tags=("C13", "C6", "B36", "B11", "P1", "rows-only"),
+)
+def c13_rolling_dau_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate rolling distinct actives — b36b's sketch
+    pipeline with the daily HLL sketches maintained by the ACTUAL stream
+    (complete-mode agg, availableNow replay) instead of a batch pass; the
+    7-day hll_union_agg merge then runs as a batch query over the sink's
+    sketch table. HLL register state is max-merged — commutative and
+    associative — so the streamed sketches are byte-equivalent to the
+    batch build regardless of micro-batch boundaries, and the estimates
+    equal b36b EXACTLY (asserted in tests/test_sketches.py). No SQL
+    oracle (DataSketches binaries; rows-only driver check, like b36b).
+
+    Scale: this is the shape of a production live-DAU board — per-day
+    fixed-size sketch state in the store (user-cardinality-free), merge
+    windows at read time, widen the window without touching the stream."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c8_write_stream,
+        c13_daily_sketch_stream,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    name = _sink_name("c13_sink")
+    q = c8_write_stream(c13_daily_sketch_stream(ev), name, output_mode="complete")
+    q.awaitTermination(120)
+    sk = spark.table(name)
+    bounds = sk.agg(F.max("day_num").alias("max_day"))
+    votes = sk.select(
+        "day_num", "sk", F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
+    ).select((F.col("day_num") + F.col("off")).alias("window_end"), "sk")
+    return (
+        votes.crossJoin(F.broadcast(bounds))
+        .filter((F.col("window_end") >= 6) & (F.col("window_end") <= F.col("max_day")))
+        .groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_approx"))
+    )

@@ -69,6 +69,24 @@ def c1_tumbling_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def c13_daily_sketch_stream(events: DataFrame) -> DataFrame:
+    """C13: per-day HLL user sketches maintained by the stream. The state
+    per key is ONE fixed-size DataSketches HLL (registers max-merge across
+    micro-batches — commutative/associative, so the final sketch is
+    byte-equivalent to the batch build no matter where micro-batch
+    boundaries fall). This is the streaming half of b36b: the store keeps
+    O(days × sketch_bytes), never per-user rows."""
+    day_num = F.datediff(
+        F.date_trunc("day", F.col("ts")).cast("date"),
+        F.lit("2024-01-01").cast("date"),
+    ).cast("bigint")
+    return (
+        events.select(day_num.alias("day_num"), "user_id")
+        .groupBy("day_num")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+
+
 def c2_sliding_stream(events: DataFrame) -> DataFrame:
     """C2: 1h/15m sliding windows."""
     return (

@@ -22,3 +22,17 @@ def test_hll_rolling_dau_tracks_exact(spark):
     assert set(exact) == set(approx), "window alignment must match the exact twin"
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.05, f"window {k}: {approx[k]} vs exact {n}"
+
+
+def test_streamed_sketches_equal_batch(spark):
+    """c13's availableNow replay must reproduce b36b exactly: HLL register
+    state is max-merged (commutative/associative), so micro-batch
+    boundaries cannot change the merged estimate."""
+    batch = {
+        r[0]: r[1] for r in REGISTRY["b36b_rolling_dau_hll"].fn(spark, SF_DIR).collect()
+    }
+    streamed = {
+        r[0]: r[1]
+        for r in REGISTRY["c13_rolling_dau_sketch_replay"].fn(spark, SF_DIR).collect()
+    }
+    assert streamed == batch

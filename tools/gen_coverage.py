@@ -70,6 +70,7 @@ ROWS = [
     ("B39", "Join-skew assessment (added r5)"),
     ("C10", "Stream-stream interval join (added r5)"),
     ("C12", "CDC change feed (added r5)"),
+    ("C13", "Streaming sketch distinct / live DAU (added r5)"),
     ("D23", "Temperature-scaled domain resampling (added r5)"),
     ("D24", "Corpus unigram-distribution profile (added r5)"),
     ("D25", "ANN recall evaluation (added r5)"),
