@@ -365,3 +365,54 @@ def test_c6b_transform_with_state_matches_legacy(spark, events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a checkpointed stream mid-replay, restart it, and the sink must
+    hold every input row EXACTLY once — the fault-tolerance contract a
+    100 TB ingest depends on (executor loss / deploys mid-stream). The
+    parquet sink's _spark_metadata manifest is what excludes any files a
+    killed batch half-wrote; reading the sink through Spark honors it."""
+    import time
+
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ck")
+    ev = table(spark, SMOKE_SF_DIR, "events").select("event_id", "user_id", "event_type")
+    ev.repartition(8).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    feat = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def start(trigger_kwargs):
+        return (
+            feat.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: run a few micro-batches (1 file each), then kill mid-replay
+    q = start({"processingTime": "50 milliseconds"})
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the SAME checkpoint to completion
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(180)
+
+    got = sorted(r[0] for r in spark.read.parquet(sink).select("event_id").collect())
+    want = sorted(r[0] for r in ev.select("event_id").collect())
+    assert got == want, (
+        f"exactly-once violated: {len(got)} sink rows vs {len(want)} input rows"
+    )
