@@ -988,3 +988,86 @@ def d_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("near").alias("kind"), "split_lo", "split_hi", "n_pairs")
     )
     return ex.unionByName(nd)
+
+
+@query(
+    "d2l_cluster_quality_keeper",
+    oracle=f"""
+        -- per near-dup cluster: keep the HIGHEST-QUALITY member (not the
+        -- min-id) — the curation-grade representative selection
+        WITH RECURSIVE {_EDGES_SQL},
+        nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+        undirected AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges
+        ),
+        reach(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.dst, r.root FROM reach r JOIN undirected u ON u.src = r.node
+        ),
+        lab AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        q AS (
+            SELECT doc_id,
+                   round(len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' ')), 6) AS q
+            FROM documents
+        ),
+        j AS (SELECT l.cluster_id, l.doc_id, q.q,
+                     CAST(round(q.q * 1000000, 0) AS BIGINT) AS qi
+              FROM lab l JOIN q ON q.doc_id = l.doc_id)
+        SELECT cluster_id, n_members, doc_id AS keeper_id, q AS keeper_q,
+               round(qi_sum * 1.0 / (n_members * 1000000), 6) AS mean_q
+        FROM (
+            SELECT cluster_id, doc_id, q,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                   sum(qi) OVER (PARTITION BY cluster_id) AS qi_sum,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY q DESC, doc_id) AS rn
+            FROM j
+        ) WHERE rn = 1
+    """,
+    tags=("D2", "D5", "D44", "P1"),
+)
+def d2l_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection for near-dup clusters by QUALITY: instead
+    of d2f's canonical min-id keeper, keep each cluster's highest-quality
+    member (uniqueness ratio; ties break to the lower doc_id) — what a
+    curation pipeline actually ships when one copy of a near-dup family
+    survives. Reports keeper + cluster size + mean quality so the dropped
+    mass is auditable.
+
+    Scale: reuses the d2f connected components (label propagation,
+    O(diameter) bounded rounds); quality is a narrow per-row expression;
+    the keeper is ONE partial-aggregatable max(struct(q, -doc_id)) per
+    cluster — no per-cluster sort, no window over the corpus. Quality is
+    rounded to 6dp BEFORE the argmax on both engines so float ordering
+    cannot diverge."""
+    labels = d2f_dup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    q = F.round(F.size(F.array_distinct(words)) / F.size(words), 6)
+    scored = labels.join(d.select("doc_id", q.alias("q")), "doc_id")
+    # mean quality in exact integer micro-units: a float avg's 6th decimal
+    # can flip with summation order between engines (SURVEY §5.2(4))
+    qi = F.round(F.col("q") * 1000000, 0).cast("long")
+    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id"))).alias("best")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(qi).alias("qi_sum"),
+            best,
+        )
+        .withColumn(
+            "mean_q", F.round(F.col("qi_sum") / (F.col("n_members") * 1000000.0), 6)
+        )
+        .drop("qi_sum")
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("best.neg_id")).cast("long").alias("keeper_id"),
+            F.col("best.q").alias("keeper_q"),
+            "mean_q",
+        )
+    )
