@@ -238,6 +238,10 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:local_rows"},
         "broadcast side is the constant sentiment lexicon literal (dozens of rows)",
     ),
+    "b36b_rolling_dau_hll": (
+        {"bounded:events"},
+        "broadcast side is the 1-row max-day aggregate (same bound as b36)",
+    ),
     "d4i_semantic_decontamination": (
         {"bounded:embeddings"},
         "broadcast side is the benchmark set collapsed to ONE collect_list "
