@@ -410,3 +410,83 @@ def a_repair_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_sync"
         ),
     )
+
+
+@query(
+    "a_tombstone_gc_report",
+    oracle="""
+        -- gc_grace report: which tombstones are safely droppable at
+        -- compaction time (deletion older than gc_grace AND not shadowing
+        -- any even-older live write that a late replica could resurrect)
+        WITH log AS (
+            SELECT user_id, ts, event_id,
+                   (event_type = 'error') AS tombstone
+            FROM events
+        ),
+        per_key AS (
+            SELECT user_id,
+                   count(*) FILTER (WHERE tombstone) AS n_tombs,
+                   max(ts)  FILTER (WHERE tombstone) AS last_tomb_ts,
+                   max(ts)  FILTER (WHERE NOT tombstone) AS last_live_ts
+            FROM log GROUP BY user_id
+        )
+        SELECT count(*)                                    AS n_keys,
+               CAST(sum(n_tombs) AS BIGINT)                AS n_tombstones,
+               count(*) FILTER (WHERE n_tombs > 0)         AS n_keys_with_tombs,
+               count(*) FILTER (
+                   WHERE n_tombs > 0
+                     AND last_tomb_ts + INTERVAL 10 DAY
+                         <= TIMESTAMP '2024-01-20 00:00:00'
+                     AND (last_live_ts IS NULL OR last_live_ts < last_tomb_ts)
+               )                                           AS n_droppable,
+               count(*) FILTER (
+                   WHERE n_tombs > 0 AND last_live_ts > last_tomb_ts
+               )                                           AS n_resurrected
+        FROM per_key
+    """,
+    tags=("A19", "A35", "ops", "P1"),
+)
+def a_tombstone_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone GC report [PK `db/compaction/`, gc_grace_seconds]: the
+    numbers `nodetool garbagecollect` / compaction act on. A tombstone is
+    DROPPABLE only when (a) it has aged past gc_grace (10 days here, vs
+    the pinned TTL_NOW clock) — dropping younger ones lets a
+    not-yet-repaired replica resurrect the deleted row — and (b) no newer
+    live write has already superseded it (then it shadows nothing and
+    the row was resurrected by an upsert). One partial-aggregatable pass
+    over the mutation log builds per-key tombstone/live high-water marks,
+    then a single global rollup — no window, no self-join; the per-key
+    frame never leaves its shuffle partition. At 100 TB this is the
+    compaction planner's admission metric, computed in one scan."""
+    from .cql_write import TTL_NOW
+
+    e = table(spark, sf_dir, "events")
+    tomb = F.col("event_type") == "error"
+    per_key = e.groupBy("user_id").agg(
+        F.count(F.when(tomb, 1)).alias("n_tombs"),
+        F.max(F.when(tomb, F.col("ts"))).alias("last_tomb_ts"),
+        F.max(F.when(~tomb, F.col("ts"))).alias("last_live_ts"),
+    )
+    aged = F.col("last_tomb_ts") + F.expr("INTERVAL 10 DAYS") <= F.lit(TTL_NOW).cast(
+        "timestamp"
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_tombs").alias("n_tombstones"),
+        F.count(F.when(F.col("n_tombs") > 0, 1)).alias("n_keys_with_tombs"),
+        F.count(
+            F.when(
+                (F.col("n_tombs") > 0)
+                & aged
+                & (F.col("last_live_ts").isNull()
+                   | (F.col("last_live_ts") < F.col("last_tomb_ts"))),
+                1,
+            )
+        ).alias("n_droppable"),
+        F.count(
+            F.when(
+                (F.col("n_tombs") > 0) & (F.col("last_live_ts") > F.col("last_tomb_ts")),
+                1,
+            )
+        ).alias("n_resurrected"),
+    )
