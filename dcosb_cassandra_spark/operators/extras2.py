@@ -490,3 +490,46 @@ def a_tombstone_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_resurrected"),
     )
+
+
+@query(
+    "a_snapshot_as_of",
+    oracle="""
+        -- point-in-time LWW state: the table as a reader at T would have
+        -- seen it (time travel / backup-restore verification)
+        WITH live AS (
+            SELECT user_id, event_type, value, ts FROM (
+                SELECT user_id, event_type, value, ts,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+            ) WHERE rn = 1
+        )
+        SELECT event_type, count(*) AS n_keys,
+               round(sum(value), 4) AS total_value,
+               max(ts) AS newest_cell
+        FROM live GROUP BY event_type
+    """,
+    tags=("A18", "A21", "ops", "P1"),
+)
+def a_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF snapshot: the LWW-compacted state a reader at time T saw —
+    mutations with writetime > T ignored, latest-≤T wins per key. This is
+    the time-travel primitive behind backup verification and
+    restore-to-point-in-time (and the two endpoint states c12's CDC diff
+    compares). One conditional struct-max aggregate per key over a single
+    log scan — the filter on writetime pushes to the parquet scan, so at
+    100 TB an as-of query reads only the commit-log segments below T."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-10 00:00:00").cast("timestamp")
+    )
+    win = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("w"))
+        .select("user_id", "event_type", F.col("w.value").alias("value"), F.col("w.ts").alias("ts"))
+    )
+    return win.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("newest_cell"),
+    )

@@ -1071,3 +1071,109 @@ def d2l_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_q",
         )
     )
+
+
+@query(
+    "d2m_cross_source_dup_matrix",
+    oracle=f"""
+        -- which sources duplicate which: near-dup candidate mass between
+        -- source pairs (unordered), the provenance diagnostic behind
+        -- "drop the mirror site, keep the original"
+        WITH sigs AS ({{MINHASH_SQL}}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        pairs AS (
+            SELECT least(sa.source, sb.source) AS source_lo,
+                   greatest(sa.source, sb.source) AS source_hi,
+                   count(*) AS n_pairs
+            FROM cand c
+            JOIN src sa ON sa.doc_id = c.id_a
+            JOIN src sb ON sb.doc_id = c.id_b
+            GROUP BY 1, 2
+        ),
+        totals AS (SELECT source, count(*) AS n_docs FROM src GROUP BY source)
+        SELECT p.source_lo, p.source_hi, p.n_pairs,
+               (p.source_lo = p.source_hi) AS within_source,
+               round(p.n_pairs * 1.0 / (ta.n_docs + tb.n_docs), 6)
+                   AS pairs_per_doc
+        FROM pairs p
+        JOIN totals ta ON ta.source = p.source_lo
+        JOIN totals tb ON tb.source = p.source_hi
+    """.replace("{MINHASH_SQL}", minhash_oracle_sql()),
+    tags=("D2", "D14", "D45", "P1"),
+)
+def d2m_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup candidate mass between
+    every (unordered) source pair — the provenance diagnostic a curation
+    run consults before mixing (D14): heavy off-diagonal mass means one
+    source mirrors another and upweighting both double-counts the same
+    content; heavy diagonal mass means within-source boilerplate. Reports
+    pair counts plus a size-normalized rate.
+
+    Scale: candidates are the d2b first-collision band equi-join
+    (spread + broadcast, no DISTINCT, no cross join); source lookups are
+    doc_id equi-joins; the matrix is |sources|²-bounded, and the totals
+    join runs on those few rows."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spread_width(spark))
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    src = d.select("doc_id", "source")
+    pairs = (
+        cand.join(src.withColumnRenamed("doc_id", "id_a")
+                     .withColumnRenamed("source", "source_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "source_b"), "id_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    totals = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ta = totals.select(F.col("source").alias("source_lo"), F.col("n_docs").alias("na"))
+    tb = totals.select(F.col("source").alias("source_hi"), F.col("n_docs").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "source_lo")
+        .join(F.broadcast(tb), "source_hi")
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            (F.col("source_lo") == F.col("source_hi")).alias("within_source"),
+            F.round(F.col("n_pairs") / (F.col("na") + F.col("nb")), 6).alias(
+                "pairs_per_doc"
+            ),
+        )
+    )

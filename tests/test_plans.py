@@ -247,6 +247,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is the benchmark set collapsed to ONE collect_list "
         "row (key-bounded: vec_id < 5; a real benchmark is fixed-size)",
     ),
+    "d2m_cross_source_dup_matrix": (
+        {"bounded:documents", "documents"},
+        "broadcast sides are the LSH band rows (d2b posture) and the "
+        "|sources|-row totals; docstring documents the shuffle fallback",
+    ),
     "d_split_leakage_audit": (
         {"bounded:documents"},
         "broadcast side is the LSH band rows (aggregate-bounded: k minhashes "
