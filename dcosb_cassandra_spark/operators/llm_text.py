@@ -1293,3 +1293,111 @@ def d_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_uniq_ratio",
         )
     )
+
+
+#: head width for the lexical divergence distributions (production: ~50k)
+JS_VOCAB_SIZE = 200
+
+
+@query(
+    "d5s_lexical_divergence",
+    oracle=f"""
+        -- pairwise Jensen-Shannon divergence (nats) between per-source
+        -- unigram distributions over the global top-{JS_VOCAB_SIZE} tokens
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        cnt AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        gcnt AS (SELECT token, sum(n) AS g FROM cnt GROUP BY token),
+        vocab AS (
+            SELECT token, rn FROM (
+                SELECT token, row_number() OVER (ORDER BY g DESC, token) AS rn
+                FROM gcnt
+            ) WHERE rn <= {JS_VOCAB_SIZE}
+        ),
+        p AS (SELECT c.source, v.rn, c.n
+              FROM cnt c JOIN vocab v ON v.token = c.token),
+        tot AS (SELECT source, sum(n) AS tn FROM p GROUP BY source),
+        dist AS (SELECT p.source, p.rn, p.n * 1.0 / tot.tn AS pr
+                 FROM p JOIN tot ON tot.source = p.source),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pairs AS (SELECT a.source AS sa, b.source AS sb
+                  FROM srcs a JOIN srcs b ON a.source < b.source),
+        terms AS (
+            SELECT pr.sa, pr.sb,
+                   coalesce(da.pr, 0) AS pa, coalesce(db.pr, 0) AS pb
+            FROM (SELECT p.sa, p.sb, r.rn
+                  FROM pairs p CROSS JOIN (SELECT rn FROM vocab) r) pr
+            LEFT JOIN dist da ON da.source = pr.sa AND da.rn = pr.rn
+            LEFT JOIN dist db ON db.source = pr.sb AND db.rn = pr.rn
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               round(sum(
+                   CASE WHEN pa > 0 THEN 0.5 * pa * ln(2 * pa / (pa + pb))
+                        ELSE 0 END
+                 + CASE WHEN pb > 0 THEN 0.5 * pb * ln(2 * pb / (pa + pb))
+                        ELSE 0 END), 6) AS js_divergence,
+               count(*) FILTER (WHERE pa > 0 AND pb > 0) AS n_shared
+        FROM terms GROUP BY 1, 2
+    """,
+    tags=("D5", "D30", "D46", "P1"),
+)
+def d5s_lexical_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lexical divergence between sources — the TOKEN-space twin
+    of the embedding affinity matrix (d8c): Jensen-Shannon divergence
+    between per-source unigram distributions restricted to the global
+    top-V tokens. Low JS off-diagonal = two sources are lexically
+    redundant (a mixing recipe gains little from keeping both); high JS =
+    genuine diversity. Complements d8c because embeddings can call two
+    sources 'similar' that differ in register/vocabulary and vice versa.
+
+    Scale: token counts are one partial-aggregated shuffle; the top-V
+    head uses the TWO-PHASE rank (d5q pattern — web-corpus vocabulary is
+    not small); distributions restrict to the bounded V-row vocab via a
+    broadcast join; each source collapses to ONE map row, so the pair
+    enumeration is a |sources|²-bounded self-join and the JS fold runs
+    over V terms per pair — nothing corpus-sized past the first shuffle."""
+    V = JS_VOCAB_SIZE
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    glob = cnt.groupBy("token").agg(F.sum("n").alias("g"))
+    w_local = Window.partitionBy("_part").orderBy(F.desc("g"), F.asc("token"))
+    w_global = Window.orderBy(F.desc("g"), F.asc("token"))
+    vocab = (
+        glob.withColumn("_part", F.spark_partition_id())
+        .withColumn("_rl", F.row_number().over(w_local))
+        .filter(F.col("_rl") <= V)
+        .select("token", "g", F.row_number().over(w_global).alias("rn"))
+        .filter(F.col("rn") <= V)
+        .select("token", "rn")
+    )
+    p = cnt.join(F.broadcast(vocab), "token")
+    tot = p.groupBy("source").agg(F.sum("n").alias("tn"))
+    dist = p.join(F.broadcast(tot), "source").select(
+        "source", "rn", (F.col("n") / F.col("tn")).alias("pr")
+    )
+    ms = dist.groupBy("source").agg(
+        F.map_from_arrays(F.collect_list("rn"), F.collect_list("pr")).alias("m")
+    )
+    a = ms.select(F.col("source").alias("source_a"), F.col("m").alias("ma"))
+    b = ms.select(F.col("source").alias("source_b"), F.col("m").alias("mb"))
+    pair = a.crossJoin(b).filter(F.col("source_a") < F.col("source_b"))
+
+    def term(rn):
+        pa = F.coalesce(F.element_at(F.col("ma"), rn), F.lit(0.0))
+        pb = F.coalesce(F.element_at(F.col("mb"), rn), F.lit(0.0))
+        ta = F.when(pa > 0, 0.5 * pa * F.log(2 * pa / (pa + pb))).otherwise(F.lit(0.0))
+        tb = F.when(pb > 0, 0.5 * pb * F.log(2 * pb / (pa + pb))).otherwise(F.lit(0.0))
+        return F.struct((ta + tb).alias("t"), ((pa > 0) & (pb > 0)).alias("sh"))
+
+    terms = F.transform(F.sequence(F.lit(1), F.lit(V)), term)
+    js = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x["t"])
+    shared = F.size(F.filter(terms, lambda x: x["sh"]))
+    return pair.select(
+        "source_a",
+        "source_b",
+        F.round(js, 6).alias("js_divergence"),
+        shared.cast("long").alias("n_shared"),
+    )

@@ -247,6 +247,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is the benchmark set collapsed to ONE collect_list "
         "row (key-bounded: vec_id < 5; a real benchmark is fixed-size)",
     ),
+    "d5s_lexical_divergence": (
+        {"bounded:documents"},
+        "broadcast sides are the two-phase top-V vocab (V=200 rows) and "
+        "the |sources|-row totals — both aggregate-bounded at any SF",
+    ),
     "d2m_cross_source_dup_matrix": (
         {"bounded:documents", "documents"},
         "broadcast sides are the LSH band rows (d2b posture) and the "
