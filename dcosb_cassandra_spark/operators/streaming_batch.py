@@ -558,3 +558,35 @@ def c13_rolling_dau_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("window_end")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_approx"))
     )
+
+
+@query(
+    "c5b_dedup_replay",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("C5", "C8", "P1"),
+)
+def c5b_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5's streaming dedup run as the ACTUAL stream: the watermarked
+    dropDuplicatesWithinWatermark pipeline replayed availableNow into an
+    append memory sink, graded against SQL DISTINCT. The output projects
+    the KEY columns only — which physical row survives dedup depends on
+    arrival order (a property of the stream, not the data), but the
+    surviving key SET is arrival-order-independent and must equal the
+    batch distinct exactly. Watermark-scoped state is the 100 TB story:
+    the store holds only keys younger than the watermark, not all
+    history."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c5_dedup_stream,
+        c8_write_stream,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+    name = _sink_name("c5b_sink")
+    q = c8_write_stream(
+        c5_dedup_stream(ev).select("user_id", "event_type"), name, output_mode="append"
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
