@@ -1177,3 +1177,100 @@ def d2m_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "d2n_dedup_threshold_curve",
+    oracle=f"""
+        -- threshold-tuning curve: verified-pair survival at each candidate
+        -- Jaccard cutoff, from ONE pass over the candidate set
+        WITH sigs AS ({{MINHASH_SQL}}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+        jac AS (
+            SELECT len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+                   (len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks))) AS j
+            FROM cand c
+            JOIN ts ta ON ta.doc_id = c.id_a
+            JOIN ts tb ON tb.doc_id = c.id_b
+        )
+        SELECT CAST(t.thr AS DOUBLE) AS thr,
+               count(*) FILTER (WHERE j >= t.thr) AS n_pairs,
+               round(count(*) FILTER (WHERE j >= t.thr) * 1.0
+                     / greatest(count(*), 1), 6) AS survival
+        FROM jac CROSS JOIN (VALUES (0.3), (0.5), (0.7), (0.9)) AS t(thr)
+        GROUP BY t.thr
+    """.replace("{MINHASH_SQL}", minhash_oracle_sql()),
+    tags=("D2", "D31", "D47", "P1"),
+)
+def d2n_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve: how many verified near-dup pairs
+    survive each candidate Jaccard cutoff — the knob-tuning companion to
+    the config evaluation (d2i): too low a threshold over-merges distinct
+    documents, too high leaves paraphrase dups in; this curve is how the
+    cutoff is actually chosen. ONE pass computes every pair's exact
+    Jaccard (the d2b first-collision candidate set + token-set intersect
+    verify), then a 4-row threshold grid explodes against the tiny
+    per-pair scores — the corpus is never re-verified per threshold."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spread_width(spark))
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    ts = d.select(
+        "doc_id",
+        F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
+    )
+    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = (
+        cand.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
+        .select((inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("j"))
+    )
+    thr = F.explode(F.array(*[F.lit(x) for x in (0.3, 0.5, 0.7, 0.9)])).alias("thr")
+    return (
+        jac.select("j", thr)
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("j") >= F.col("thr"), 1)).alias("n_pairs"),
+            F.round(
+                F.count(F.when(F.col("j") >= F.col("thr"), 1))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias("survival"),
+        )
+    )

@@ -252,6 +252,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the two-phase top-V vocab (V=200 rows) and "
         "the |sources|-row totals — both aggregate-bounded at any SF",
     ),
+    "d2n_dedup_threshold_curve": (
+        {"documents", "bounded:documents"},
+        "broadcast sides are the LSH band rows and per-doc token-set "
+        "arrays (d2b posture, same documented fallback)",
+    ),
     "d2m_cross_source_dup_matrix": (
         {"bounded:documents", "documents"},
         "broadcast sides are the LSH band rows (d2b posture) and the "

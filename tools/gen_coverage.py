@@ -95,6 +95,7 @@ ROWS = [
     ("D44", "Cluster quality-keeper selection (added r5)"),
     ("D45", "Cross-source duplication matrix (added r5)"),
     ("D46", "Lexical divergence matrix (added r5)"),
+    ("D47", "Dedup threshold-sensitivity curve (added r5)"),
     ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
     ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
     ("V3", "Dynamic data masking (C* 5.0)"),
