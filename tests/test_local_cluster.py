@@ -49,6 +49,10 @@ REPRESENTATIVE = [
     "d13d_boundary_packing",     # applyInPandas sequential fold per shard
     "d7d_audio_frame_energy",    # mapInPandas + numpy per Arrow batch
     "a33_pandas_udf_scalar",     # pandas scalar UDF
+    "a_repair_merkle_ranges",    # conditional struct-max + bit_xor rollup
+    "b36b_rolling_dau_hll",      # HLL sketch build + binary merge across JVMs
+    "d5s_lexical_divergence",    # map-column aggregation + per-pair JS fold
+    "c6c_stateful_replay",       # STREAMING applyInPandasWithState in multi-JVM
 ]
 
 
