@@ -726,18 +726,14 @@ def b32_zorder_layout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); span stats are one partial-aggregatable groupBy on
     (layout, file). Exact integer math end to end — both engines agree
     bit-for-bit."""
-    from functools import reduce
+    from ..functions.zorder import morton_interleave
 
     o = table(spark, sf_dir, "orders")
     ck = F.col("o_custkey").cast("bigint")
     dk = F.datediff(
         F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
     ).cast("bigint")
-    terms = []
-    for i in range(16):
-        terms.append(F.shiftleft(F.shiftright(ck, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(F.shiftleft(F.shiftright(dk, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    zkey = reduce(lambda a, b: a.bitwiseOR(b), terms)
+    zkey = morton_interleave(ck, dk, 16)
     hb = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
     keyed = o.select(
         ck.alias("ck"),

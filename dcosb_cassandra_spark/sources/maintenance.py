@@ -82,3 +82,57 @@ def major_compact(
     )
     snap.repartition(target_files).write.mode("overwrite").parquet(snapshot_path)
     return n_log, len(parquet_files(snapshot_path))
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """OPTIMIZE ... ZORDER BY (col_a, col_b): physically rewrite a parquet
+    directory range-partitioned and sorted by the Morton interleave of the
+    two columns, so per-file min/max statistics become selective on BOTH
+    predicate columns at once (b32 evaluates the metric; this job realizes
+    the layout). At 100 TB this is a full-shuffle rewrite you schedule
+    like a major compaction — the range partitioner samples the z-key, so
+    output files are balanced regardless of key skew."""
+    from pyspark.sql import functions as F
+
+    from ..functions.zorder import morton_interleave
+
+    df = spark.read.parquet(src_path)
+    # normalize both columns to the same bit width first: raw interleave
+    # of mismatched domains (e.g. 8-bit custkey vs 12-bit day) leaves the
+    # wider column's high bits on top of the key, and the "z-order"
+    # degenerates to a plain sort on that column (measured: ck spans
+    # stayed full-domain). One tiny stats aggregate per job is the
+    # standard OPTIMIZE preamble.
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(F.col(col_a).cast("bigint")),
+        F.max(F.col(col_a).cast("bigint")),
+        F.min(F.col(col_b).cast("bigint")),
+        F.max(F.col(col_b).cast("bigint")),
+    ).first()
+    top = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        span = max(1, hi - lo)
+        return ((F.col(c).cast("bigint") - F.lit(lo)) * top) / F.lit(span)
+
+    z = morton_interleave(
+        F.floor(norm(col_a, lo_a, hi_a)).cast("bigint"),
+        F.floor(norm(col_b, lo_b, hi_b)).cast("bigint"),
+        bits,
+    ).alias("_zkey")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )

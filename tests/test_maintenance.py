@@ -111,3 +111,50 @@ def test_major_compact_snapshot_equals_direct_compaction(spark, tmp_path):
     )
     full = compact_with_grace(log, ["user_id"], grace, tiebreak_col="mutation_id")
     assert state(incremental) == state(full)
+
+
+def test_zorder_rewrite_improves_pruning(spark, tmp_path):
+    """The z-ordered layout must (a) preserve every row and (b) make
+    per-file min/max statistics selective: for a point predicate on
+    either z-column, strictly fewer files' [min, max] span contains the
+    probe value than in a round-robin layout of the same file count."""
+    import pyarrow.parquet as pq
+
+    from dcosb_cassandra_spark.sources.maintenance import parquet_files, zorder_rewrite
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "zsrc")
+    o = table(spark, SMOKE_SF_DIR, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dk"),
+    )
+    o.repartition(16).write.parquet(src)  # round-robin: spans cover the domain
+    zorder_rewrite(spark, src, dst, "ck", "dk", n_files=16)
+
+    a = spark.read.parquet(dst)
+    assert a.count() == o.count()
+    assert a.agg(F.sum("o_orderkey")).first()[0] == o.agg(F.sum("o_orderkey")).first()[0]
+
+    def files_containing(path, col, value):
+        hit = 0
+        for f in parquet_files(path):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(md.row_group(g).column(names[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(names[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            if lo <= value <= hi:
+                hit += 1
+        return hit
+
+    # probe MID-domain values: a domain extreme is only inside the span of
+    # files that contain that exact row, even in a round-robin layout
+    probe_ck = int(o.agg(F.percentile("ck", F.lit(0.5))).first()[0])
+    probe_dk = int(o.agg(F.percentile("dk", F.lit(0.5))).first()[0])
+    for col, val in (("ck", probe_ck), ("dk", probe_dk)):
+        before = files_containing(src, col, val)
+        after = files_containing(dst, col, val)
+        assert after < before, f"{col}: z-order must prune ({after} !< {before})"
