@@ -1191,3 +1191,206 @@ def b39_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cnt"), 6).alias("mean_per_key"),
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
     )
+
+
+@query(
+    "b40_retention_decay_fit",
+    oracle="""
+        -- per-cohort exponential decay fit: OLS slope of ln(retention) on
+        -- age_weeks over the b33 matrix; half-life from the rounded slope
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        ),
+        cohort_sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size
+            FROM first_seen GROUP BY cohort_week
+        ),
+        cells AS (
+            SELECT f.cohort_week,
+                   date_diff('day', f.cohort_week, a.active_week) // 7
+                       AS age_weeks,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+            GROUP BY 1, 2
+        ),
+        ret AS (
+            SELECT c.cohort_week, c.age_weeks,
+                   c.n_active * 1.0 / s.cohort_size AS r
+            FROM cells c JOIN cohort_sizes s ON s.cohort_week = c.cohort_week
+        ),
+        fit AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_points,
+                   round(covar_pop(age_weeks, ln(r))
+                         / var_pop(age_weeks), 5) AS decay_slope
+            FROM ret GROUP BY cohort_week HAVING count(*) >= 3
+        )
+        SELECT cohort_week, n_points, decay_slope,
+               CASE WHEN decay_slope < 0
+                    THEN round(-ln(2) / decay_slope, 4) END AS half_life_weeks
+        FROM fit
+    """,
+    tags=("B40", "B33", "B9", "P1"),
+)
+def b40_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay-rate fit: per cohort, the OLS slope of
+    ln(retention) on age-in-weeks over the b33 matrix — the one number
+    ("are newer cohorts churning faster?") product teams track instead of
+    eyeballing the matrix — plus the implied half-life in weeks. The
+    half-life derives from the ALREADY-ROUNDED slope so the division is
+    bit-identical across engines (float-fold posture, SURVEY §5.2(4)).
+
+    Scale: everything reuses b33's shape (user-keyed aggregates, one
+    event-cardinality shuffle); the regression is a covar_pop/var_pop
+    aggregate over the |cohorts × weeks|-bounded matrix."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) div 7").alias("age_weeks"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    ret = cells.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        (F.col("n_active") / F.col("cohort_size")).alias("r"),
+    )
+    fit = (
+        ret.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.covar_pop("age_weeks", F.log("r")) / F.var_pop("age_weeks"), 5
+            ).alias("decay_slope"),
+        )
+        .filter(F.col("n_points") >= 3)
+    )
+    return fit.select(
+        "cohort_week",
+        "n_points",
+        "decay_slope",
+        F.when(
+            F.col("decay_slope") < 0,
+            F.round(-F.log(F.lit(2.0)) / F.col("decay_slope"), 4),
+        ).alias("half_life_weeks"),
+    )
+
+
+@query(
+    "b41_funnel_latency_percentiles",
+    oracle="""
+        -- time-to-convert distribution per funnel stage (b37's steps):
+        -- exact integer microsecond delays, interpolated percentiles
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+            SELECT s.user_id, s.s_ts, min(e.ts) AS c_ts
+            FROM s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'click'
+             AND e.ts > s.s_ts AND e.ts <= s.s_ts + INTERVAL 48 HOUR
+            GROUP BY s.user_id, s.s_ts
+        ),
+        p AS (
+            SELECT c.user_id, c.c_ts, min(e.ts) AS p_ts
+            FROM c JOIN events e
+              ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 48 HOUR
+            GROUP BY c.user_id, c.c_ts
+        ),
+        delays AS (
+            SELECT 'signup_to_click' AS stage,
+                   epoch_us(c_ts) - epoch_us(s_ts) AS d_us FROM c
+            UNION ALL
+            SELECT 'click_to_purchase',
+                   epoch_us(p_ts) - epoch_us(c_ts) FROM p
+        )
+        SELECT stage, count(*) AS n_users,
+               round(quantile_cont(d_us, 0.5) / 3600e6, 4) AS p50_hours,
+               round(quantile_cont(d_us, 0.9) / 3600e6, 4) AS p90_hours,
+               round(avg(d_us) / 3600e6, 4) AS mean_hours
+        FROM delays GROUP BY stage
+    """,
+    tags=("B41", "B37", "B11", "P1"),
+)
+def b41_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: p50/p90/mean time-to-convert for each
+    b37 stage — the 'how fast do users move' half of the funnel question
+    (b37 answers 'how many'). Delays are exact integer microsecond
+    differences, so the percentile interpolation arithmetic is identical
+    on both engines (integer inputs < 2⁵³ interpolate exactly in
+    doubles); the hour conversion happens once at output.
+
+    Scale: b37's step joins unchanged (user-keyed range joins with
+    48-hour caps bounding the pair fan-out); the percentile aggregate
+    runs over the per-user step tables, which shrink monotonically down
+    the funnel."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("e_ts")
+    )
+    c = (
+        s.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("e_ts") > F.col("s_ts"))
+            & (F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    d1 = c.select(
+        F.lit("signup_to_click").alias("stage"),
+        (F.unix_micros("c_ts") - F.unix_micros("s_ts")).alias("d_us"),
+    )
+    d2 = p.select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("d_us"),
+    )
+    hours = 3600e6
+    return (
+        d1.unionByName(d2)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.percentile("d_us", F.lit(0.5)) / hours, 4).alias("p50_hours"),
+            F.round(F.percentile("d_us", F.lit(0.9)) / hours, 4).alias("p90_hours"),
+            F.round(F.avg("d_us") / hours, 4).alias("mean_hours"),
+        )
+    )

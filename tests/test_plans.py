@@ -125,6 +125,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "the per-user first-seen aggregate — |calendar weeks| rows at any "
         "SF",
     ),
+    "b40_retention_decay_fit": (
+        {"bounded:events"},
+        "broadcast side is the cohort-size table: groupBy(cohort_week) of "
+        "the per-user first-seen aggregate — |calendar weeks| rows at any "
+        "SF",
+    ),
     "b32_zorder_layout_eval": (
         {"bounded:orders"},
         "broadcast side is agg(max(zkey)): exactly 1 row at any SF "

@@ -68,6 +68,8 @@ ROWS = [
     ("B37", "Ordered funnel with step deadlines (added r5)"),
     ("B38", "User-journey transition matrix (added r5)"),
     ("B39", "Join-skew assessment (added r5)"),
+    ("B40", "Cohort retention decay fit (added r5)"),
+    ("B41", "Funnel latency percentiles (added r5)"),
     ("C10", "Stream-stream interval join (added r5)"),
     ("C12", "CDC change feed (added r5)"),
     ("C13", "Streaming sketch distinct / live DAU (added r5)"),
