@@ -38,3 +38,16 @@ def test_driver_window_is_exactly_the_graded_prefix():
     assert list(REGISTRY)[:50] == list(_DRIVER_WINDOW)
     no_oracle = [n for n in _DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [], f"window entries without oracles: {no_oracle}"
+
+
+def test_bench_suite_names_exist():
+    """bench.py's HEADLINE and PIPELINE name lists must reference live
+    registry entries — a rename that silently drops a benched query would
+    shrink the suite without failing anything."""
+    import bench
+
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    load_all()
+    missing = [n for n in list(bench.HEADLINE) + list(bench.PIPELINE) if n not in REGISTRY]
+    assert not missing, f"bench references unknown queries: {missing}"
