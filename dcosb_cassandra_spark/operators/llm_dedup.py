@@ -1274,3 +1274,131 @@ def d2n_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+@query(
+    "d_split_repair",
+    oracle=f"""
+        -- leakage REPAIR: any doc in val/test with an exact or near-dup
+        -- partner in a DIFFERENT split moves to train (train absorbs all
+        -- leaky families); report per-split counts before/after
+        WITH {_SPLIT_SQL},
+        ex_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sp a JOIN sp b
+              ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+        ),
+        sigs AS ({{MINHASH_SQL}}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        nd_pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        leaky AS (
+            SELECT p.id_a, p.id_b
+            FROM (SELECT * FROM ex_pairs UNION SELECT * FROM nd_pairs) p
+            JOIN sp sa ON sa.doc_id = p.id_a
+            JOIN sp sb ON sb.doc_id = p.id_b
+            WHERE sa.split <> sb.split
+        ),
+        movers AS (
+            SELECT DISTINCT d.doc_id
+            FROM (SELECT id_a AS doc_id FROM leaky
+                  UNION SELECT id_b FROM leaky) d
+            JOIN sp ON sp.doc_id = d.doc_id
+            WHERE sp.split <> 'train'
+        ),
+        final AS (
+            SELECT sp.doc_id, sp.split AS split_before,
+                   CASE WHEN m.doc_id IS NOT NULL THEN 'train'
+                        ELSE sp.split END AS split_after
+            FROM sp LEFT JOIN movers m ON m.doc_id = sp.doc_id
+        )
+        SELECT split_before AS split, count(*) AS n_before,
+               count(*) FILTER (WHERE split_after = split_before) AS n_after,
+               count(*) FILTER (WHERE split_after <> split_before) AS n_moved
+        FROM final GROUP BY split_before
+    """.replace("{MINHASH_SQL}", minhash_oracle_sql()),
+    tags=("D43", "D22", "D48", "P1"),
+)
+def d_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split leakage REPAIR — the action taken on d_split_leakage_audit's
+    finding: every val/test document with an exact or near-dup partner in
+    a different split moves to train, so the eval sets end up clean while
+    train absorbs the leaky families (the standard direction: eval purity
+    matters, train dup mass is handled by dedup). Reports per-split
+    before/after/moved counts; the moved mass is the price of the leak.
+
+    Scale: exact pairs self-join on 64-byte digests; near pairs reuse the
+    d2b spread + first-collision band join; the mover set is a distinct
+    over pair endpoints (doc_id-keyed) anti-filtered to non-train; the
+    final relabel is a LEFT join of the corpus against that bounded mover
+    set. Note the rule is single-hop by design: A(test)~B(train) moves A;
+    transitive chains through a third split resolve via d2f's clusters
+    when full-family isolation is required."""
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(
+        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
+        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
+    )
+    split = F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    sp = d.select("doc_id", split.alias("split"), F.sha2(F.col("text"), 256).alias("th"))
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("th").alias("th_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("th").alias("th_b"))
+    ex = (
+        sa.join(sb, (F.col("th_a") == F.col("th_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spread_width(spark))
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    nd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    pairs = ex.unionByName(nd).distinct()
+    spl = sp.select("doc_id", "split")
+    leaky = (
+        pairs.join(spl.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("split", "split_a"), "id_a")
+        .join(spl.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("split", "split_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    movers = (
+        leaky.select(F.col("id_a").alias("doc_id"))
+        .unionByName(leaky.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .join(spl, "doc_id")
+        .filter(F.col("split") != "train")
+        .select("doc_id")
+    )
+    final = spl.join(movers.withColumn("moved", F.lit(1)), "doc_id", "left")
+    return final.groupBy(F.col("split").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.count(F.when(F.col("moved").isNull(), 1)).alias("n_after"),
+        F.count(F.when(F.col("moved").isNotNull(), 1)).alias("n_moved"),
+    )

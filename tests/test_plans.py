@@ -268,6 +268,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the LSH band rows (d2b posture) and the "
         "|sources|-row totals; docstring documents the shuffle fallback",
     ),
+    "d_split_repair": (
+        {"bounded:documents"},
+        "broadcast side is the LSH band rows (d2b posture, documented "
+        "shuffle fallback past ~10^7 docs)",
+    ),
     "d_split_leakage_audit": (
         {"bounded:documents"},
         "broadcast side is the LSH band rows (aggregate-bounded: k minhashes "
