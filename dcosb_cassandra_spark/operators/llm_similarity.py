@@ -1029,3 +1029,109 @@ def d4i_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_sim"), 6).alias("max_sim"),
         )
     )
+
+
+@query(
+    "d8e_embedding_drift",
+    oracle="""
+        -- per-source embedding drift between the first and second half of
+        -- the corpus (doc_id order standing in for ingest time): centroid
+        -- cosine + L2 shift — the "did my data shift" monitor
+        WITH j AS (
+            SELECT d.source,
+                   CASE WHEN d.doc_id * 2 < (SELECT max(doc_id) + 1 FROM documents)
+                        THEN 'h1' ELSE 'h2' END AS half,
+                   e.embedding::DOUBLE[] AS ve
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        pos AS (
+            SELECT source, half, unnest(ve) AS x, unnest(range(0, 64)) AS i
+            FROM j
+        ),
+        cent AS (
+            SELECT source, half, list(ax ORDER BY i) AS ce, any_value(n) AS n
+            FROM (
+                SELECT source, half, i, avg(x) AS ax, count(*) AS n
+                FROM pos GROUP BY source, half, i
+            ) GROUP BY source, half
+        ),
+        paired AS (
+            SELECT a.source, a.ce AS c1, b.ce AS c2,
+                   a.n AS n_h1, b.n AS n_h2
+            FROM cent a JOIN cent b
+              ON a.source = b.source AND a.half = 'h1' AND b.half = 'h2'
+        )
+        SELECT source, CAST(n_h1 AS BIGINT) AS n_h1, CAST(n_h2 AS BIGINT) AS n_h2,
+               round(list_sum(list_transform(range(1, 65), i -> c1[i] * c2[i]))
+                     / (sqrt(list_sum(list_transform(c1, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c2, x -> x * x)))), 6)
+                   AS centroid_cosine,
+               round(sqrt(list_sum(list_transform(range(1, 65),
+                     i -> (c1[i] - c2[i]) * (c1[i] - c2[i])))), 6) AS l2_shift
+        FROM paired
+    """,
+    tags=("D8", "D30", "D49", "P1"),
+)
+def d8e_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per source, compare the mean-embedding
+    centroid of the corpus's first half against its second half (doc_id
+    order standing in for ingest time) — centroid cosine near 1 and small
+    L2 shift mean the source is stationary; a moving centroid is the
+    first sign a crawler started pulling different content (the check a
+    continuously-ingesting pipeline runs per snapshot, D12's batch
+    companion).
+
+    Scale: one corpus scan computes 64 columnar avgs per (source, half) —
+    partial-aggregatable, one shuffle; the half boundary is a 1-row max
+    aggregate broadcast; the drift math runs on the 2×|sources| centroid
+    rows. Same columnar-centroid recipe as d4e/d8c, bit-identical avg
+    accumulation order vs the SQL twin."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("n_total"))
+    j = (
+        d.join(e, d.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            F.when(F.col("doc_id") * 2 < F.col("n_total"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+            "ve",
+        )
+    )
+    avgs = [F.avg(F.element_at("ve", i + 1)).alias(f"c{i}") for i in range(_EMB_DIM)]
+    cent = (
+        j.groupBy("source", "half")
+        .agg(F.count(F.lit(1)).alias("n"), *avgs)
+        .select(
+            "source",
+            "half",
+            "n",
+            F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("ce"),
+        )
+    )
+    a = cent.filter(F.col("half") == "h1").select(
+        "source", F.col("ce").alias("c1"), F.col("n").alias("n_h1")
+    )
+    b = cent.filter(F.col("half") == "h2").select(
+        "source", F.col("ce").alias("c2"), F.col("n").alias("n_h2")
+    )
+    from ..functions.vectors import dot
+
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("c1"), F.col("c2"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return a.join(b, "source").select(
+        "source",
+        "n_h1",
+        "n_h2",
+        F.round(cosine(F.col("c1"), F.col("c2")), 6).alias("centroid_cosine"),
+        F.round(l2, 6).alias("l2_shift"),
+    )

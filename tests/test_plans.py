@@ -248,6 +248,10 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:events"},
         "broadcast side is the 1-row max-day aggregate (same bound as b36)",
     ),
+    "d8e_embedding_drift": (
+        {"bounded:documents"},
+        "broadcast side is the 1-row max-doc-id half-boundary aggregate",
+    ),
     "d4i_semantic_decontamination": (
         {"bounded:embeddings"},
         "broadcast side is the benchmark set collapsed to ONE collect_list "
