@@ -1394,3 +1394,52 @@ def b41_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.avg("d_us") / hours, 4).alias("mean_hours"),
         )
     )
+
+
+@query(
+    "b42_rolling_series_correlation",
+    oracle="""
+        -- rolling 14-day Pearson correlation between the click and
+        -- purchase daily-count series (the do-these-move-together monitor)
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_buy
+            FROM events GROUP BY 1
+        )
+        SELECT day, CAST(n_click AS BIGINT) AS n_click,
+               CAST(n_buy AS BIGINT) AS n_buy,
+               round(corr(n_click, n_buy) OVER (
+                   ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+               ), 5) AS corr14
+        FROM daily QUALIFY row_number() OVER (ORDER BY day) >= 14
+    """,
+    tags=("B42", "B15", "B34", "P1"),
+)
+def b42_rolling_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day Pearson correlation between two daily event series
+    (clicks vs purchases) — the co-movement monitor behind "did the
+    funnel decouple this week?": correlation near 1 means purchases track
+    clicks; a drop flags a conversion change that neither series' own
+    anomaly score (b34) sees.
+
+    Scale: the window input is the daily ROLLUP (one partial-aggregated
+    shuffle over events, O(days) rows), never raw events — the same
+    pre-aggregate-then-window rule as b34; corr runs as a frame aggregate
+    over ≤14 rows per day. Windows emit only with full 14-day history,
+    and the coefficient rounds at 5dp on both engines."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_buy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    wn = Window.orderBy("day")
+    return (
+        daily.withColumn("corr14", F.round(F.corr("n_click", "n_buy").over(w), 5))
+        .withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") >= 14)
+        .select("day", "n_click", "n_buy", "corr14")
+    )
