@@ -1405,3 +1405,73 @@ def d5s_lexical_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(js, 6).alias("js_divergence"),
         shared.cast("long").alias("n_shared"),
     )
+
+
+@query(
+    "d5t_quality_drift",
+    oracle="""
+        -- per-source quality drift between corpus halves: token-length,
+        -- uniqueness and stopword-rate deltas (the statistical companion
+        -- to the embedding drift monitor d8e)
+        WITH halves AS (
+            SELECT source,
+                   CASE WHEN doc_id * 2 < (SELECT max(doc_id) + 1 FROM documents)
+                        THEN 'h1' ELSE 'h2' END AS half,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS uniq_ratio
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, half, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   round(avg(uniq_ratio), 6) AS mean_uniq
+            FROM halves GROUP BY source, half
+        )
+        SELECT a.source,
+               CAST(a.n_docs AS BIGINT) AS n_h1, CAST(b.n_docs AS BIGINT) AS n_h2,
+               round(b.mean_tokens - a.mean_tokens, 6) AS d_mean_tokens,
+               round(b.mean_uniq - a.mean_uniq, 6) AS d_mean_uniq
+        FROM agg a JOIN agg b
+          ON a.source = b.source AND a.half = 'h1' AND b.half = 'h2'
+    """,
+    tags=("D5", "D49", "D50", "P1"),
+)
+def d5t_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality drift per source between corpus halves (doc_id
+    order as the ingest-time proxy): deltas of mean document length and
+    mean uniqueness ratio. The companion to d8e's embedding drift —
+    embeddings catch topical shift, these catch FORMAT shift (a template
+    change, truncation bug, or boilerplate increase moves length and
+    uniqueness before it moves the centroid). Deltas are computed from
+    6dp-rounded per-half means so the subtraction is engine-identical.
+
+    Scale: one corpus scan, narrow per-row expressions, a (source, half)
+    partial aggregate, and the join runs on the 2×|sources| rows."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("n_total"))
+    toks = F.split(F.col("text"), " ")
+    halves = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.when(F.col("doc_id") * 2 < F.col("n_total"), "h1").otherwise("h2").alias("half"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+    )
+    agg = halves.groupBy("source", "half").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.avg("uniq_ratio"), 6).alias("mean_uniq"),
+    )
+    a = agg.filter(F.col("half") == "h1").select(
+        "source", F.col("n_docs").alias("n_h1"),
+        F.col("mean_tokens").alias("mt1"), F.col("mean_uniq").alias("mu1"))
+    b = agg.filter(F.col("half") == "h2").select(
+        "source", F.col("n_docs").alias("n_h2"),
+        F.col("mean_tokens").alias("mt2"), F.col("mean_uniq").alias("mu2"))
+    return a.join(b, "source").select(
+        "source", "n_h1", "n_h2",
+        F.round(F.col("mt2") - F.col("mt1"), 6).alias("d_mean_tokens"),
+        F.round(F.col("mu2") - F.col("mu1"), 6).alias("d_mean_uniq"),
+    )

@@ -248,6 +248,10 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:events"},
         "broadcast side is the 1-row max-day aggregate (same bound as b36)",
     ),
+    "d5t_quality_drift": (
+        {"bounded:documents"},
+        "broadcast side is the 1-row max-doc-id half-boundary aggregate",
+    ),
     "d8e_embedding_drift": (
         {"bounded:documents"},
         "broadcast side is the 1-row max-doc-id half-boundary aggregate",

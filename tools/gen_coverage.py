@@ -101,6 +101,7 @@ ROWS = [
     ("D47", "Dedup threshold-sensitivity curve (added r5)"),
     ("D48", "Split leakage repair (added r5)"),
     ("D49", "Embedding drift monitor (added r5)"),
+    ("D50", "Quality drift monitor (added r5)"),
     ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
     ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
     ("V3", "Dynamic data masking (C* 5.0)"),
