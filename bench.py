@@ -193,14 +193,17 @@ def main() -> None:
 
     prepare_sec = register_views(spark, names, sf_dir)
 
-    for _ in range(2):  # warm-up: JIT, codegen cache, broadcast reuse
+    for _ in range(3):  # warm-up: JIT, codegen cache, broadcast reuse
         for name in names:
             run_view(spark, name)
 
     times: dict[str, float] = {}
     builds: dict[str, float] = {}
     for name in names:
-        runs = [run_view(spark, name) for _ in range(3)]
+        # best-of-5: this host shows multi-second noise windows (co-tenant
+        # VM); the minimum of 5 is a far stabler estimate of the engine's
+        # actual cost than best-of-3 for ~2 s of extra bench wall
+        runs = [run_view(spark, name) for _ in range(5)]
         best = min(runs, key=lambda be: be[0] + be[1])
         builds[name], times[name] = round(best[0], 4), round(best[0] + best[1], 4)
     total = round(sum(times.values()), 4)
