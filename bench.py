@@ -87,9 +87,9 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
     for name in names:
         run_once(spark, name, sf_dir)  # warm-up, untimed
         b0, e0 = run_once(spark, name, sf_dir)
-        if b0 + e0 < 5.0:
-            runs = [run_once(spark, name, sf_dir) for _ in range(2)]
-            b0, e0 = min(runs + [(b0, e0)], key=lambda be: be[0] + be[1])
+        extra = 2 if b0 + e0 < 5.0 else 1  # best-of-3 light / best-of-2 heavy
+        runs = [run_once(spark, name, sf_dir) for _ in range(extra)]
+        b0, e0 = min(runs + [(b0, e0)], key=lambda be: be[0] + be[1])
         builds[name], times[name] = round(b0, 4), round(b0 + e0, 4)
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -105,11 +105,13 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         best = time.perf_counter() - t0
-        if best < 5.0:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
+        # sub-5s: two more runs (best-of-3); heavy: one more (best-of-2) —
+        # a single heavy sample leaves the suite ratio hostage to one
+        # noise window on either engine
+        for _ in range(2 if best < 5.0 else 1):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
         duck[name] = round(best, 4)
     total, duck_total = round(sum(times.values()), 4), round(sum(duck.values()), 4)
     return {
