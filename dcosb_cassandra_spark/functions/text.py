@@ -41,3 +41,15 @@ def fingerprint(text: Column) -> Column:
     """Order-insensitive bag-of-words fingerprint (sorted distinct tokens →
     md5) — catches shuffled-token duplicates that exact dedup misses."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def hash_split() -> Column:
+    """Deterministic ~80/10/10 train/val/test label from the first md5
+    byte of the frame's ``doc_id`` column — content-stable,
+    engine-identical byte arithmetic (shared by d_split_train_val_test
+    and the leakage audit/repair; the SQL twin lives in each oracle)."""
+    h = F.expr(
+        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
+        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
+    )
+    return F.when(h < 204, "train").when(h < 230, "val").otherwise("test")

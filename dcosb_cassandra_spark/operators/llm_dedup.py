@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..session import spread_width
+from ..functions.text import hash_split
 from ..functions.minhash import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
@@ -50,6 +51,35 @@ def d1_exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("lang").alias("lang"),
     ).drop("text_hash")
+
+
+def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """(id_a, id_b): first-collision MinHash-LSH candidate pairs over a
+    documents frame — the shared candidate generator behind d2b and every
+    audit that consumes its pair set (d2i/d2m/d2n, the split
+    leakage audit + repair). Semantics: 4 bands × 2 rows, pair survives
+    only in its FIRST colliding band (no DISTINCT), probe side spread by
+    cores, build side broadcast (n_docs-bounded; the docstrings document
+    the shuffle-equi-join fallback past ~10⁷ docs)."""
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.repartition(spread_width(spark))
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
 
 
 @query("d2_minhash_signatures", oracle=minhash_oracle_sql(), tags=("D2", "P1"))
@@ -128,25 +158,7 @@ def d2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB endpoint; this operator is the verified-pairs building
     block."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spread_width(spark))
-    a, b = probe.alias("a"), bands.alias("b")
-    dup_enum = first_collision_only(
-        F.col("a.band_idx"),
-        DEFAULT_BANDS,
-        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
-    )
-    cand = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(~dup_enum)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    cand = lsh_candidate_pairs(spark, d)
     ts = d.select(
         "doc_id",
         F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
@@ -619,25 +631,7 @@ def d2i_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric joins shuffle only (id_a, id_b) pair keys; counts are single
     partial aggregates."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spread_width(spark))
-    a, b = probe.alias("a"), bands.alias("b")
-    dup_enum = first_collision_only(
-        F.col("a.band_idx"),
-        DEFAULT_BANDS,
-        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
-    )
-    cand = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(~dup_enum)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    cand = lsh_candidate_pairs(spark, d)
     attrs = d.select("doc_id", "lang", "source")
     aa = attrs.select(
         F.col("doc_id").alias("id_a"),
@@ -934,11 +928,7 @@ def d_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair-enumeration caveat is d2b's: quadratic per dup cluster,
     bounded by cluster-level dedup upstream (d2f) in a real pipeline."""
     d = table(spark, sf_dir, "documents")
-    h = F.expr(
-        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
-        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
-    )
-    split = F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    split = hash_split()
     sp = d.select("doc_id", split.alias("split"), F.sha2(F.col("text"), 256).alias("th"))
     sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"),
                    F.col("th").alias("th_a"))
@@ -954,25 +944,7 @@ def d_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.lit("exact").alias("kind"), "split_lo", "split_hi", "n_pairs")
     )
-    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spread_width(spark))
-    a, b = probe.alias("a"), bands.alias("b")
-    dup_enum = first_collision_only(
-        F.col("a.band_idx"),
-        DEFAULT_BANDS,
-        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
-    )
-    cand = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(~dup_enum)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    cand = lsh_candidate_pairs(spark, d)
     spl = sp.select("doc_id", "split")
     nd = (
         cand.join(spl.withColumnRenamed("doc_id", "id_a")
@@ -1130,25 +1102,7 @@ def d2m_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id equi-joins; the matrix is |sources|²-bounded, and the totals
     join runs on those few rows."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spread_width(spark))
-    a, b = probe.alias("a"), bands.alias("b")
-    dup_enum = first_collision_only(
-        F.col("a.band_idx"),
-        DEFAULT_BANDS,
-        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
-    )
-    cand = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(~dup_enum)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    cand = lsh_candidate_pairs(spark, d)
     src = d.select("doc_id", "source")
     pairs = (
         cand.join(src.withColumnRenamed("doc_id", "id_a")
@@ -1230,25 +1184,7 @@ def d2n_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify), then a 4-row threshold grid explodes against the tiny
     per-pair scores — the corpus is never re-verified per threshold."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spread_width(spark))
-    a, b = probe.alias("a"), bands.alias("b")
-    dup_enum = first_collision_only(
-        F.col("a.band_idx"),
-        DEFAULT_BANDS,
-        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
-    )
-    cand = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(~dup_enum)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    cand = lsh_candidate_pairs(spark, d)
     ts = d.select(
         "doc_id",
         F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
@@ -1324,11 +1260,16 @@ def d2n_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN m.doc_id IS NOT NULL THEN 'train'
                         ELSE sp.split END AS split_after
             FROM sp LEFT JOIN movers m ON m.doc_id = sp.doc_id
-        )
-        SELECT split_before AS split, count(*) AS n_before,
-               count(*) FILTER (WHERE split_after = split_before) AS n_after,
-               count(*) FILTER (WHERE split_after <> split_before) AS n_moved
-        FROM final GROUP BY split_before
+        ),
+        before AS (SELECT split_before AS split, count(*) AS n_before,
+                          count(*) FILTER (WHERE split_after <> split_before)
+                              AS n_moved_out
+                   FROM final GROUP BY split_before),
+        after AS (SELECT split_after AS split, count(*) AS n_after
+                  FROM final GROUP BY split_after)
+        SELECT b.split, b.n_before, coalesce(a.n_after, 0) AS n_after,
+               b.n_moved_out
+        FROM before b LEFT JOIN after a ON a.split = b.split
     """.replace("{MINHASH_SQL}", minhash_oracle_sql()),
     tags=("D43", "D22", "D48", "P1"),
 )
@@ -1348,11 +1289,7 @@ def d_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive chains through a third split resolve via d2f's clusters
     when full-family isolation is required."""
     d = table(spark, sf_dir, "documents")
-    h = F.expr(
-        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
-        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
-    )
-    split = F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    split = hash_split()
     sp = d.select("doc_id", split.alias("split"), F.sha2(F.col("text"), 256).alias("th"))
     sa = sp.select(F.col("doc_id").alias("id_a"), F.col("th").alias("th_a"))
     sb = sp.select(F.col("doc_id").alias("id_b"), F.col("th").alias("th_b"))
@@ -1360,25 +1297,7 @@ def d_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa.join(sb, (F.col("th_a") == F.col("th_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
     )
-    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
-    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
-    probe = bands.repartition(spread_width(spark))
-    a, b = probe.alias("a"), bands.alias("b")
-    dup_enum = first_collision_only(
-        F.col("a.band_idx"),
-        DEFAULT_BANDS,
-        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
-    )
-    nd = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(~dup_enum)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    nd = lsh_candidate_pairs(spark, d)
     pairs = ex.unionByName(nd).distinct()
     spl = sp.select("doc_id", "split")
     leaky = (
@@ -1396,9 +1315,26 @@ def d_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split") != "train")
         .select("doc_id")
     )
-    final = spl.join(movers.withColumn("moved", F.lit(1)), "doc_id", "left")
-    return final.groupBy(F.col("split").alias("split")).agg(
+    final = spl.join(movers.withColumn("moved", F.lit(1)), "doc_id", "left").select(
+        F.col("split").alias("split_before"),
+        F.when(F.col("moved").isNotNull(), "train")
+        .otherwise(F.col("split"))
+        .alias("split_after"),
+    )
+    # n_after counts by DESTINATION split, so train is credited with the
+    # absorbed movers and the three n_after values sum to the corpus
+    before = final.groupBy(F.col("split_before").alias("split")).agg(
         F.count(F.lit(1)).alias("n_before"),
-        F.count(F.when(F.col("moved").isNull(), 1)).alias("n_after"),
-        F.count(F.when(F.col("moved").isNotNull(), 1)).alias("n_moved"),
+        F.count(F.when(F.col("split_after") != F.col("split_before"), 1)).alias(
+            "n_moved_out"
+        ),
+    )
+    after = final.groupBy(F.col("split_after").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    return before.join(after, "split", "left").select(
+        "split",
+        "n_before",
+        F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+        "n_moved_out",
     )

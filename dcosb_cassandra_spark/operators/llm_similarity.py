@@ -364,13 +364,6 @@ def _with_centroid_bucket(df: DataFrame, cent: DataFrame) -> DataFrame:
     ).drop("cents")
 
 
-def _centroid_assignments(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, bucket): nearest-centroid id per vector — thin wrapper over
-    :func:`_with_centroid_bucket` (map-stage argmin, no shuffle)."""
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
-    return _with_centroid_bucket(e, cent).select("vec_id", "bucket")
-
-
 @query(
     "d4d_ivf_probe_knn",
     oracle=f"""
@@ -1017,6 +1010,10 @@ def d4i_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         corpus.crossJoin(F.broadcast(bench))
+        # empty benchmark => the oracle's CROSS JOIN yields zero rows;
+        # without this filter Spark would emit every corpus row with a
+        # NULL max_sim instead
+        .filter(F.size(F.col("bset")) > 0)
         .select("vec_id", max_sim.alias("max_sim"))
     )
     d = table(spark, sf_dir, "documents").select("doc_id", "source")

@@ -16,6 +16,7 @@ from ..functions.text import (
     SENTIMENT_LEXICON,
     STOPWORDS,
     fingerprint,
+    hash_split,
     stopword_hits,
     tokens,
 )
@@ -299,13 +300,7 @@ def d_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, engines, and re-partitioning; never random() (which breaks
     resumability at scale). Identical byte arithmetic on both engines."""
     d = table(spark, sf_dir, "documents")
-    h = F.expr(
-        "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
-        " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1))) - 17"
-    )
-    split = (
-        F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
-    )
+    split = hash_split()
     return d.select(split.alias("split"), "n_chars").groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
     )
@@ -1378,8 +1373,21 @@ def d5s_lexical_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = p.join(F.broadcast(tot), "source").select(
         "source", "rn", (F.col("n") / F.col("tn")).alias("pr")
     )
-    ms = dist.groupBy("source").agg(
-        F.map_from_arrays(F.collect_list("rn"), F.collect_list("pr")).alias("m")
+    # every DISTINCT source gets a row even when none of its tokens reach
+    # the top-V vocab (empty map -> all-zero distribution): the oracle
+    # emits those pairs with js=0, so dropping them would diverge
+    srcs = d.select("source").distinct()
+    ms = srcs.join(
+        dist.groupBy("source").agg(
+            F.map_from_arrays(F.collect_list("rn"), F.collect_list("pr")).alias("m")
+        ),
+        "source",
+        "left",
+    ).select(
+        "source",
+        F.coalesce(F.col("m"), F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<double>")
+        )).alias("m"),
     )
     a = ms.select(F.col("source").alias("source_a"), F.col("m").alias("ma"))
     b = ms.select(F.col("source").alias("source_b"), F.col("m").alias("mb"))

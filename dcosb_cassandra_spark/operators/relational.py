@@ -993,6 +993,25 @@ def b36_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_daily_sketches(daily: DataFrame) -> DataFrame:
+    """(window_end, dau7_approx): 7-day rolling HLL merge over a
+    (day_num, sk) daily-sketch frame — shared by the batch pipeline
+    (b36b) and the streamed sink (c13) so the two are identical BY
+    CONSTRUCTION, not by parallel evolution. Each day's sketch votes
+    into the 7 windows ending on days d..d+6; windows emit only with a
+    full 7-day history (1-row max-day broadcast bound)."""
+    bounds = daily.agg(F.max("day_num").alias("max_day"))
+    votes = daily.select(
+        "day_num", "sk", F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
+    ).select((F.col("day_num") + F.col("off")).alias("window_end"), "sk")
+    return (
+        votes.crossJoin(F.broadcast(bounds))
+        .filter((F.col("window_end") >= 6) & (F.col("window_end") <= F.col("max_day")))
+        .groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_approx"))
+    )
+
+
 @query("b36b_rolling_dau_hll", oracle=None, tags=("B36", "B11", "P1", "rows-only"))
 def b36b_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-merged 7-day rolling distinct actives — the 100 TB form of
@@ -1023,16 +1042,7 @@ def b36b_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_num")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
-    bounds = daily.agg(F.max("day_num").alias("max_day"))
-    votes = daily.select(
-        "day_num", "sk", F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
-    ).select((F.col("day_num") + F.col("off")).alias("window_end"), "sk")
-    return (
-        votes.crossJoin(F.broadcast(bounds))
-        .filter((F.col("window_end") >= 6) & (F.col("window_end") <= F.col("max_day")))
-        .groupBy("window_end")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_approx"))
-    )
+    return merge_daily_sketches(daily)
 
 
 @query(

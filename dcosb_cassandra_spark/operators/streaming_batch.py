@@ -547,17 +547,9 @@ def c13_rolling_dau_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     name = _sink_name("c13_sink")
     q = c8_write_stream(c13_daily_sketch_stream(ev), name, output_mode="complete")
     q.awaitTermination(120)
-    sk = spark.table(name)
-    bounds = sk.agg(F.max("day_num").alias("max_day"))
-    votes = sk.select(
-        "day_num", "sk", F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
-    ).select((F.col("day_num") + F.col("off")).alias("window_end"), "sk")
-    return (
-        votes.crossJoin(F.broadcast(bounds))
-        .filter((F.col("window_end") >= 6) & (F.col("window_end") <= F.col("max_day")))
-        .groupBy("window_end")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_approx"))
-    )
+    from .relational import merge_daily_sketches
+
+    return merge_daily_sketches(spark.table(name))
 
 
 @query(
@@ -571,10 +563,14 @@ def c5b_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     append memory sink, graded against SQL DISTINCT. The output projects
     the KEY columns only — which physical row survives dedup depends on
     arrival order (a property of the stream, not the data), but the
-    surviving key SET is arrival-order-independent and must equal the
-    batch distinct exactly. Watermark-scoped state is the 100 TB story:
-    the store holds only keys younger than the watermark, not all
-    history."""
+    surviving key SET is arrival-order-independent and equals the batch
+    distinct exactly FOR THIS REPLAY (the staged source is one file =
+    one micro-batch, so no key outlives the watermark mid-stream; with
+    multi-batch sources dropDuplicatesWithinWatermark legitimately
+    re-admits keys whose prior occurrence aged out — watermark-SCOPED
+    dedup is the contract, and that bounded state is the 100 TB point:
+    the store holds only keys younger than the watermark, never all
+    history)."""
     from ..session import ensure_engine_conf
     from ..streaming.streams import (
         c5_dedup_stream,

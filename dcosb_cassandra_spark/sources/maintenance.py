@@ -117,11 +117,17 @@ def zorder_rewrite(
         F.min(F.col(col_b).cast("bigint")),
         F.max(F.col(col_b).cast("bigint")),
     ).first()
-    top = (1 << bits) - 1
+    if lo_a is None or lo_b is None:  # empty source: copy through unchanged
+        df.write.mode("overwrite").parquet(dst_path)
+        return
+    top = float((1 << bits) - 1)
 
     def norm(c, lo, hi):
-        span = max(1, hi - lo)
-        return ((F.col(c).cast("bigint") - F.lit(lo)) * top) / F.lit(span)
+        # double math: (col - lo) * int_top could overflow int64 for
+        # wide domains (e.g. epoch-micros); layout quality doesn't need
+        # exact integer normalization, only monotone bucketing
+        span = float(max(1, hi - lo))
+        return (F.col(c).cast("double") - float(lo)) * (top / span)
 
     z = morton_interleave(
         F.floor(norm(col_a, lo_a, hi_a)).cast("bigint"),

@@ -57,7 +57,10 @@ REPRESENTATIVE = [
 
 
 def _digest(df) -> tuple[int, str]:
-    rows = [tuple(r) for r in df.collect()]
+    rows = [
+        tuple(round(c, 5) if isinstance(c, float) else c for c in r)
+        for r in df.collect()
+    ]
     canon = canon_rows(rows, len(df.columns), df.columns)
     return len(rows), hashlib.md5(repr(canon).encode()).hexdigest()
 

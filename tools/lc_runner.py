@@ -47,7 +47,10 @@ def main() -> None:
     out = {}
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
-        rows = [tuple(r) for r in df.collect()]
+        rows = [
+            tuple(round(c, 5) if isinstance(c, float) else c for c in r)
+            for r in df.collect()
+        ]
         canon = canon_rows(rows, len(df.columns), df.columns)
         digest = hashlib.md5(repr(canon).encode()).hexdigest()
         out[name] = {"rows": len(rows), "digest": digest}
