@@ -262,9 +262,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "row (key-bounded: vec_id < 5; a real benchmark is fixed-size)",
     ),
     "d5s_lexical_divergence": (
-        {"bounded:documents"},
-        "broadcast sides are the two-phase top-V vocab (V=200 rows) and "
-        "the |sources|-row totals — both aggregate-bounded at any SF",
+        {"bounded:documents", "documents"},
+        "broadcast sides are the two-phase top-V vocab (V=200 rows), the "
+        "|sources|-row totals, and the |sources|-row distribution-map "
+        "frame (distinct sources LEFT JOIN the per-source maps — the "
+        "audit's boundedness walk doesn't see through the outer join, "
+        "but the row bound is |sources| at any SF)",
     ),
     "d2n_dedup_threshold_curve": (
         {"documents", "bounded:documents"},
