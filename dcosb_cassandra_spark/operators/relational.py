@@ -1453,3 +1453,70 @@ def b42_rolling_series_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("_rn") >= 14)
         .select("day", "n_click", "n_buy", "corr14")
     )
+
+
+@query(
+    "b43_session_bounce_rate",
+    oracle="""
+        -- daily bounce rate: share of 30-min-gap sessions with exactly
+        -- one event, keyed by the session's START day
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT day, count(*) AS n_sessions,
+               count(*) FILTER (WHERE n_events = 1) AS n_bounced,
+               round(count(*) FILTER (WHERE n_events = 1) * 1.0
+                     / count(*), 6) AS bounce_rate
+        FROM sessions GROUP BY day
+    """,
+    tags=("B43", "C3", "B9", "P1"),
+)
+def b43_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session bounce rate — the session-level KPI on top of the C3
+    machinery: sessionize with the 30-minute-gap rule (gaps-and-islands,
+    same semantics as c3/c3c), then per day-of-session-start report the
+    share of single-event sessions. A rising bounce rate is the classic
+    engagement regression signal that event-level counts hide.
+
+    Scale: one user-keyed window pass over events (the C3 shape — state
+    per user is a lag + running sum), session collapse is a
+    partial-aggregatable groupBy on (user, session), and the daily rollup
+    is O(days) rows."""
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    # exact microseconds: a seconds cast truncates each endpoint, so a
+    # 1799.7s gap straddling second boundaries would read as 1800
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    new_session = F.when(
+        F.lag("ts").over(wu).isNull() | (gap >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    numbered = e.select("user_id", "ts", new_session.alias("ns")).withColumn(
+        "session_id",
+        F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounced"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)) / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )

@@ -71,6 +71,7 @@ ROWS = [
     ("B40", "Cohort retention decay fit (added r5)"),
     ("B41", "Funnel latency percentiles (added r5)"),
     ("B42", "Rolling series correlation (added r5)"),
+    ("B43", "Session bounce rate (added r5)"),
     ("C10", "Stream-stream interval join (added r5)"),
     ("C12", "CDC change feed (added r5)"),
     ("C13", "Streaming sketch distinct / live DAU (added r5)"),
