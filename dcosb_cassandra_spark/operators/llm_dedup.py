@@ -980,22 +980,28 @@ def d_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lab AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
         q AS (
+            -- quality in exact integer micro-units: floor-divided, so no
+            -- float rounding tie can diverge between engines
             SELECT doc_id,
-                   round(len(list_distinct(string_split(text, ' '))) * 1.0
-                         / len(string_split(text, ' ')), 6) AS q
+                   (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    * 1000000) // len(string_split(text, ' ')) AS qi
             FROM documents
         ),
-        j AS (SELECT l.cluster_id, l.doc_id, q.q,
-                     CAST(round(q.q * 1000000, 0) AS BIGINT) AS qi
+        j AS (SELECT l.cluster_id, l.doc_id, q.qi
               FROM lab l JOIN q ON q.doc_id = l.doc_id)
-        SELECT cluster_id, n_members, doc_id AS keeper_id, q AS keeper_q,
-               round(qi_sum * 1.0 / (n_members * 1000000), 6) AS mean_q
+        SELECT cluster_id, n_members, doc_id AS keeper_id,
+               round(qi * 1.0 / 1000000, 6) AS keeper_q,
+               -- mean floor-divided to integer micro-units FIRST: a raw
+               -- qi_sum/n can land exactly on a .5 at the 6th decimal,
+               -- where Spark (decimal HALF_UP) and DuckDB (float round)
+               -- disagree
+               round((qi_sum // n_members) * 1.0 / 1000000, 6) AS mean_q
         FROM (
-            SELECT cluster_id, doc_id, q,
+            SELECT cluster_id, doc_id, qi,
                    count(*) OVER (PARTITION BY cluster_id) AS n_members,
                    sum(qi) OVER (PARTITION BY cluster_id) AS qi_sum,
                    row_number() OVER (PARTITION BY cluster_id
-                                      ORDER BY q DESC, doc_id) AS rn
+                                      ORDER BY qi DESC, doc_id) AS rn
             FROM j
         ) WHERE rn = 1
     """,
@@ -1018,29 +1024,31 @@ def d2l_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = d2f_dup_clusters(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    q = F.round(F.size(F.array_distinct(words)) / F.size(words), 6)
-    scored = labels.join(d.select("doc_id", q.alias("q")), "doc_id")
-    # mean quality in exact integer micro-units: a float avg's 6th decimal
-    # can flip with summation order between engines (SURVEY §5.2(4))
-    qi = F.round(F.col("q") * 1000000, 0).cast("long")
-    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id"))).alias("best")
+    # quality in exact integer micro-units end-to-end: floor-divided
+    # bigints, so neither a float sum NOR a .5-boundary rounding tie
+    # (HALF_UP vs float rint on e.g. p/128 ratios) can diverge between
+    # engines — both bit the oracle hash before (SURVEY §5.2(4))
+    qi = F.expr(
+        "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000)"
+        " div size(split(text, ' '))"
+    )
+    scored = labels.join(d.select("doc_id", qi.alias("qi")), "doc_id")
+    best = F.max(F.struct(F.col("qi"), (-F.col("doc_id")).alias("neg_id"))).alias("best")
     return (
         scored.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sum(qi).alias("qi_sum"),
+            F.sum("qi").alias("qi_sum"),
             best,
         )
-        .withColumn(
-            "mean_q", F.round(F.col("qi_sum") / (F.col("n_members") * 1000000.0), 6)
-        )
-        .drop("qi_sum")
         .select(
             "cluster_id",
             "n_members",
             (-F.col("best.neg_id")).cast("long").alias("keeper_id"),
-            F.col("best.q").alias("keeper_q"),
-            "mean_q",
+            F.round(F.col("best.qi") / 1000000.0, 6).alias("keeper_q"),
+            F.round(
+                F.expr("qi_sum div n_members") / 1000000.0, 6
+            ).alias("mean_q"),
         )
     )
 
