@@ -458,9 +458,14 @@ def c12b_cdc_stream_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     and graded against the SAME oracle as batch c12 — proving the
     changefeed a streaming consumer accumulates equals the batch delta.
 
-    Scale: the per-batch collect is the per-key WINNER SET — O(keys),
-    never O(mutations) — the same boundedness argument as c9c's view
-    maintenance; a production consumer would hold it in a keyed store."""
+    Scale: the state never touches the driver. Each micro-batch APPENDS
+    its per-key winner set (O(batch keys) rows, partial-aggregated
+    map-side) to a keyed parquet state store, and the final states are a
+    distributed struct-max groupBy over the store — the same associative
+    merge, executed as one shuffle over O(keys x batches) winner rows.
+    A production consumer would compact the store per batch (Delta MERGE
+    or transformWithState); append-then-merge is the same algebra with
+    the compaction deferred to read time."""
     from ..session import ensure_engine_conf
     from ..streaming.streams import read_events_stream
     from .streaming_batch import _stage_stream_dir
@@ -487,41 +492,28 @@ def c12b_cdc_stream_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    state1: dict = {}
-    state2: dict = {}
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="c12b_keyed_state_")
 
     def merge(batch_df: DataFrame, _bid: int) -> None:
-        rows = batch_df.groupBy("user_id").agg(
+        # winner set per key for THIS batch only — O(batch keys) rows,
+        # written distributed; nothing is collected to the driver.
+        batch_df.groupBy("user_id").agg(
             state_at(_CDC_T1).alias("s1"), state_at(_CDC_T2).alias("s2")
-        ).collect()
-        for r in rows:
-            for st, s in ((state1, r.s1), (state2, r.s2)):
-                if s is None:
-                    continue
-                cur = st.get(r.user_id)
-                if cur is None or (s.writetime, s.mutation_id) > (cur[0], cur[1]):
-                    st[r.user_id] = (
-                        s.writetime,
-                        s.mutation_id,
-                        s.tombstone,
-                        s.payload_type,
-                        s.payload,
-                    )
+        ).write.mode("append").parquet(state_dir)
 
     q = log.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination(120)
 
-    schema = (
-        "user_id long, writetime long, mutation_id long, tombstone boolean, "
-        "payload_type string, payload double"
+    # Distributed compaction: struct max is lexicographic on (writetime,
+    # mutation_id, ...) and (writetime, mutation_id) is unique, so the
+    # max of per-batch winners IS the global LWW winner.
+    agg = (
+        spark.read.parquet(state_dir)
+        .groupBy("user_id")
+        .agg(F.max("s1").alias("s1"), F.max("s2").alias("s2"))
     )
-    s1 = spark.createDataFrame(
-        [(k, *v) for k, v in state1.items()], schema
-    ).select("user_id", F.struct("writetime", "mutation_id", "tombstone", "payload_type", "payload").alias("s1"))
-    s2 = spark.createDataFrame(
-        [(k, *v) for k, v in state2.items()], schema
-    ).select("user_id", F.struct("writetime", "mutation_id", "tombstone", "payload_type", "payload").alias("s2"))
-    agg = s2.join(s1, "user_id", "left")
     live1 = F.col("s1").isNotNull() & ~F.col("s1.tombstone")
     live2 = F.col("s2").isNotNull() & ~F.col("s2.tombstone")
     changed = (F.col("s1.payload") != F.col("s2.payload")) | (

@@ -57,67 +57,70 @@ _OPERATOR_MODULES = (
 #: a_repair_merkle_ranges, d4i_semantic_decontamination,
 #: d_split_leakage_audit (oracle-verified at sf0.01+sf0.1 this session)
 #: and the rows-only b36b_rolling_dau_hll (pytest accuracy gate).
+#: Fifth rotation (r6): the FINAL backlog-closing window — exactly the 50
+#: queries never graded in ANY of rounds 1-5 (tools/graded_history.json
+#: tracks the ever-graded set; tests/test_entry.py enforces that every
+#: never-graded name rotates in before any green name may re-appear).
+#: 46 carry full DuckDB oracles; 4 are rows-only BY DESIGN (b36b/c13 HLL
+#: sketch estimates, d2g/d4c MLlib twins) and spend their slot on the
+#: weaker rows-check deliberately — after this window every registered
+#: query has driver evidence of the strongest kind it supports.
 _DRIVER_WINDOW = (
-    # CQL variants never graded before r5 (A11/A28/A29 + partition stats)
-    "a11b_map_contains_key",
-    "a28b_variant_json",
-    "a29b_timeuuid_ordering",
-    "a_partition_stats",
-    # B-layer variants never graded before r5 (B25/B27/B28)
-    "b25b_string_functions_2",
-    "b27b_bitwise_ops",
-    "b28b_bool_aggregates",
-    # new r5 D-layer ops: semantic dedup + text-curation + outlier suite
-    "d2h_semdedup",
-    "d4e_domain_outliers",
-    "d5l_vocab_growth",
-    "d5m_gopher_rules",
-    # B9-family approx stats (rest of the stats suite went green in r4 and
-    # rotated out mid-r5 for the five operators added after the first
-    # r5 window was cut: C12 CDC + D23-D25 + the floor() grouping)
-    "b_approx_percentiles",
-    "a16b_group_by_floor",
-    "c12_cdc_change_feed",
-    "d4f_ann_recall_eval",
-    "d5n_unigram_entropy",
-    "d14c_temperature_mixing",
-    # CQL surface still ungraded (A5/A6/static)
-    "a05b_token_murmur3_scan",
-    "a06b_page_state_scan",
-    "a_static_column",
-    # streaming twins (C1/C3 variants + C6/C7) + NEW C8/C9/D12 sink twins
-    "c1b_gap_filled_hours",
-    "c1c_ohlc_downsample",
-    "c3b_session_funnel",
-    "c6_stateful_running_counts",
-    "c7_stream_static_join",
-    "c8b_sink_roundtrip",
-    "c9c_view_parity",
-    "c10b_interval_join_replay",
-    "c11b_ingest_replay",
-    # LLM training-pipeline layer (D9-D22 + splits/samples)
-    "d1b_incremental_dedup",
-    "d4d_ivf_probe_knn",
-    "d_split_train_val_test",
-    "d_split_stratified",
-    "d_systematic_sample",
-    "d5g_pii_redaction",
-    "d5h_benchmark_decontamination",
-    "d5i_repetition_scores",
-    "d5j_char_bigram_logprob",
-    "d5k_bpe_merge_candidates",
-    "d7c_resize_frame_sample",
-    "d13_sequence_packing",
-    "d13b_sequence_packing_subsharded",
-    "d14_domain_mixing",
-    "d14b_domain_upsampling",
-    "d15_length_buckets",
-    "d16_substring_dedup",
-    "d17_kmeans_lloyd",
-    # Cassandra 5.0 vector / masking surface (V1-V3)
-    "v01_similarity_functions",
-    "v02_ann_order_by",
-    "v03_data_masking",
+    # A35 analytic repair/lifecycle surface + AS-OF snapshot
+    "a_repair_merkle_ranges",
+    "a_tombstone_gc_report",
+    "a_snapshot_as_of",
+    # B32-B43 analytics pack
+    "b32_zorder_layout_eval",
+    "b33_cohort_retention",
+    "b34_rolling_zscore_anomalies",
+    "b35_touch_attribution",
+    "b36_rolling_dau",
+    "b36b_rolling_dau_hll",
+    "b37_funnel_conversion",
+    "b38_path_transitions",
+    "b39_join_skew_report",
+    "b40_retention_decay_fit",
+    "b41_funnel_latency_percentiles",
+    "b42_rolling_series_correlation",
+    "b43_session_bounce_rate",
+    # graded streaming replays (C1/C2/C3/C5/C6 as ACTUAL streams) + CDC
+    # consumer + sketch replay
+    "c1d_tumbling_replay",
+    "c2c_sliding_replay",
+    "c3c_session_replay",
+    "c5b_dedup_replay",
+    "c6c_stateful_replay",
+    "c12b_cdc_stream_consumer",
+    "c13_rolling_dau_sketch_replay",
+    # D-layer curation/eval ops added late r5
+    "d13c_context_chunking",
+    "d13d_boundary_packing",
+    "d14d_token_budget_mixing",
+    "d2g_mllib_minhash_pairs",
+    "d2i_lsh_dedup_eval",
+    "d2j_dup_graph_stats",
+    "d2k_triangle_count",
+    "d2l_cluster_quality_keeper",
+    "d2m_cross_source_dup_matrix",
+    "d2n_dedup_threshold_curve",
+    "d4c_mllib_random_projection_knn",
+    "d4g_pq_encoding",
+    "d4h_pq_adc_eval",
+    "d4i_semantic_decontamination",
+    "d5o_text_normalization",
+    "d5q_oov_rate",
+    "d5r_zipf_slope",
+    "d5s_lexical_divergence",
+    "d5t_quality_drift",
+    "d7d_audio_frame_energy",
+    "d8c_domain_affinity",
+    "d8d_matryoshka_eval",
+    "d8e_embedding_drift",
+    "d_dataset_card",
+    "d_quality_weighted_sample",
+    "d_split_leakage_audit",
+    "d_split_repair",
 )
 
 
