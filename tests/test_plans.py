@@ -100,15 +100,9 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "skew guard: a broadcast probe keeps the dominant bucket's pair "
         "enumeration spread across the round-robin partitions",
     ),
-    "d2h_semdedup": (
-        {"embeddings", "bounded:embeddings"},
-        "broadcast sides are the per-label centroid codebook groupBy(label) "
-        "(exactly |labels| rows at any SF, same bound as d4b/d4d) and the "
-        "assigned-vector build side of the within-cluster pair join — "
-        "n_corpus rows of 64-dim doubles, the d2b posture: docstring "
-        "documents dropping the hint past broadcastability, where the "
-        "identical plan runs as a cluster-bucketed shuffle join",
-    ),
+    # d2h_semdedup no longer hints anything: r6 replaced the broadcast
+    # self-join with the SemDeDup-paper per-cluster Gram (applyInPandas
+    # after one shuffle by cluster) — no broadcast side exists.
     "b35_touch_attribution": (
         {"bounded:events"},
         "broadcast side is the 1-row grand-total aggregate of the "
@@ -166,11 +160,6 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is groupBy(label) centroid means: exactly |labels| = 5 "
         "rows at any SF (labels are a fixed enum)",
     ),
-    "d4d_ivf_probe_knn": (
-        {"bounded:embeddings"},
-        "broadcast side is the IVF codebook groupBy(label): exactly |labels| = 5 "
-        "centroid rows at any SF",
-    ),
     "d5e_tfidf_top_terms": (
         {"bounded:documents"},
         "broadcast side is agg(count(*)): exactly 1 row at any SF "
@@ -208,9 +197,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
     ),
     "d4d_ivf_probe_knn": (
-        {"bounded:embeddings", "embeddings"},
-        "broadcast sides are the k-row centroid codebook and the query set "
-        "(vec_id < 5: key-bounded to ≤5 rows at any SF)",
+        {"bounded:local_rows"},
+        "broadcast side is the 5-row literal query set (vec_id < 5 collected "
+        "at plan build, buckets assigned driver-side against the "
+        "materialized codebook — d3's folded-literal-query pattern); the "
+        "codebook itself is a captured UDF constant, never a join side",
     ),
     "d14b_domain_upsampling": (
         {"bounded:documents", "bounded:local_rows"},
