@@ -458,14 +458,20 @@ def c12b_cdc_stream_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     and graded against the SAME oracle as batch c12 — proving the
     changefeed a streaming consumer accumulates equals the batch delta.
 
-    Scale: the state never touches the driver. Each micro-batch APPENDS
+    Scale: the state never touches the driver — each micro-batch APPENDS
     its per-key winner set (O(batch keys) rows, partial-aggregated
     map-side) to a keyed parquet state store, and the final states are a
     distributed struct-max groupBy over the store — the same associative
     merge, executed as one shuffle over O(keys x batches) winner rows.
     A production consumer would compact the store per batch (Delta MERGE
     or transformWithState); append-then-merge is the same algebra with
-    the compaction deferred to read time."""
+    the compaction deferred to read time. The store root comes from
+    SPARK_GRAFT_STATE_DIR (default: the local tmpdir — fine on this
+    single-host harness, but on a multi-node cluster it MUST be shared
+    storage reachable by every executor, e.g. an HDFS/S3 checkpoint
+    path, or each executor appends to its own local disk and the merge
+    read misses data). The raw append store is deleted right after
+    compaction and the compacted store at interpreter exit."""
     from ..session import ensure_engine_conf
     from ..streaming.streams import read_events_stream
     from .streaming_batch import _stage_stream_dir
@@ -492,9 +498,13 @@ def c12b_cdc_stream_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    import atexit
+    import os
+    import shutil
     import tempfile
 
-    state_dir = tempfile.mkdtemp(prefix="c12b_keyed_state_")
+    state_root = os.environ.get("SPARK_GRAFT_STATE_DIR") or tempfile.gettempdir()
+    state_dir = tempfile.mkdtemp(prefix="c12b_keyed_state_", dir=state_root)
 
     def merge(batch_df: DataFrame, _bid: int) -> None:
         # winner set per key for THIS batch only — O(batch keys) rows,
@@ -508,12 +518,28 @@ def c12b_cdc_stream_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Distributed compaction: struct max is lexicographic on (writetime,
     # mutation_id, ...) and (writetime, mutation_id) is unique, so the
-    # max of per-batch winners IS the global LWW winner.
+    # max of per-batch winners IS the global LWW winner. The explicit
+    # schema keeps a zero-micro-batch replay (empty events stream → no
+    # parquet files under state_dir) an empty feed rather than a
+    # schema-inference error.
+    _winner = (
+        "struct<writetime:bigint,mutation_id:bigint,"
+        "tombstone:boolean,payload_type:string,payload:double>"
+    )
     agg = (
-        spark.read.parquet(state_dir)
+        spark.read.schema(f"user_id bigint, s1 {_winner}, s2 {_winner}")
+        .parquet(state_dir)
         .groupBy("user_id")
         .agg(F.max("s1").alias("s1"), F.max("s2").alias("s2"))
     )
+    # Compact the append store (production: per-batch Delta MERGE), drop
+    # the raw appends now, and the compacted store at exit — the returned
+    # plan reads only the compacted store.
+    compact_dir = state_dir + "_compacted"
+    agg.write.mode("overwrite").parquet(compact_dir)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, compact_dir, ignore_errors=True)
+    agg = spark.read.parquet(compact_dir)
     live1 = F.col("s1").isNotNull() & ~F.col("s1.tombstone")
     live2 = F.col("s2").isNotNull() & ~F.col("s2.tombstone")
     changed = (F.col("s1.payload") != F.col("s2.payload")) | (

@@ -457,8 +457,6 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized codebook — d3's folded-literal-query pattern — so the
     corpus is scanned exactly once; a production ANN service holds the
     query batch in hand the same way."""
-    import os
-
     cb = _codebook(spark, sf_dir)
     rows = sorted(cb, key=lambda r: r.cand)
     cands = [r.cand for r in rows]
@@ -701,10 +699,10 @@ def d8c_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates of each other in embedding space and which add
     diversity.
 
-    Scale: the corpus collapses to a k-row codebook in ONE partial
-    aggregate (the `_label_centroids` 64-column avg — no posexplode);
-    everything after is a k x k self-join on k rows. 100 TB in, k² tiny
-    rows out."""
+    Scale: the corpus collapses to a k-row codebook via `_label_centroids`
+    (posexplode → per-(label, dim) partial agg, map-side combined before
+    the shuffle); everything after is a k x k self-join on k rows.
+    100 TB in, k² tiny rows out."""
     cent = _label_centroids(table(spark, sf_dir, "embeddings"))
     a = cent.select(F.col("cand").alias("label_a"), F.col("ce").alias("ca"))
     b = cent.select(F.col("cand").alias("label_b"), F.col("ce").alias("cb"))

@@ -1437,7 +1437,12 @@ def b42_rolling_series_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     shuffle over events, O(days) rows), never raw events — the same
     pre-aggregate-then-window rule as b34; corr runs as a frame aggregate
     over ≤14 rows per day. Windows emit only with full 14-day history,
-    and the coefficient rounds at 5dp on both engines."""
+    and the coefficient rounds at 5dp on both engines. A zero-variance
+    window (a constant 14-day series) makes DuckDB's corr NULL but makes
+    Spark 4's window corr THROW (ANSI divide-by-zero, and NaN pre-ANSI),
+    so the coefficient is built from its co-moment parts —
+    covar_samp/(stddev·stddev), the identical update algebra, (n-1)
+    cancels — behind a stddev>0 guard that emits NULL like the oracle."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
@@ -1447,8 +1452,12 @@ def b42_rolling_series_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     )
     w = Window.orderBy("day").rowsBetween(-13, 0)
     wn = Window.orderBy("day")
+    cov = F.covar_samp("n_click", "n_buy").over(w)
+    sx = F.stddev_samp("n_click").over(w)
+    sy = F.stddev_samp("n_buy").over(w)
+    c = F.when((sx > 0) & (sy > 0), cov / (sx * sy))
     return (
-        daily.withColumn("corr14", F.round(F.corr("n_click", "n_buy").over(w), 5))
+        daily.withColumn("corr14", F.round(c, 5))
         .withColumn("_rn", F.row_number().over(wn))
         .filter(F.col("_rn") >= 14)
         .select("day", "n_click", "n_buy", "corr14")

@@ -30,7 +30,60 @@ def get_spark(app_name: str = "dcosb-cassandra-spark", cpus: str | None = None) 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
-    return builder.getOrCreate()
+    return ship_package(builder.getOrCreate())
+
+
+def _package_zip() -> str:
+    """Build (or reuse) a zip of this package for ``addPyFile`` shipping,
+    rebuilt whenever any source file is newer than the cached zip. The zip
+    roots the archive at ``dcosb_cassandra_spark/`` so it is importable
+    directly off PYTHONPATH."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = []
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        sources.extend(
+            os.path.join(dirpath, f) for f in filenames if f.endswith(".py")
+        )
+    newest = max(os.stat(s).st_mtime for s in sources)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "dcosb_cassandra_spark_pyfiles.zip"
+    )
+    if not (os.path.exists(zip_path) and os.stat(zip_path).st_mtime >= newest):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for s in sorted(sources):
+                z.write(
+                    s,
+                    os.path.join(
+                        "dcosb_cassandra_spark", os.path.relpath(s, pkg_dir)
+                    ),
+                )
+        os.replace(tmp, zip_path)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> SparkSession:
+    """Make this package importable by EXECUTOR-spawned Python workers.
+
+    ``local[*]`` forks Python workers from the driver, which inherits the
+    repo's sys.path — so a pandas UDF that references a module-level helper
+    (cloudpickle serializes it by module REFERENCE, not by value) imports
+    fine. On any multi-JVM deployment (``local-cluster``, YARN, k8s) the
+    executor spawns the worker and the package is NOT on its path: the
+    import fails with ModuleNotFoundError before the first Arrow batch.
+    Shipping the package zip via ``addPyFile`` closes that gap for every
+    UDF at once, exactly like ``spark-submit --py-files`` on a real
+    cluster. Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_dcosb_pkg_shipped", False):
+        sc.addPyFile(_package_zip())
+        sc._dcosb_pkg_shipped = True
+    return spark
 
 
 def spread_width(spark: SparkSession) -> int:
@@ -67,4 +120,6 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it via this
     # legacy flag (as a nanos long) — the catalog converts it to micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark
+    # Driver-built sessions may target a real multi-executor cluster: ship
+    # the package so module-referencing UDFs import on executor-side workers.
+    return ship_package(spark)

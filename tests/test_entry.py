@@ -67,11 +67,14 @@ def test_rotation_never_regrades_greens_while_backlog_exists():
     hist_path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "graded_history.json"
     graded = set(json.loads(hist_path.read_text()))
     never = set(REGISTRY) - graded
-    regraded = [n for n in _DRIVER_WINDOW if n in graded]
-    left_out = sorted(never - set(_DRIVER_WINDOW))
-    assert not (regraded and left_out), (
-        f"window re-grades {regraded[:5]}... while never-graded wait: {left_out[:5]}..."
-    )
+    if len(never) >= 50:
+        # Backlog fills the whole window: every slot must be never-graded.
+        regraded = sorted(set(_DRIVER_WINDOW) - never)
+        assert not regraded, f"window wastes slots re-grading greens: {regraded[:5]}..."
+    else:
+        # Small backlog: every never-graded query must hold a slot.
+        left_out = sorted(never - set(_DRIVER_WINDOW))
+        assert not left_out, f"never-graded queries left out of window: {left_out[:5]}..."
 
 
 def test_bench_suite_names_exist():

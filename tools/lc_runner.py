@@ -43,6 +43,11 @@ def main() -> None:
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .getOrCreate()
     )
+    # Executor JVMs spawn their own Python workers: the package must be
+    # shipped (addPyFile) or module-referencing UDFs die on import.
+    from dcosb_cassandra_spark.session import ship_package
+
+    ship_package(spark)
     load_all()
     out = {}
     for name in names:
