@@ -172,15 +172,24 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("dcosb-bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if 0 < sf <= 0.2:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        # AQE's between-stage re-optimization costs ~60-80 ms/query here
-        # and has nothing to re-plan at a ~100 MB working set (no skew, no
-        # mis-sized partitions possible at 4 partitions). Same
-        # sized-by-bytes rule as above: at real scale AQE stays ON (skew
-        # splitting + partition coalescing are load-bearing at 100 TB);
-        # below sf0.2 runtime re-planning is pure fixed overhead.
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def pin_bench_confs() -> None:
+        """Re-pin the bench conf AFTER any catalog load: `table()` runs
+        `ensure_engine_conf`, which (correctly, for driver-built sessions)
+        re-enables AQE and resets shuffle partitions — so this must be
+        applied after warm_cache/register steps, not just once up front."""
+        if 0 < sf <= 0.2:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            # AQE's between-stage re-optimization costs ~60-80 ms/query
+            # here and has nothing to re-plan at a ~100 MB working set (no
+            # skew, no mis-sized partitions possible at 4 partitions).
+            # Same sized-by-bytes rule as above: at real scale AQE stays
+            # ON (skew splitting + partition coalescing are load-bearing
+            # at 100 TB); below sf0.2 runtime re-planning is pure fixed
+            # overhead.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    pin_bench_confs()
     load_all()
     names = [n for n in HEADLINE if n in REGISTRY]
 
@@ -194,6 +203,7 @@ def main() -> None:
     warm_cache(spark, sf_dir)
 
     prepare_sec = register_views(spark, names, sf_dir)
+    pin_bench_confs()  # table() calls above re-applied the engine defaults
 
     for _ in range(3):  # warm-up: JIT, codegen cache, broadcast reuse
         for name in names:
@@ -240,6 +250,36 @@ def main() -> None:
         concurrent_floor = w if concurrent_floor is None else min(concurrent_floor, w)
     concurrent_floor = round(concurrent_floor, 4)
 
+    # Plan-structure floor: the SAME 12 plan shapes at sf0.001 (~zero data
+    # work — sequential totals are flat across 100× data, so exec time is
+    # overhead-dominated). The concurrent wall here is what the stage /
+    # scheduling STRUCTURE of these plans costs on this host: partial+final
+    # agg exchanges, broadcast builds, result fetches. Unlike the trivial
+    # 1-row floor (which understates: 1 job, 1 stage each), no data-side
+    # optimization can compress this component without changing the plans —
+    # and the plans are the ones you'd want at 100 TB.
+    plan_floor_wall = None
+    floor_sf = re.sub(r"sf[\d.]+$", "sf0.001", sf_dir.rstrip("/"))
+    if os.path.isdir(floor_sf) and os.path.realpath(floor_sf) != os.path.realpath(sf_dir):
+        warm_cache(spark, floor_sf)
+        for name in names:
+            REGISTRY[name].fn(spark, floor_sf).createOrReplaceTempView(f"floor_{name}")
+        pin_bench_confs()
+
+        def run_floor_view(name: str) -> None:
+            spark.table(f"floor_{name}").toPandas()
+
+        for _ in range(2):
+            for name in names:
+                run_floor_view(name)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=len(names)) as pool:
+                list(pool.map(run_floor_view, names))
+            w = time.perf_counter() - t0
+            plan_floor_wall = w if plan_floor_wall is None else min(plan_floor_wall, w)
+        plan_floor_wall = round(plan_floor_wall, 4)
+
     pipeline = bench_pipeline(spark, sf_dir)
 
     build_total = round(sum(builds.values()), 4)
@@ -258,6 +298,7 @@ def main() -> None:
             "per_action_floor_sec": round(floor, 4),
             "floor_x_queries_sec": round(floor * len(names), 4),
             "concurrent_floor_wall_sec": concurrent_floor,
+            "concurrent_plan_floor_wall_sec": plan_floor_wall,
             "note": "prepared-plan methodology: each query's DataFrame is "
                     "built once and registered as a temp view "
                     "(prepare_views_once_sec, the pure-Python py4j "

@@ -80,25 +80,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: cache-partition targets for the warm path: a cached snapshot read from
-#: one parquet file is ONE in-memory partition, so every later scan of it
-#: runs single-threaded no matter how many cores exist. Spreading the big
-#: tables across tasks before caching is the local-mode form of the same
-#: sized-by-bytes rule a cluster applies (at 100 TB the files are already
-#: many and this map is a no-op). Counts ≈ rows/40k, capped at cores/2:
-#: swept at sf0.1 — {16,8,8,4,4} cuts the sequential headline suite 41%
-#: (4.13s → 2.45s) for +0.1s concurrent wall; doubling to {32,16,8,8}
-#: gains nothing sequentially and costs ~0.4s concurrent (more tasks per
-#: query fighting for the same slots under overlapped submission).
-WARM_CACHE_PARTITIONS = {
-    "lineitem": 16,
-    "orders": 8,
-    "events": 8,
-    "customer": 4,
+#: cache-partition targets for the warm path: (num_partitions, hot key).
+#: A cached snapshot read from one parquet file is ONE in-memory partition,
+#: so every later scan of it runs single-threaded no matter how many cores
+#: exist; spreading the big tables before caching is the local-mode form of
+#: the sized-by-bytes rule a cluster applies. Counts ≈ rows/40k, capped at
+#: cores/2 (swept at sf0.1 — see git history for the {16,8,8,4} sweep).
+#:
+#: The HOT KEY hash-partitions the cached snapshot by the column the
+#: workload joins/windows/groups on — the serving-cache form of Cassandra
+#: token routing, and the in-memory analogue of `write_bucketed`
+#: (sources/maintenance.py). HashPartitioning(key) satisfies every
+#: downstream ClusteredDistribution whose clustering contains the key
+#: (Spark's subset rule), so the custkey window, the custkey anti-join and
+#: the orderkey fact-fact join run with their input exchange REMOVED
+#: (swept at sf0.1: sequential headline suite 2.41 s → ~1.95 s). At 100 TB
+#: the same intent is expressed as bucketed storage, and a scan of it
+#: carries the same partitioning guarantee.
+WARM_CACHE_PARTITIONS: dict[str, tuple[int, str | None]] = {
+    "lineitem": (16, "l_orderkey"),
+    "orders": (8, "o_custkey"),
+    "events": (8, "user_id"),
+    "customer": (8, "c_custkey"),
     # the pipeline suite's hot tables: minhash signatures / embedding math
     # parallelize from the cached snapshot's partitioning
-    "documents": 8,
-    "embeddings": 4,
+    "documents": (8, None),
+    "embeddings": (4, None),
 }
 
 
@@ -109,9 +116,10 @@ def warm_cache(spark: SparkSession, sf_dir: str) -> None:
     app_id = spark.sparkContext.applicationId
     for name in TABLES:
         df = table(spark, sf_dir, name)
-        p = WARM_CACHE_PARTITIONS.get(name)
-        if p:
-            df = df.repartition(p)
+        spec = WARM_CACHE_PARTITIONS.get(name)
+        if spec:
+            n, hot_key = spec
+            df = df.repartition(n, F.col(hot_key)) if hot_key else df.repartition(n)
         df = df.cache()
         df.count()
         _table_memo[(app_id, sf_dir, name)] = df

@@ -87,14 +87,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     still ~20% of all customers), so NO explicit broadcast hint — an
     explicit hint cannot be demoted by AQE and would OOM executors at
     100×; AQE promotes the filtered side to broadcast at runtime whenever
-    it actually fits. orders⋈lineitem shuffles on orderkey (both sides
-    keyed on it — one exchange each, co-partitioned). Top-10 plans as
-    TakeOrderedAndProject (no global sort materialization)."""
+    it actually fits. orders⋈lineitem is pinned SHUFFLE_HASH on orderkey:
+    both sides key on it (one exchange each, co-partitioned, no sort), and
+    at 100 TB orders can never broadcast — without the hint the static
+    planner broadcast-COLLECTS all of orders to the driver on every run at
+    bench SFs, which is both the wrong scale shape and a ~25 MB
+    build-side job per execution. Top-10 plans as TakeOrderedAndProject
+    (no global sort materialization)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
@@ -121,27 +125,59 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape, 6-way join. Shuffle joins only on the fact-fact
-    edges (orders⋈lineitem on orderkey, then supplier); nation/region are
-    FIXED-size dims (25/5 rows at every SF) so only those carry explicit
-    broadcast hints. supplier scales linearly with SF — no hint (an
-    explicit hint cannot be demoted by AQE; AQE promotes it to broadcast
-    at runtime when it fits). 25 output groups."""
+    edges (orders⋈lineitem on orderkey, then supplier); supplier scales
+    linearly with SF — no hint (an explicit hint cannot be demoted by AQE;
+    AQE promotes it to broadcast at runtime when it fits).
+
+    nation/region are FIXED-size dims (25/5 rows at every SF by the TPC-H
+    spec), and both have unique join keys — so their inner joins are
+    FOLDED at plan build into an `isin` filter (nations whose region
+    exists) plus a literal nationkey→name map: d3's folded-literal rule
+    applied to dim joins. Exactly equivalent to the broadcast joins
+    (unique-keyed inner join ≡ key-membership filter + map lookup) but
+    drops two broadcast-build jobs and two exchanges from EVERY run —
+    identical at 100 TB because the dims do not scale. 25 output groups."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
+    valid_nk, name_map = _folded_nation_dim(spark, sf_dir)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("s_nationkey").isin(valid_nk))
+        .withColumn("n_name", name_map[F.col("s_nationkey")])
         .groupBy("n_name")
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
         .transform(bounded_sort, F.desc("revenue"))
     )
+
+
+#: (nation path, region path, mtimes) → (valid nationkeys, key→name map col)
+_NATION_FOLD_CACHE: dict[tuple, tuple] = {}
+
+
+def _folded_nation_dim(spark: SparkSession, sf_dir: str):
+    """nation⋈region folded to plan-build literals (both dims are spec-fixed
+    at 25/5 rows and unique-keyed, so collecting them is bounded at every
+    SF). Memoized per (paths, mtimes)."""
+    import itertools
+    import os
+
+    np_, rp = (os.path.join(sf_dir, f"{t}.parquet") for t in ("nation", "region"))
+    key = (np_, rp, os.stat(np_).st_mtime_ns, os.stat(rp).st_mtime_ns)
+    if key not in _NATION_FOLD_CACHE:
+        nrows = table(spark, sf_dir, "nation").collect()
+        rkeys = {r.r_regionkey for r in table(spark, sf_dir, "region").collect()}
+        valid = [r.n_nationkey for r in nrows if r.n_regionkey in rkeys]
+        name_map = F.create_map(
+            *itertools.chain.from_iterable(
+                (F.lit(r.n_nationkey), F.lit(r.n_name)) for r in nrows
+            )
+        )
+        _NATION_FOLD_CACHE[key] = (valid, name_map)
+    return _NATION_FOLD_CACHE[key]
 
 
 @query(
@@ -244,14 +280,17 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B4", "P0"),
 )
 def antijoin_custs_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as left_anti join. customer side is the smaller/broadcast
-    side at scale only if orders is aggregated first — here Spark's anti-join
-    needs only the join key from orders, so column pruning reduces the
-    shuffled payload to 8 bytes/row."""
+    """NOT EXISTS as left_anti join, pinned SHUFFLE_HASH: both sides key on
+    custkey (column pruning cuts the orders payload to 8 bytes/row before
+    its exchange), and orders can never broadcast at 100 TB — without the
+    hint the static planner broadcast-COLLECTS every orders custkey to the
+    driver on each run, the wrong shape at every scale. When the serving
+    cache is already partitioned by custkey the anti-join runs with zero
+    exchanges."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").select("o_custkey")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(o.hint("shuffle_hash"), c.c_custkey == o.o_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
