@@ -222,6 +222,98 @@ def _stage_stream_dir(sf_dir: str, tbl: str) -> str:
     return _STREAM_DIRS[key]
 
 
+_ORDERED_DIRS: dict = {}
+
+
+def _stage_ordered_events_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 6
+) -> str:
+    """Stage events as a REALISTIC bounded stream: event-time-ordered chunk
+    files (each micro-batch advances time monotonically, like a log
+    shipper draining an ordered queue — so nothing is ever late beyond the
+    watermark delay and nothing is dropped), plus TWO trailing watermark
+    sentinel files, each one click + one purchase at user_id -1 far past
+    the stream's end. A production stream simply keeps running; a bounded
+    replay needs the sentinels to stand in for "time keeps passing" so
+    watermark-gated emissions (outer-join NULLs, final windows) flush —
+    two of them because a batch runs with the PREVIOUS batch's watermark,
+    so the first sentinel's advance takes effect while the second batch
+    (or the trailing no-data batch) executes.
+
+    The sentinels are stripped from results BATCH-side, after the memory
+    sink (`user_id >= 0`); filtering them inside the STREAMING plan is the
+    bug this helper exists to avoid — Catalyst pushes such a filter
+    through the join into both parquet scans, the sentinel file's
+    row-group stats (user_id in {-2,-1}) skip the whole file, and the
+    watermark silently never advances (root cause of the r5 "lost outer
+    rows" investigation; see SCALE.md).
+
+    Chunk boundaries are EXACT integer microseconds (float datetime
+    arithmetic at ns precision loses ~100 ns and can drop the boundary
+    row). mtimes are set ascending so the file source's mtime order equals
+    event-time order. Cached per (sf_dir, events mtime); at 100 TB the
+    same shape is the already-time-bucketed log directory a collector
+    writes — this helper only exists because testdata ships one file."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (src, os.stat(src).st_mtime_ns, n_chunks)
+    if key in _ORDERED_DIRS:
+        return _ORDERED_DIRS[key]
+    d = tempfile.mkdtemp(prefix="ordered_events_")
+    e = table(spark, sf_dir, "events")
+    sel = e.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    seq = 0
+
+    def _emit(df) -> None:
+        nonlocal seq
+        tmp = os.path.join(d, "_stage_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{seq:03d}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time() + seq, time.time() + seq))
+        seq += 1
+
+    if bounds is not None and bounds[0] is not None:
+        lo_us, hi_us = bounds
+        step = (hi_us - lo_us) // n_chunks + 1  # integer cover, no gaps
+        for i in range(n_chunks):
+            a, b = lo_us + i * step, lo_us + (i + 1) * step
+            _emit(
+                sel.filter(
+                    (F.col("ts") >= a * 1000) & (F.col("ts") < b * 1000)
+                )
+            )
+    else:  # empty corpus: sentinels alone drive the (empty) replay
+        hi_us = 0
+    for hours in (4, 8):
+        st = (hi_us + hours * 3600 * 1_000_000) * 1000
+        _emit(
+            spark.createDataFrame(
+                [(-1, st, -1, "click", 0.0, "{}"), (-2, st, -1, "purchase", 0.0, "{}")],
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string",
+            )
+        )
+    _ORDERED_DIRS[key] = d
+    return d
+
+
 def _sink_name(prefix: str) -> str:
     """Unique memory-sink name per invocation (the driver may run a query
     twice in one session; memory sink tables persist per name)."""
@@ -409,6 +501,53 @@ def c10b_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(c10_stream_stream_join(stream), name, output_mode="append")
     q.awaitTermination(180)
     return spark.table(name)
+
+
+@query(
+    "c10c_outer_interval_replay",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+               p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+    """,
+    tags=("C10", "C4", "B3", "P1"),
+)
+def c10c_outer_interval_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, graded: every purchase is
+    preserved — matched within the preceding 2h of same-user clicks, or
+    emitted with NULL click columns once the watermark proves no matching
+    click can still arrive. This is the enrichment shape production
+    pipelines actually run (the r5/r6 known-broken capability, now
+    root-caused and exact).
+
+    Two replay properties make the outer join batch-exact where the naive
+    replay loses rows (both documented in `_stage_ordered_events_dir`):
+    (1) the stream replays in event-time order with trailing watermark
+    sentinels, so end-of-stream outer state flushes; (2) the sentinel
+    strip happens HERE, on the batch-read memory sink — a `user_id >= 0`
+    filter inside the streaming plan would be pushed through the join
+    into the parquet scans, whose row-group stats skip the sentinel file
+    entirely, silently freezing the watermark (the r5 row-loss root
+    cause). At 100 TB/day the watermark bound keeps click-state O(2h),
+    and the sentinel role is played by the stream simply continuing."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c8_write_stream,
+        c10_stream_stream_join,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    stream = read_events_stream(spark, _stage_ordered_events_dir(spark, sf_dir))
+    name = _sink_name("c10c_sink")
+    q = c8_write_stream(
+        c10_stream_stream_join(stream, how="leftOuter"), name, output_mode="append"
+    )
+    q.awaitTermination(240)
+    return spark.table(name).filter(F.col("p_user") >= 0)
 
 
 @query(

@@ -65,6 +65,11 @@ _OPERATOR_MODULES = (
 #: sketch estimates, d2g/d4c MLlib twins) and spend their slot on the
 #: weaker rows-check deliberately — after this window every registered
 #: query has driver evidence of the strongest kind it supports.
+#: Sixth rotation (r7): the r6 backlog is CLOSED (all 220 prior queries
+#: ever-graded, tools/graded_history.json), so the window now carries the
+#: round's NEW queries for their first grading — c10c (the stream-stream
+#: LEFT OUTER interval replay, the r5/r6 known-broken capability now
+#: root-caused and exact) replaces d2g's already-recorded rows-only slot.
 _DRIVER_WINDOW = (
     # A35 analytic repair/lifecycle surface + AS-OF snapshot
     "a_repair_merkle_ranges",
@@ -97,7 +102,7 @@ _DRIVER_WINDOW = (
     "d13c_context_chunking",
     "d13d_boundary_packing",
     "d14d_token_budget_mixing",
-    "d2g_mllib_minhash_pairs",
+    "c10c_outer_interval_replay",
     "d2i_lsh_dedup_eval",
     "d2j_dup_graph_stats",
     "d2k_triangle_count",

@@ -270,12 +270,15 @@ def c9b_incremental_lww_sink(events: DataFrame, state_dir: str):
     )
 
 
-def c10_stream_stream_join(events: DataFrame) -> DataFrame:
+def c10_stream_stream_join(events: DataFrame, how: str = "inner") -> DataFrame:
     """Stream-stream interval join: purchases ⋈ clicks by the same user
     within the preceding 2 hours. Both sides carry watermarks so Spark can
     bound the join state (clicks retained only 2h+watermark) — without the
     time bound this would be an unbounded state explosion. The batch twin
-    is a plain range join (tests compare them)."""
+    is a plain range join (tests compare them). ``how='leftOuter'`` emits
+    each unmatched purchase with NULL click columns once the watermark
+    proves no matching click can still arrive — the enrichment shape
+    (every purchase row preserved) used by c10c's graded replay."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -303,6 +306,7 @@ def c10_stream_stream_join(events: DataFrame) -> DataFrame:
             click_ts >= purchase_ts - INTERVAL 2 HOURS
             """
         ),
+        how,
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
 
 
