@@ -53,14 +53,38 @@ def d1_exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text_hash")
 
 
+#: size cap for CONDITIONAL broadcast hints on corpus-scaled sides (band
+#: rows, per-doc token arrays). Catalyst's own size estimate decides; above
+#: the cap the frame is left unhinted and the planner shuffles on the equi
+#: keys — the fallback that used to live only in docstrings, now code.
+BROADCAST_FALLBACK_BYTES = 64 << 20
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-conditional broadcast hint. An explicit `F.broadcast` cannot be
+    demoted by AQE, so hinting a side that scales with the corpus is a
+    deferred OOM — at ~10⁷ docs the band rows / token arrays outgrow
+    executor memory. This helper consults Catalyst's optimized-plan size
+    estimate (the same statistic the planner's own broadcast decision
+    reads) and hints only while the side fits `BROADCAST_FALLBACK_BYTES`;
+    past it, the join degrades to the shuffle equi-join shape
+    (tests/test_dedup_semantics.py forces the fallback and asserts result
+    parity + hint absence)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    if int(stats.sizeInBytes()) <= BROADCAST_FALLBACK_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     """(id_a, id_b): first-collision MinHash-LSH candidate pairs over a
     documents frame — the shared candidate generator behind d2b and every
     audit that consumes its pair set (d2i/d2m/d2n, the split
     leakage audit + repair). Semantics: 4 bands × 2 rows, pair survives
     only in its FIRST colliding band (no DISTINCT), probe side spread by
-    cores, build side broadcast (n_docs-bounded; the docstrings document
-    the shuffle-equi-join fallback past ~10⁷ docs)."""
+    cores, build side broadcast while it fits (`maybe_broadcast`: the
+    ~10⁷-doc shuffle-equi-join fallback is the size-conditional hint,
+    not prose)."""
     sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
     bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
     probe = bands.repartition(spread_width(spark))
@@ -72,7 +96,7 @@ def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     )
     return (
         a.join(
-            F.broadcast(b),
+            maybe_broadcast(b),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -167,8 +191,8 @@ def d2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
-        cand.join(F.broadcast(ta), "id_a")
-        .join(F.broadcast(tb), "id_b")
+        cand.join(maybe_broadcast(ta), "id_a")
+        .join(maybe_broadcast(tb), "id_b")
         .select(
             (inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("jaccard")
         )
@@ -674,8 +698,8 @@ def d2i_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"),
     )
     cand_blocked = (
-        cand.join(F.broadcast(aa), "id_a")
-        .join(F.broadcast(ab), "id_b")
+        cand.join(maybe_broadcast(aa), "id_a")
+        .join(maybe_broadcast(ab), "id_b")
         .filter(
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("source_a") == F.col("source_b"))
@@ -1231,8 +1255,8 @@ def d2n_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
-        cand.join(F.broadcast(ta), "id_a")
-        .join(F.broadcast(tb), "id_b")
+        cand.join(maybe_broadcast(ta), "id_a")
+        .join(maybe_broadcast(tb), "id_b")
         .select((inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("j"))
     )
     thr = F.explode(F.array(*[F.lit(x) for x in (0.3, 0.5, 0.7, 0.9)])).alias("thr")

@@ -209,3 +209,27 @@ def test_first_collision_dedup_equals_distinct(spark):
     assert len(got) == len(set(got)), "first-collision filter emitted a duplicate pair"
     assert set(got) == want
     assert len(want) >= 20, "fixture must actually produce multi-band collisions"
+
+
+def test_broadcast_fallback_is_shuffle_join_with_equal_results(spark, monkeypatch):
+    """The ~10^7-doc fallback is CODE now, not prose: shrinking
+    BROADCAST_FALLBACK_BYTES to -1 must (a) remove every explicit
+    broadcast hint from the LSH-family plans, (b) leave results
+    row-identical — proving the size-conditional switch degrades to the
+    shuffle equi-join shape without semantic drift."""
+    from dcosb_cassandra_spark.operators import llm_dedup
+    from dcosb_cassandra_spark.plans.audit import plan_string
+    from dcosb_cassandra_spark.registry import REGISTRY
+
+    from .conftest import SF_DIR
+
+    names = ["d2n_dedup_threshold_curve", "d2b_minhash_lsh_pairs"]
+    hinted = {
+        n: sorted(tuple(r) for r in REGISTRY[n].fn(spark, SF_DIR).collect())
+        for n in names
+    }
+    monkeypatch.setattr(llm_dedup, "BROADCAST_FALLBACK_BYTES", -1)
+    for n in names:
+        df = REGISTRY[n].fn(spark, SF_DIR)
+        assert "ResolvedHint" not in plan_string(df, "extended"), n
+        assert sorted(tuple(r) for r in df.collect()) == hinted[n], n
