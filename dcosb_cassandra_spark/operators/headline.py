@@ -146,7 +146,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .filter(F.col("s_nationkey").isin(valid_nk))
+        .filter(F.col("s_nationkey").isin(valid_nk) if valid_nk else F.lit(False))
         .withColumn("n_name", name_map[F.col("s_nationkey")])
         .groupBy("n_name")
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
@@ -171,11 +171,16 @@ def _folded_nation_dim(spark: SparkSession, sf_dir: str):
         nrows = table(spark, sf_dir, "nation").collect()
         rkeys = {r.r_regionkey for r in table(spark, sf_dir, "region").collect()}
         valid = [r.n_nationkey for r in nrows if r.n_regionkey in rkeys]
-        name_map = F.create_map(
-            *itertools.chain.from_iterable(
-                (F.lit(r.n_nationkey), F.lit(r.n_name)) for r in nrows
+        if nrows:
+            name_map = F.create_map(
+                *itertools.chain.from_iterable(
+                    (F.lit(r.n_nationkey), F.lit(r.n_name)) for r in nrows
+                )
             )
-        )
+        else:  # empty dim (fresh tenant / empty corpus): typed empty map
+            name_map = F.map_from_arrays(
+                F.array().cast("array<int>"), F.array().cast("array<string>")
+            )
         _NATION_FOLD_CACHE[key] = (valid, name_map)
     return _NATION_FOLD_CACHE[key]
 
