@@ -13,7 +13,8 @@ feature once: codegen agg, broadcast join, window, round-robin spread +
 pair-enumeration broadcast join, collect_list codebook broadcast,
 applyInPandas grid UDA, mapInPandas Arrow batches, pandas scalar UDF,
 LWW mutation-log windows, explode+distinct agg, sliding-digest dedup,
-the CQL front-end, iterative k-means, and a salted join.
+the CQL front-end, iterative k-means, a salted join, stream-stream
+outer-join state, and the chained-mapInPandas PNG codec.
 """
 
 from __future__ import annotations
@@ -53,6 +54,8 @@ REPRESENTATIVE = [
     "b36b_rolling_dau_hll",      # HLL sketch build + binary merge across JVMs
     "d5s_lexical_divergence",    # map-column aggregation + per-pair JS fold
     "c6c_stateful_replay",       # STREAMING applyInPandasWithState in multi-JVM
+    "c10c_outer_interval_replay",  # stream-stream LEFT OUTER join state across JVMs
+    "d7e_image_decode",          # chained mapInPandas, PNG codec closure pickling
 ]
 
 
