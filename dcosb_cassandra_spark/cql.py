@@ -51,6 +51,12 @@ class InvalidRequest(Exception):
     """CQL-level rejection (Cassandra's InvalidRequestException)."""
 
 
+class Unauthorized(Exception):
+    """Permission denial (Cassandra's UnauthorizedException): the logged-in
+    role lacks the required permission on the statement's resource
+    [PK `auth/CassandraAuthorizer.java`]."""
+
+
 #: Cassandra-style schema metadata: (partition key cols, clustering cols).
 #: The TPC-H-ish tables are keyed by their natural PKs; events is the
 #: wide-partition table (user_id partition, ts clustering) per SURVEY §1.2.

@@ -1060,3 +1060,67 @@ def test_alter_type_add_and_rename(sess):
         sess.execute("ALTER TYPE addr ADD street text")  # duplicate field
     with pytest.raises(InvalidRequest):
         sess.execute("ALTER TYPE missing ADD f int")
+
+
+# -- auth enforcement (r7: grants gate the data path) -----------------------
+
+
+def test_auth_select_denied_then_granted(sess):
+    from dcosb_cassandra_spark.cql import Unauthorized
+
+    sess.execute("CREATE ROLE analyst WITH LOGIN = true")
+    sess.login("analyst")
+    with pytest.raises(Unauthorized, match="SELECT"):
+        sess.execute("SELECT c_custkey FROM customer LIMIT 1")
+    sess.login("cassandra")
+    sess.execute("GRANT SELECT ON TABLE customer TO analyst")
+    sess.login("analyst")
+    assert sess.execute("SELECT c_custkey FROM customer LIMIT 1").count() == 1
+    # SELECT does not imply MODIFY
+    with pytest.raises(Unauthorized, match="MODIFY"):
+        sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (1, 'x')")
+
+
+def test_auth_keyspace_grant_covers_tables_and_revoke_removes(sess):
+    from dcosb_cassandra_spark.cql import Unauthorized
+
+    sess.execute("CREATE ROLE etl WITH LOGIN = true")
+    sess.execute("GRANT ALL PERMISSIONS ON KEYSPACE dcosb TO etl")
+    sess.login("etl")
+    sess.execute("INSERT INTO customer (c_custkey, c_name) VALUES (888888, 'ETL')")
+    assert sess.execute("SELECT c_name FROM customer WHERE c_custkey = 888888").count() == 1
+    sess.login("cassandra")
+    sess.execute("REVOKE ALL PERMISSIONS ON KEYSPACE dcosb FROM etl")
+    sess.login("etl")
+    with pytest.raises(Unauthorized):
+        sess.execute("SELECT c_custkey FROM customer LIMIT 1")
+
+
+def test_auth_role_inheritance_and_login_gate(sess):
+    from dcosb_cassandra_spark.cql import Unauthorized
+
+    sess.execute("CREATE ROLE readers")  # LOGIN defaults false for ROLE
+    sess.execute("GRANT SELECT ON ALL KEYSPACES TO readers")
+    sess.execute("CREATE ROLE bob WITH LOGIN = true")
+    sess.execute("GRANT readers TO bob")
+    with pytest.raises(Unauthorized, match="log in"):
+        sess.login("readers")
+    sess.login("bob")  # inherits SELECT transitively
+    assert sess.execute("SELECT n_name FROM nation LIMIT 1").count() == 1
+    with pytest.raises(Unauthorized, match="MODIFY"):
+        sess.execute("TRUNCATE customer")
+
+
+def test_auth_batch_requires_modify_on_every_table(sess):
+    from dcosb_cassandra_spark.cql import Unauthorized
+
+    sess.execute("CREATE ROLE writer WITH LOGIN = true")
+    sess.execute("GRANT MODIFY ON TABLE customer TO writer")
+    sess.login("writer")
+    with pytest.raises(Unauthorized, match="supplier"):
+        sess.execute(
+            "BEGIN BATCH "
+            "INSERT INTO customer (c_custkey, c_name) VALUES (777777, 'A'); "
+            "INSERT INTO supplier (s_suppkey, s_name) VALUES (777777, 'B'); "
+            "APPLY BATCH"
+        )
