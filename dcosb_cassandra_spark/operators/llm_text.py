@@ -374,7 +374,10 @@ def d_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-stable train/val/test split → per-split token accounting.
     Five stages, three shuffles (two dedup groupings + final split agg),
     zero UDFs, zero driver materialization between stages — Catalyst sees
-    the whole pipeline and prunes text out of the final aggregation."""
+    the whole pipeline and prunes text out of the final aggregation.
+    The exact-dedup grouping keys on sha2(text) like d1 — the shuffle
+    moves 32-byte digests, document bodies never move (at 100 TB that is
+    the difference between shuffling digests and shuffling the corpus)."""
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -382,7 +385,11 @@ def d_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tokens >= 10) & (F.size(F.array_distinct(toks)) / n_tokens >= 0.3)
     ).select("doc_id", "text", "n_chars", n_tokens.cast("long").alias("n_tokens"))
 
-    exact_kept = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact_kept = (
+        quality.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     survivors = quality.join(exact_kept, "doc_id")
 
     fp = fingerprint(F.col("text"))
