@@ -514,6 +514,10 @@ def _seq_norm(vec) -> float:
 
 
 def _query_batch(spark: SparkSession, sf_dir: str) -> tuple:
+    """(query_ids, vectors, norms, centroid_ranks): ranks[j] is query j's
+    FULL centroid preference order (dist2 asc, ties → lowest cand — the
+    same order as the oracle's row_number), so any nprobe is a prefix
+    slice of the memoized ranking."""
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -521,7 +525,7 @@ def _query_batch(spark: SparkSession, sf_dir: str) -> tuple:
     if key not in _QUERY_BATCH_CACHE:
         cb = _codebook(spark, sf_dir)
         rows = sorted(cb, key=lambda r: r.cand)
-        cands = [r.cand for r in rows]
+        cands = [int(r.cand) for r in rows]
         code = np.array([r.ce for r in rows])
         qrows = (
             table(spark, sf_dir, "embeddings")
@@ -530,22 +534,41 @@ def _query_batch(spark: SparkSession, sf_dir: str) -> tuple:
             .collect()
         )
         qe = np.array([r.ve for r in qrows])
-        qb = [int(cands[i]) for i in _argmin_centroid(code, qe)]
+        if qe.size and code.size:
+            dist2 = np.zeros((qe.shape[0], code.shape[0]))
+            for i in range(code.shape[1]):  # exact dim-order fold
+                d = qe[:, i : i + 1] - code[None, :, i]
+                dist2 += d * d
+            order = np.argsort(dist2, axis=1, kind="stable")
+            ranks = [[cands[i] for i in row] for row in order]
+        else:
+            ranks = [[] for _ in qrows]
         _QUERY_BATCH_CACHE[key] = (
             [r.vec_id for r in qrows],
             [list(r.ve) for r in qrows],
             [_seq_norm(r.ve) for r in qrows],
-            qb,
+            ranks,
         )
     return _QUERY_BATCH_CACHE[key]
 
 
-def _query_batch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _query_batch_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The probe batch as an Arrow-backed local relation (pandas →
-    createDataFrame skips the slow Python-RDD path a row-list takes)."""
-    qid, qvecs, qnrms, qb = _query_batch(spark, sf_dir)
+    createDataFrame skips the slow Python-RDD path a row-list takes) —
+    one row per (query, probed bucket), the exploded multi-probe list."""
+    qid, qvecs, qnrms, ranks = _query_batch(spark, sf_dir)
+    rows = [
+        (i, b)
+        for i in range(len(qid))
+        for b in ranks[i][:nprobe]
+    ]
     pdf = pd.DataFrame(
-        {"query_id": qid, "qe": qvecs, "qnrm": qnrms, "bucket": qb}
+        {
+            "query_id": [qid[i] for i, _ in rows],
+            "qe": [qvecs[i] for i, _ in rows],
+            "qnrm": [qnrms[i] for i, _ in rows],
+            "bucket": [b for _, b in rows],
+        }
     )
     return spark.createDataFrame(
         pdf, "query_id long, qe array<double>, qnrm double, bucket long"
@@ -603,20 +626,30 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join against the pruned scan, per-query WindowGroupLimit top-3.
     Both paths accumulate the dot dim-by-dim in the oracle's fold order,
     so they agree bit-for-bit (asserted by tests/test_similarity_paths)."""
-    qid, qvecs, qnrms, qb = _query_batch(spark, sf_dir)
+    return _ivf_probe(spark, sf_dir, nprobe=1)
+
+
+def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF probe (d4d nprobe=1, d4j nprobe=2): each query scores the
+    corpus vectors in its ``nprobe`` nearest centroid buckets. Same two
+    physical strategies as documented on d4d; multi-probe only widens the
+    probed-partition set / explodes the broadcast query batch — the plan
+    shape is unchanged, which is exactly the IVF recall knob."""
+    qid, qvecs, qnrms, ranks = _query_batch(spark, sf_dir)
     out_schema = "query_id long, nbr_id long, sim double"
     if not qid:
         return spark.createDataFrame([], out_schema)
+    probes = [r[:nprobe] for r in ranks]
+    all_buckets = sorted({b for p in probes for b in p})
     idx_dir = ivf_index_dir(spark, sf_dir)
     c = (
         ivf_index(spark, sf_dir)
         .filter(F.col("vec_id") >= 5)
-        .filter(F.col("bucket").isin(sorted(set(qb))))
+        .filter(F.col("bucket").isin(all_buckets) if all_buckets else F.lit(False))
     )
     if index_bytes(idx_dir) <= FUSED_SMALL_INDEX_BYTES:
         qe_mat = np.array(qvecs)
         qn_arr = np.array(qnrms)
-        qb_arr = np.array(qb)
         qid_arr = np.array(qid)
 
         def _probe(batches):
@@ -645,7 +678,7 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim = dotm / (qn_arr[None, :] * nrm[:, None])
             frames = [empty]
             for j in range(qe_mat.shape[0]):
-                mask = cand_bucket == qb_arr[j]
+                mask = np.isin(cand_bucket, probes[j])
                 order = np.argsort(-sim[mask, j], kind="stable")[:3]
                 frames.append(
                     pd.DataFrame(
@@ -663,7 +696,7 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "nbr_id", F.round("sim", 6).alias("sim")
         )
 
-    q = _query_batch_df(spark, sf_dir)
+    q = _query_batch_df(spark, sf_dir, nprobe)
     c = c.select(
         F.col("vec_id").alias("nbr_id"), F.col("ve").alias("ce"), "nrm", "bucket"
     )
@@ -677,6 +710,54 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "nbr_id", F.round("sim", 6).alias("sim"))
     )
+
+
+@query(
+    "d4j_ivf_multiprobe_knn",
+    oracle=f"""
+        WITH {_CENT_SQL},
+        qprobe AS (
+            SELECT vec_id AS query_id, cand AS bucket FROM (
+                SELECT e.vec_id, c.cand,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(1, 65),
+                               i -> (e.embedding[i]::DOUBLE - c.ce[i])
+                                    * (e.embedding[i]::DOUBLE - c.ce[i]))) ASC,
+                           c.cand) AS rn
+                FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+            ) WHERE rn <= 2
+        ),
+        q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe
+              FROM embeddings e WHERE e.vec_id < 5),
+        cc AS (SELECT e.vec_id AS nbr_id, e.embedding::DOUBLE[] AS ce, a.bucket
+               FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id >= 5),
+        scored AS (
+            SELECT q.query_id, cc.nbr_id,
+                   list_sum(list_transform(range(1, 65), i -> q.qe[i] * cc.ce[i]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cc.ce, x -> x * x)))) AS sim
+            FROM q JOIN qprobe p USING (query_id)
+                   JOIN cc ON cc.bucket = p.bucket
+        )
+        SELECT query_id, nbr_id, round(sim, 6) AS sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, nbr_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("D4", "D11", "D25", "P1"),
+)
+def d4j_ivf_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with nprobe=2 — the recall knob d4d's docstring
+    promises, implemented: each query scores the corpus vectors in its TWO
+    nearest centroid buckets (the probe list exploded against the stored
+    index, identical to the LSH multi-probe trick). Plan shape is d4d's
+    exactly — wider partition pruning set / exploded broadcast query batch,
+    no new shuffles — which is why nprobe is a pure recall/latency dial at
+    100 TB: a probe touches nprobe/k of the corpus. The probe ranking
+    (dist2 asc, ties to lowest label) is sliced from the same memoized
+    centroid preference order the nprobe=1 path uses."""
+    return _ivf_probe(spark, sf_dir, nprobe=2)
 
 
 @query(

@@ -71,7 +71,8 @@ _OPERATOR_MODULES = (
 #: LEFT OUTER interval replay, the r5/r6 known-broken capability now
 #: root-caused and exact) replaces d2g's already-recorded rows-only slot,
 #: and d7e (REAL PNG decode — signature/CRC/inflate/unfilter on genuine
-#: image bytes, no codec libs) replaces d4c's.
+#: image bytes, no codec libs) replaces d4c's; d4j (IVF nprobe=2
+#: multi-probe) replaces b36b's already-recorded rows-only slot.
 _DRIVER_WINDOW = (
     # A35 analytic repair/lifecycle surface + AS-OF snapshot
     "a_repair_merkle_ranges",
@@ -83,7 +84,7 @@ _DRIVER_WINDOW = (
     "b34_rolling_zscore_anomalies",
     "b35_touch_attribution",
     "b36_rolling_dau",
-    "b36b_rolling_dau_hll",
+    "d4j_ivf_multiprobe_knn",
     "b37_funnel_conversion",
     "b38_path_transitions",
     "b39_join_skew_report",
