@@ -339,3 +339,24 @@ def test_limit_queries_take_ordered(spark):
     for name in ("b16_multi_col_sort", "q3_shipping_priority"):
         plan = plan_string(_plan(spark, name))
         assert "TakeOrderedAndProject" in plan, f"{name}: top-k should not materialize a global sort"
+
+
+def test_orders_joins_are_shuffle_hash_not_broadcast(spark):
+    """q3 and the anti-join pin SHUFFLE_HASH on the orders side: orders
+    scales with SF so it can never broadcast at 100 TB, and without the
+    hint the static planner broadcast-collects ~25 MB of orders to the
+    driver on every execution (r7 finding). The hint must survive in the
+    physical plan, and no broadcast exchange may sit on an orders scan."""
+    for name in ("q3_shipping_priority", "antijoin_custs_no_orders"):
+        plan = plan_string(_plan(spark, name))
+        assert "ShuffledHashJoin" in plan, f"{name}: expected SHUFFLE_HASH join"
+
+
+def test_q5_dim_joins_are_folded(spark):
+    """q5's nation/region joins are folded into literals at plan build:
+    the physical plan must reference only the four scaling tables — a
+    nation/region scan reappearing means the fold regressed to per-run
+    broadcast-build jobs."""
+    plan = plan_string(_plan(spark, "q5_local_supplier"))
+    assert "n_nationkey" not in plan and "r_regionkey" not in plan
+    assert "map_from_arrays" in plan or "keys:" in plan or "map(" in plan

@@ -28,7 +28,9 @@ def _rows(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ["d4d_ivf_probe_knn", "d2h_semdedup"])
+@pytest.mark.parametrize(
+    "name", ["d4d_ivf_probe_knn", "d4j_ivf_multiprobe_knn", "d2h_semdedup"]
+)
 def test_fused_and_distributed_paths_agree(spark, name, monkeypatch):
     fused = _rows(spark, name)
     monkeypatch.setattr(llm_similarity, "FUSED_SMALL_INDEX_BYTES", -1)
