@@ -761,6 +761,119 @@ def d4j_ivf_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d4k_nprobe_recall_curve",
+    oracle=f"""
+        WITH {_CENT_SQL},
+        qprobe AS (
+            SELECT vec_id AS query_id, cand AS bucket, rn AS probe_rank FROM (
+                SELECT e.vec_id, c.cand,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(1, 65),
+                               i -> (e.embedding[i]::DOUBLE - c.ce[i])
+                                    * (e.embedding[i]::DOUBLE - c.ce[i]))) ASC,
+                           c.cand) AS rn
+                FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+            ) WHERE rn <= 2
+        ),
+        q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe
+              FROM embeddings e WHERE e.vec_id < 5),
+        cc AS (SELECT e.vec_id AS nbr_id, e.embedding::DOUBLE[] AS ce, a.bucket
+               FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id >= 5),
+        scored AS (
+            SELECT q.query_id, cc.nbr_id, cc.bucket,
+                   list_sum(list_transform(range(1, 65), i -> q.qe[i] * cc.ce[i]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cc.ce, x -> x * x)))) AS sim
+            FROM q JOIN cc ON true
+        ),
+        exact3 AS (
+            SELECT query_id, nbr_id FROM (
+                SELECT query_id, nbr_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, nbr_id) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        ),
+        grid AS (SELECT * FROM (VALUES (1), (2)) AS g(nprobe)),
+        ivf3 AS (
+            SELECT g.nprobe, s.query_id, s.nbr_id FROM (
+                SELECT g.nprobe AS np, s.query_id, s.nbr_id,
+                       row_number() OVER (PARTITION BY g.nprobe, s.query_id
+                                          ORDER BY s.sim DESC, s.nbr_id) AS rn
+                FROM grid g
+                JOIN qprobe p ON p.probe_rank <= g.nprobe
+                JOIN scored s ON s.query_id = p.query_id
+                             AND s.bucket = p.bucket
+            ) s JOIN grid g ON g.nprobe = s.np WHERE s.rn <= 3
+        )
+        SELECT i.nprobe, i.query_id,
+               CAST(count(e.nbr_id) AS BIGINT) AS hits,
+               round(count(e.nbr_id) / 3.0, 4) AS recall_at_3
+        FROM ivf3 i LEFT JOIN exact3 e
+          ON e.query_id = i.query_id AND e.nbr_id = i.nbr_id
+        GROUP BY i.nprobe, i.query_id
+    """,
+    tags=("D25", "D4", "D11", "P1"),
+)
+def d4k_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/latency dial, measured: recall@3 of the stored-index
+    probe against exact brute-force top-3 cosine, per query, for nprobe ∈
+    {1, 2} — the curve an index operator reads before promoting an nprobe
+    setting (more probes → more of the corpus touched → higher recall;
+    D25's measurement applied to the IVF family instead of LSH bits).
+
+    Scale shape: the IVF sides are the d4d/d4j probe plans themselves
+    (stored index, pruned partitions); exact ground truth is the
+    two-phase top-k (per-partition window then final window over ≤3·P
+    survivors) over ONE corpus scan with the 5-row query batch broadcast;
+    the hit join touches ≤ 3·queries·|grid| id pairs."""
+    qid, qvecs, qnrms, _ranks = _query_batch(spark, sf_dir)
+    out_schema = "nprobe int, query_id long, hits long, recall_at_3 double"
+    if not qid:
+        return spark.createDataFrame([], out_schema)
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": qid, "qe": qvecs, "qnrm": qnrms}),
+        "query_id long, qe array<double>, qnrm double",
+    )
+    c = ivf_index(spark, sf_dir).filter(F.col("vec_id") >= 5)
+    sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
+    scored = F.broadcast(q).join(c).select(
+        "query_id", F.col("vec_id").alias("nbr_id"), sim.alias("sim")
+    )
+    w1 = Window.partitionBy("query_id", "pid").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 3)
+        .drop("rn", "pid")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    exact3 = (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "nbr_id")
+    )
+    ivf3 = None
+    for n in (1, 2):
+        part = _ivf_probe(spark, sf_dir, nprobe=n).select(
+            F.lit(n).alias("nprobe"), "query_id", "nbr_id"
+        )
+        ivf3 = part if ivf3 is None else ivf3.unionAll(part)
+    hit = exact3.withColumn("_hit", F.lit(1))
+    return (
+        ivf3.join(hit, ["query_id", "nbr_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("_hit").alias("hits"))
+        .select(
+            "nprobe",
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / 3.0, 4).alias("recall_at_3"),
+        )
+    )
+
+
+@query(
     "d4e_domain_outliers",
     oracle="""
         WITH j AS (

@@ -72,7 +72,8 @@ _OPERATOR_MODULES = (
 #: root-caused and exact) replaces d2g's already-recorded rows-only slot,
 #: and d7e (REAL PNG decode — signature/CRC/inflate/unfilter on genuine
 #: image bytes, no codec libs) replaces d4c's; d4j (IVF nprobe=2
-#: multi-probe) replaces b36b's already-recorded rows-only slot.
+#: multi-probe) replaces b36b's already-recorded rows-only slot and d4k
+#: (the nprobe recall curve) replaces c13's.
 _DRIVER_WINDOW = (
     # A35 analytic repair/lifecycle surface + AS-OF snapshot
     "a_repair_merkle_ranges",
@@ -100,7 +101,7 @@ _DRIVER_WINDOW = (
     "c5b_dedup_replay",
     "c6c_stateful_replay",
     "c12b_cdc_stream_consumer",
-    "c13_rolling_dau_sketch_replay",
+    "d4k_nprobe_recall_curve",
     # D-layer curation/eval ops added late r5
     "d13c_context_chunking",
     "d13d_boundary_packing",
