@@ -158,3 +158,34 @@ def test_zorder_rewrite_improves_pruning(spark, tmp_path):
         before = files_containing(src, col, val)
         after = files_containing(dst, col, val)
         assert after < before, f"{col}: z-order must prune ({after} !< {before})"
+
+
+def test_hot_key_warm_cache_removes_exchanges(spark):
+    """The serving cache is hash-partitioned by each table's hot key
+    (catalog.WARM_CACHE_PARTITIONS) so HashPartitioning(key) satisfies
+    downstream ClusteredDistributions by Spark's subset rule: the custkey
+    window and custkey anti-join must plan with NO input exchange over the
+    cached snapshot. Cache is torn down afterwards so other tests keep
+    their parquet-scan plans."""
+    from dcosb_cassandra_spark.catalog import _table_memo, warm_cache
+    from dcosb_cassandra_spark.plans.audit import plan_string
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    from .conftest import SF_DIR
+
+    load_all()
+    app = spark.sparkContext.applicationId
+    before = dict(_table_memo)
+    warm_cache(spark, SF_DIR)
+    try:
+        win = plan_string(REGISTRY["window_top2_per_cust"].fn(spark, SF_DIR))
+        assert "InMemoryTableScan" in win
+        assert "Exchange hashpartitioning(o_custkey" not in win
+        anti = plan_string(REGISTRY["antijoin_custs_no_orders"].fn(spark, SF_DIR))
+        assert "ShuffledHashJoin" in anti
+        assert "Exchange hashpartitioning(c_custkey" not in anti
+        assert "Exchange hashpartitioning(o_custkey" not in anti
+    finally:
+        spark.catalog.clearCache()
+        _table_memo.clear()
+        _table_memo.update(before)
