@@ -85,9 +85,15 @@ _INSERT_JSON = re.compile(
     r"(?:USING\s+TTL\s+(?P<ttl>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: plain 2i, collection-target (KEYS/VALUES/ENTRIES/FULL) and Cassandra 5
+#: SAI forms: CREATE [CUSTOM] INDEX ... USING 'StorageAttachedIndex'
+#: [WITH OPTIONS = {...}] [PK `index/sai/`; CEP-7]
 _CREATE_INDEX = re.compile(
-    r"^\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:\w+\s+)?ON\s+"
-    r"(?P<table>\w+)\s*\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+    r"^\s*CREATE\s+(?:CUSTOM\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:\w+\s+)?ON\s+"
+    r"(?P<table>\w+)\s*\(\s*(?:(?:KEYS|VALUES|ENTRIES|FULL)\s*\(\s*)?"
+    r"(?P<col>\w+)\s*\)?\s*\)\s*"
+    r"(?:USING\s+'(?P<impl>[^']+)'\s*)?"
+    r"(?:WITH\s+OPTIONS\s*=\s*\{(?P<opts>[^}]*)\}\s*)?;?\s*$",
     re.IGNORECASE,
 )
 _DROP_TABLE = re.compile(
@@ -841,6 +847,9 @@ class CqlSession:
         m = _CREATE_INDEX.match(s)
         if m:
             tbl, col = m.group("table").lower(), m.group("col").lower()
+            impl = (m.group("impl") or "").lower()
+            if impl and "attachedindex" not in impl and "sasi" not in impl:
+                raise InvalidRequest(f"unknown index implementation {m.group('impl')!r}")
             self._keys(tbl)  # validates the table exists
             self._indexed[tbl] = (*self._indexed.get(tbl, ()), col)
             return None

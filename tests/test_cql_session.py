@@ -1124,3 +1124,23 @@ def test_auth_batch_requires_modify_on_every_table(sess):
             "INSERT INTO supplier (s_suppkey, s_name) VALUES (777777, 'B'); "
             "APPLY BATCH"
         )
+
+
+def test_create_custom_sai_index_forms(sess):
+    """Cassandra 5 SAI DDL [PK CEP-7]: CUSTOM INDEX with USING
+    'StorageAttachedIndex' and OPTIONS parses and registers the column as
+    indexed (queries then use it as a secondary-index predicate); an
+    unknown implementation class is rejected."""
+    sess.execute("CREATE TABLE saitab (pk int PRIMARY KEY, v text, emb list<float>)")
+    sess.execute("INSERT INTO saitab (pk, v) VALUES (1, 'a')")
+    sess.execute(
+        "CREATE CUSTOM INDEX v_idx ON saitab (v) USING 'StorageAttachedIndex'"
+    )
+    sess.execute(
+        "CREATE CUSTOM INDEX emb_idx ON saitab (emb) "
+        "USING 'StorageAttachedIndex' "
+        "WITH OPTIONS = {'similarity_function': 'cosine'}"
+    )
+    assert sess.execute("SELECT pk FROM saitab WHERE v = 'a'").count() == 1
+    with pytest.raises(InvalidRequest, match="implementation"):
+        sess.execute("CREATE CUSTOM INDEX ON saitab (v) USING 'com.bogus.Idx'")
