@@ -416,3 +416,30 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got == want, (
         f"exactly-once violated: {len(got)} sink rows vs {len(want)} input rows"
     )
+
+
+def test_c12b_state_store_respects_state_dir_env(spark, tmp_path, monkeypatch):
+    """The CDC consumer's keyed state store must stage under
+    SPARK_GRAFT_STATE_DIR (on a cluster this is the shared-storage root —
+    see the c12b docstring), and the raw append store must be deleted
+    after compaction."""
+    import os
+
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    from .conftest import SMOKE_SF_DIR
+
+    load_all()
+    root = tmp_path / "state_root"
+    root.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_STATE_DIR", str(root))
+    out = REGISTRY["c12b_cdc_stream_consumer"].fn(spark, SMOKE_SF_DIR)
+    assert out.count() >= 0
+    entries = os.listdir(root)
+    # compacted store present (cleaned only at interpreter exit), raw
+    # append store already removed
+    assert any(e.endswith("_compacted") for e in entries), entries
+    assert not any(
+        e.startswith("c12b_keyed_state_") and not e.endswith("_compacted")
+        for e in entries
+    ), entries
