@@ -259,11 +259,14 @@ def _stage_ordered_events_dir(
     import tempfile
     import time
 
+    import atexit
+
     src = os.path.join(sf_dir, "events.parquet")
     key = (src, os.stat(src).st_mtime_ns, n_chunks)
     if key in _ORDERED_DIRS:
         return _ORDERED_DIRS[key]
     d = tempfile.mkdtemp(prefix="ordered_events_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     e = table(spark, sf_dir, "events")
     sel = e.select(
         "event_id",
