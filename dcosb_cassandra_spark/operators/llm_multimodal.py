@@ -299,3 +299,84 @@ def d7e_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", "bit_depth", F.round("mean_pixel", 6).alias("mean_pixel")
     )
+
+
+@query(
+    "d7f_jpeg_metadata",
+    oracle="""
+        -- independent derivation of what the REAL JPEG container parse
+        -- must find: every field below is fixed by the deterministic
+        -- construction, so a parser that misreads a marker length, the
+        -- TIFF byte order, an IFD entry, or the entropy-segment boundary
+        -- hash-mismatches.
+        SELECT doc_id,
+               CAST(8 * (1 + len(text) % 16) AS INT) AS width,
+               CAST(1 + (len(text) * 5) % 64 AS INT) AS height,
+               CAST(8 AS INT) AS precision,
+               CAST(3 AS INT) AS n_components,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS exif_byte_order,
+               CAST(16 + (len(text) * 3) % 32 AS INT) AS entropy_bytes
+        FROM documents WHERE doc_id < 60
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7f_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-path multimodal extraction with a REAL container+EXIF parser
+    (no codec libraries): stage 1 renders each document into a
+    structurally valid baseline-JFIF byte stream (SOI/APP0/APP1/DQT/SOF0/
+    DHT/SOS/entropy/EOI; dims from the text length, EXIF Orientation from
+    doc_id, TIFF byte order alternating II/MM so BOTH endiannesses are
+    exercised); stage 2 — the graded path — gets ONLY the binary column
+    and must walk the marker stream: big-endian segment lengths, JFIF id,
+    the TIFF header + IFD0 entry decode inside APP1, SOF0 dims, and the
+    0xFF-stuffing-aware entropy-segment scan. The oracle derives the same
+    values independently from the construction. This is the metadata pass
+    PIL performs before pixel work; pixel reconstruction stays gated
+    (`jpeg_decode_pixels`) because Huffman+IDCT needs a codec lib.
+
+    Scale: two chained mapInPandas stages (encode → parse), Arrow batch
+    in/out, zero shuffles, partition-parallel — byte-compatible with a
+    libjpeg-backed decoder dropping into stage 2."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import jpeg_encode_container, jpeg_parse_meta, multimodal_frame
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            payloads = []
+            for doc_id, b in zip(batch["doc_id"], batch["payload"]):
+                n = len(b.decode("utf-8"))  # characters, matching len(text)
+                payloads.append(
+                    jpeg_encode_container(
+                        width=8 * (1 + n % 16),
+                        height=1 + (n * 5) % 64,
+                        orientation=1 + int(doc_id) % 8,
+                        entropy_len=16 + (n * 3) % 32,
+                        byte_order="II" if int(doc_id) % 2 == 0 else "MM",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "jpeg": payloads})
+
+    def parse(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "width", "height", "precision", "n_components",
+            "orientation", "exif_byte_order", "entropy_bytes",
+        )
+        for batch in frames:
+            rows = {"doc_id": list(batch["doc_id"])}
+            metas = [jpeg_parse_meta(bytes(b)) for b in batch["jpeg"]]
+            for c in cols:
+                rows[c] = [m[c] for m in metas]
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir).filter(F.col("doc_id") < 60)
+    jpegs = mm.mapInPandas(render, schema="doc_id long, jpeg binary")
+    return jpegs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, width int, height int, precision int, "
+            "n_components int, orientation int, exif_byte_order string, "
+            "entropy_bytes int"
+        ),
+    )

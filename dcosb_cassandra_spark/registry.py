@@ -73,7 +73,10 @@ _OPERATOR_MODULES = (
 #: and d7e (REAL PNG decode — signature/CRC/inflate/unfilter on genuine
 #: image bytes, no codec libs) replaces d4c's; d4j (IVF nprobe=2
 #: multi-probe) replaces b36b's already-recorded rows-only slot and d4k
-#: (the nprobe recall curve) replaces c13's.
+#: (the nprobe recall curve) replaces c13's; d7f (REAL JPEG container+EXIF
+#: metadata parse, both TIFF endiannesses) takes d_split_repair's slot —
+#: the staleness policy evicts the FRESHEST regrade (d_split_repair was
+#: graded r6) when a new never-graded query needs a first grading.
 _DRIVER_WINDOW = (
     # A35 analytic repair/lifecycle surface + AS-OF snapshot
     "a_repair_merkle_ranges",
@@ -129,7 +132,7 @@ _DRIVER_WINDOW = (
     "d_dataset_card",
     "d_quality_weighted_sample",
     "d_split_leakage_audit",
-    "d_split_repair",
+    "d7f_jpeg_metadata",
 )
 
 

@@ -6,11 +6,13 @@ The container has no image/audio codec libraries (environment constraint),
 so coverage is split by what's honestly computable: the AUDIO path (d7d)
 does real numpy math on real bytes, the PNG image path (d7e) does a REAL
 encode+decode with stdlib zlib/struct (`png_encode_gray`/`png_decode_gray`
-below — signature, chunk CRCs, IDAT inflate, scanline unfilter), and only
-codec-bound formats (JPEG, video) keep the fingerprint STUB
-(``decode_image_stub``: deterministic fake dims from the payload's md5 —
-plumbing real and oracle-checkable, body swapped for PIL/ffmpeg in a real
-deployment).
+below — signature, chunk CRCs, IDAT inflate, scanline unfilter), the JPEG
+path does a REAL container+EXIF metadata parse (`jpeg_parse_meta`: marker
+walk, JFIF/TIFF-IFD decode, entropy-segment scan — only the codec-bound
+pixel reconstruction is gated, `jpeg_decode_pixels`), and only video
+keeps the fingerprint STUB (``decode_image_stub``: deterministic fake
+dims from the payload's md5 — plumbing real and oracle-checkable, body
+swapped for ffmpeg in a real deployment).
 """
 
 from __future__ import annotations
@@ -279,3 +281,179 @@ def png_decode_gray(data: bytes):
             raise ValueError(f"unsupported PNG filter {ftype}")
         out[y * width : (y + 1) * width] = scan
     return width, height, 8, out
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG container path (no codec libraries needed for the CONTAINER):
+# the JFIF/EXIF marker structure — SOI, APPn, DQT, SOFn, DHT, SOS, entropy
+# segment, EOI — plus the TIFF IFD inside APP1 is plain struct-level byte
+# work, so dims / precision / component layout / EXIF orientation are
+# honestly extractable (the same metadata pass PIL's `Image.open` +
+# `_getexif` performs before any pixel work). Only the entropy DECODE
+# (Huffman + dequant + IDCT) is codec-bound and stays gated behind
+# NotImplementedError (`jpeg_decode_pixels`).
+# ---------------------------------------------------------------------------
+
+#: Annex K.1 luminance quantization table (public JPEG spec constant),
+#: zig-zag order — emitted so the container carries a realistic DQT.
+_JPEG_DQT_LUMA = bytes(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+
+
+def jpeg_encode_container(
+    width: int,
+    height: int,
+    orientation: int = 1,
+    entropy_len: int = 16,
+    byte_order: str = "II",
+) -> bytes:
+    """Build a structurally valid baseline-JFIF JPEG byte stream: SOI,
+    APP0/JFIF 1.02, APP1/EXIF (a real TIFF header + IFD0 carrying the
+    Orientation tag, in the requested `II` little- or `MM` big-endian
+    byte order), Annex-K DQT, SOF0 (8-bit, 3 components, 4:2:0 sampling),
+    a minimal DHT, SOS, `entropy_len` bytes of 0xFF-free entropy filler
+    (a real encoder's Huffman bitstream goes here), and EOI. Every marker,
+    length field, and IFD offset is spec-correct, so any conformant
+    metadata parser reads it."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    e = "<" if byte_order == "II" else ">"
+    # TIFF: byte order, magic 42, IFD0 at offset 8; IFD0 = 1 entry
+    # (0x0112 Orientation, SHORT×1, value left-justified in the 4-byte
+    # slot per TIFF §2), then next-IFD offset 0.
+    tiff = (
+        byte_order.encode()
+        + struct.pack(e + "HI", 42, 8)
+        + struct.pack(e + "H", 1)
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "HH", orientation, 0)
+        + struct.pack(e + "I", 0)
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    dqt = bytes([0]) + _JPEG_DQT_LUMA  # Pq=0 (8-bit) / Tq=0
+    sof0 = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0])  # Y  2x2 sampling, qtable 0
+        + bytes([2, 0x11, 0])  # Cb 1x1
+        + bytes([3, 0x11, 0])  # Cr 1x1
+    )
+    # minimal DC table 0: one 1-bit code for symbol 0
+    dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    entropy = bytes((i * 37 + 13) % 255 for i in range(entropy_len))  # never 0xFF
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xE1, app1)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_parse_meta(data: bytes) -> dict:
+    """REAL JPEG metadata parse — the pre-pixel pass of any image loader:
+    verifies SOI, walks the marker stream honoring per-segment big-endian
+    length fields, parses JFIF (APP0 id + version), parses EXIF (APP1:
+    'Exif\\0\\0' preamble, TIFF byte order II/MM, magic 42, IFD0 entry walk
+    with endian-aware tag/type/count/value decode → Orientation), reads
+    SOF0/1/2 (precision, dims, component count, progressive flag), counts
+    DQT/DHT segments, and scans the post-SOS entropy segment with correct
+    0xFF00 byte-stuffing and RSTn handling until the next true marker.
+    Raises ValueError on structural corruption. Only pixel reconstruction
+    is out of scope (see `jpeg_decode_pixels`)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    meta = {
+        "width": None, "height": None, "precision": None, "n_components": None,
+        "orientation": None, "exif_byte_order": None, "jfif_version": None,
+        "n_dqt": 0, "n_dht": 0, "entropy_bytes": 0, "progressive": False,
+    }
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return meta
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            meta["jfif_version"] = f"{body[5]}.{body[6]:02d}"
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            bo = tiff[:2].decode("ascii", "replace")
+            if bo not in ("II", "MM"):
+                raise ValueError(f"bad TIFF byte order {bo!r}")
+            e = "<" if bo == "II" else ">"
+            magic, ifd_off = struct.unpack_from(e + "HI", tiff, 2)
+            if magic != 42:
+                raise ValueError("bad TIFF magic")
+            meta["exif_byte_order"] = bo
+            (n_entries,) = struct.unpack_from(e + "H", tiff, ifd_off)
+            for i in range(n_entries):
+                tag, typ, cnt = struct.unpack_from(
+                    e + "HHI", tiff, ifd_off + 2 + 12 * i
+                )
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    (meta["orientation"],) = struct.unpack_from(
+                        e + "H", tiff, ifd_off + 2 + 12 * i + 8
+                    )
+        elif marker == 0xDB:
+            meta["n_dqt"] += 1
+        elif marker == 0xC4:
+            meta["n_dht"] += 1
+        elif marker in (0xC0, 0xC1, 0xC2):
+            meta["precision"], meta["height"], meta["width"], meta["n_components"] = (
+                struct.unpack_from(">BHHB", body, 0)
+            )
+            meta["progressive"] = marker == 0xC2
+        elif marker == 0xDA:
+            # entropy-coded segment: scan to the next true marker,
+            # treating FF00 (stuffed data byte) and FFD0-D7 (restart
+            # markers) as part of the segment.
+            i = pos + 2 + length
+            n = 0
+            while i < len(data) - 1:
+                if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+                    0xD0 <= data[i + 1] <= 0xD7
+                ):
+                    break
+                n += 1
+                i += 1
+            meta["entropy_bytes"] = n
+            pos = i
+            continue
+        pos += 2 + length
+    raise ValueError("JPEG missing EOI")
+
+
+def jpeg_decode_pixels(data: bytes):
+    """Pixel reconstruction (Huffman entropy decode + dequantize + IDCT +
+    chroma upsample) is codec-bound — the container has no libjpeg/PIL, so
+    this stage is gated; the metadata pass above is real. A deployment
+    swaps this body for `PIL.Image.open(io.BytesIO(data))`."""
+    raise NotImplementedError(
+        "JPEG entropy decode requires a codec library (libjpeg/PIL); "
+        "container+EXIF parsing (jpeg_parse_meta) is the real, tested path"
+    )
