@@ -392,6 +392,13 @@ def knn_top10_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup cardinality (keep-one-per-text). The full dedup operator
     (which rows survive) is llm_dedup.exact_dedup_keep_min; this headline
-    entry is the count shape from BASELINE.md."""
+    entry is the count shape from BASELINE.md.
+
+    Distinct runs on sha2-256 digests, not raw text (same collision-free
+    contract as D1's digest groupBy): the map-side partial distinct then
+    shuffles 64-byte digests instead of document bodies — at 100 TB the
+    exchange carries ~0.1% of the corpus bytes, and locally it drops the
+    text-payload exchange that made this the worst headline ratio (r6:
+    20.8× baseline)."""
     d = table(spark, sf_dir, "documents")
-    return d.agg(F.countDistinct("text").alias("n_unique"))
+    return d.agg(F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_unique"))
