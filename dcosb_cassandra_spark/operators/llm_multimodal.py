@@ -380,3 +380,95 @@ def d7f_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bytes int"
         ),
     )
+
+
+@query(
+    "d7g_mp4_metadata",
+    oracle="""
+        -- independent derivation of what the REAL ISO-BMFF box walk must
+        -- find: every field is fixed by the deterministic construction;
+        -- mdat_bytes doubles as a cross-box consistency check (the mdat
+        -- payload length must equal the stsz table's sample-size sum).
+        SELECT doc_id,
+               'isom' AS major_brand,
+               CAST(1000 * (1 + doc_id % 3) AS INT) AS timescale,
+               CAST(100 + (len(text) * 7) % 5000 AS INT) AS duration,
+               CAST(16 * (1 + len(text) % 20) AS INT) AS width,
+               CAST(16 * (1 + (len(text) * 3) % 20) AS INT) AS height,
+               'vide' AS handler,
+               CAST(1 + len(text) % 40 AS INT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, 1 + len(text) % 40),
+                    i -> 8 + (len(text) + i) % 16)) AS INT) AS mdat_bytes
+        FROM documents WHERE doc_id < 60
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7g_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-path multimodal extraction with a REAL ISO-BMFF container
+    parser (no codec libraries): stage 1 renders each document into a
+    structurally valid MP4 box tree (ftyp / moov > mvhd + trak > tkhd +
+    mdia > mdhd + hdlr + minf > stbl > stsz / mdat; timescale, duration,
+    16.16 fixed-point dims, and the per-sample size table all derived
+    deterministically); stage 2 — the graded path — gets ONLY the binary
+    column and must walk the box tree: big-endian sizes (incl. the 64-bit
+    largesize form), nested containers, versioned full boxes, the fixed-
+    point dim decode, and the stsz table sum, which it cross-checks
+    against the actual mdat payload length. The oracle derives the same
+    values independently from the construction. This is the metadata pass
+    ffprobe performs before any codec work; frame reconstruction stays
+    gated (`mp4_decode_frames`) because H.264 et al. need codec libs —
+    completing the modality set: PNG decode + JPEG container (image),
+    RMS math (audio), and BMFF box walk (video) are all real byte work.
+
+    Scale: two chained mapInPandas stages (encode → parse), Arrow batch
+    in/out, zero shuffles, partition-parallel."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import mp4_encode_container, mp4_parse_meta, multimodal_frame
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            payloads = []
+            for doc_id, b in zip(batch["doc_id"], batch["payload"]):
+                n = len(b.decode("utf-8"))  # characters, matching len(text)
+                payloads.append(
+                    mp4_encode_container(
+                        duration=100 + (n * 7) % 5000,
+                        timescale=1000 * (1 + int(doc_id) % 3),
+                        width=16 * (1 + n % 20),
+                        height=16 * (1 + (n * 3) % 20),
+                        sample_sizes=[8 + (n + i) % 16 for i in range(1 + n % 40)],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "mp4": payloads})
+
+    def parse(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "major_brand", "timescale", "duration", "width", "height",
+            "handler", "n_samples", "mdat_bytes",
+        )
+        for batch in frames:
+            rows = {"doc_id": list(batch["doc_id"])}
+            metas = []
+            for b in batch["mp4"]:
+                m = mp4_parse_meta(bytes(b))
+                if m["total_sample_bytes"] != m["mdat_bytes"]:
+                    raise ValueError(
+                        f"stsz sum {m['total_sample_bytes']} != mdat payload "
+                        f"{m['mdat_bytes']}"
+                    )
+                metas.append(m)
+            for c in cols:
+                rows[c] = [m[c] for m in metas]
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir).filter(F.col("doc_id") < 60)
+    mp4s = mm.mapInPandas(render, schema="doc_id long, mp4 binary")
+    return mp4s.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, major_brand string, timescale int, duration int, "
+            "width int, height int, handler string, n_samples int, "
+            "mdat_bytes int"
+        ),
+    )

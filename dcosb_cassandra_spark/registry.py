@@ -74,9 +74,11 @@ _OPERATOR_MODULES = (
 #: image bytes, no codec libs) replaces d4c's; d4j (IVF nprobe=2
 #: multi-probe) replaces b36b's already-recorded rows-only slot and d4k
 #: (the nprobe recall curve) replaces c13's; d7f (REAL JPEG container+EXIF
-#: metadata parse, both TIFF endiannesses) takes d_split_repair's slot —
-#: the staleness policy evicts the FRESHEST regrade (d_split_repair was
-#: graded r6) when a new never-graded query needs a first grading.
+#: metadata parse, both TIFF endiannesses) and d7g (REAL MP4/ISO-BMFF box
+#: walk with stsz-vs-mdat cross-check) take d_split_repair's and
+#: d_split_leakage_audit's slots — the staleness policy evicts the
+#: FRESHEST regrades (both graded r6) when new never-graded queries need
+#: a first grading.
 _DRIVER_WINDOW = (
     # A35 analytic repair/lifecycle surface + AS-OF snapshot
     "a_repair_merkle_ranges",
@@ -131,7 +133,7 @@ _DRIVER_WINDOW = (
     "d8e_embedding_drift",
     "d_dataset_card",
     "d_quality_weighted_sample",
-    "d_split_leakage_audit",
+    "d7g_mp4_metadata",
     "d7f_jpeg_metadata",
 )
 
