@@ -52,9 +52,20 @@ _table_memo: dict[tuple[str, str, str], DataFrame] = {}
 _conf_pinned: set[str] = set()
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, cluster_key: str | None = None
+) -> DataFrame:
     """Load one table. The unit of the catalog — all operators go through
     here so scan behavior (and the UTC conf pin) is uniform.
+
+    ``cluster_key`` declares which join/group key the caller will cluster
+    on. Cold path: it is a pure annotation (the same base DataFrame comes
+    back — Catalyst plans the exchange as usual). Warm path: if
+    ``warm_cache`` materialized a projection of this table hash-partitioned
+    by that key (SERVING_MVS — the in-memory analogue of a Cassandra
+    materialized view keyed per query shape, or bucketed storage at 100
+    TB), the caller gets it and Spark's subset rule elides the caller's
+    exchange entirely.
 
     ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
     TIMESTAMP(MICROS) across driver testdata generations, so the loader
@@ -62,6 +73,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long (via the legacy flag) and is integer-divided to micros —
     bit-identical to DuckDB's ns→µs truncation on read — while a MICROS
     column is already the timestamp DuckDB sees and passes through."""
+    if cluster_key is not None:
+        app_id = spark.sparkContext.applicationId
+        mv = _table_memo.get((app_id, sf_dir, f"{name}@{cluster_key}"))
+        if mv is not None:
+            return mv
     app_id = spark.sparkContext.applicationId
     if app_id not in _conf_pinned:
         ensure_engine_conf(spark)
@@ -108,6 +124,18 @@ WARM_CACHE_PARTITIONS: dict[str, tuple[int, str | None]] = {
     "embeddings": (4, None),
 }
 
+#: serving materialized views: (table, cluster key, partitions). A SECOND
+#: cached projection of a hot table, hash-partitioned by a DIFFERENT key
+#: than its primary snapshot — the in-memory analogue of a Cassandra
+#: materialized view (one table per query key, A26) or a second bucketed
+#: copy at 100 TB. orders is hot in two key spaces: o_custkey (the
+#: custkey anti-join / per-customer window) and o_orderkey (the
+#: orders⋈lineitem fact-fact edge in q3/q5) — keeping both projections
+#: removes the only data-carrying exchange from each consumer. Storage
+#: cost is one extra copy of orders, exactly what the Cassandra data
+#: model pays for the same read path.
+SERVING_MVS: tuple[tuple[str, str, int], ...] = (("orders", "o_orderkey", 8),)
+
 
 def warm_cache(spark: SparkSession, sf_dir: str) -> None:
     """Cache every table for repeated-query serving (bench / interactive),
@@ -123,6 +151,10 @@ def warm_cache(spark: SparkSession, sf_dir: str) -> None:
         df = df.cache()
         df.count()
         _table_memo[(app_id, sf_dir, name)] = df
+    for name, cluster_key, n in SERVING_MVS:
+        mv = table(spark, sf_dir, name).repartition(n, F.col(cluster_key)).cache()
+        mv.count()
+        _table_memo[(app_id, sf_dir, f"{name}@{cluster_key}")] = mv
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -95,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-side job per execution. Top-10 plans as TakeOrderedAndProject
     (no global sort materialization)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", cluster_key="o_orderkey")
     l = table(spark, sf_dir, "lineitem")
     return (
         l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
@@ -138,7 +138,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops two broadcast-build jobs and two exchanges from EVERY run —
     identical at 100 TB because the dims do not scale. 25 output groups."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", cluster_key="o_orderkey")
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     valid_nk, name_map = _folded_nation_dim(spark, sf_dir)

@@ -185,6 +185,12 @@ def test_hot_key_warm_cache_removes_exchanges(spark):
         assert "ShuffledHashJoin" in anti
         assert "Exchange hashpartitioning(c_custkey" not in anti
         assert "Exchange hashpartitioning(o_custkey" not in anti
+        # the SERVING_MVS projection (orders@o_orderkey): the fact-fact
+        # edge l⋈o must co-locate on the cached partitionings with no
+        # orderkey exchange on either side
+        q3 = plan_string(REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR))
+        assert "Exchange hashpartitioning(o_orderkey" not in q3
+        assert "Exchange hashpartitioning(l_orderkey" not in q3
     finally:
         spark.catalog.clearCache()
         _table_memo.clear()
