@@ -372,34 +372,43 @@ def d_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete training-data pipeline as ONE composed plan: quality
     filter → exact dedup (keep-min) → bag-of-words fingerprint dedup →
     content-stable train/val/test split → per-split token accounting.
-    Five stages, three shuffles (two dedup groupings + final split agg),
-    zero UDFs, zero driver materialization between stages — Catalyst sees
-    the whole pipeline and prunes text out of the final aggregation.
-    The exact-dedup grouping keys on sha2(text) like d1 — the shuffle
-    moves 32-byte digests, document bodies never move (at 100 TB that is
-    the difference between shuffling digests and shuffling the corpus)."""
+
+    Shape: hash-once, then window-dedup — the text is tokenized/hashed in
+    a SINGLE projection (sha2 exact digest + bag-of-words fingerprint side
+    by side, codegen CSEs the shared split()), the body is dropped before
+    any exchange, and each keep-min-doc_id stage is `row_number() OVER
+    (PARTITION BY digest ORDER BY doc_id) = 1` instead of a
+    groupBy-min + self-join. The earlier join form made Catalyst
+    re-evaluate the tokenize subtree once per join branch (4-5× at
+    execution, 3.2× its DuckDB twin); windows keep it to one pass. Three
+    shuffles total (two dedup windows + the 3-group split agg), each
+    moving (doc_id, two digests, two ints) ≈ 120 B/row — at 100 TB the
+    corpus bodies never move, and dup-cluster skew in the window
+    partitions is AQE's standard skew case, same cardinality the groupBy
+    form shuffled. Zero UDFs, zero driver materialization."""
+    from pyspark.sql.window import Window
+
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
-    quality = d.filter(
-        (n_tokens >= 10) & (F.size(F.array_distinct(toks)) / n_tokens >= 0.3)
-    ).select("doc_id", "text", "n_chars", n_tokens.cast("long").alias("n_tokens"))
-
-    exact_kept = (
-        quality.groupBy(F.sha2("text", 256))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    hashed = (
+        d.filter((n_tokens >= 10) & (F.size(F.array_distinct(toks)) / n_tokens >= 0.3))
+        .select(
+            "doc_id",
+            "n_chars",
+            n_tokens.cast("long").alias("n_tokens"),
+            F.sha2("text", 256).alias("h_exact"),
+            fingerprint(F.col("text")).alias("h_fp"),
+        )
     )
-    survivors = quality.join(exact_kept, "doc_id")
-
-    fp = fingerprint(F.col("text"))
-    fp_kept = (
-        survivors.select("doc_id", fp.alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w_exact = Window.partitionBy("h_exact").orderBy("doc_id")
+    w_fp = Window.partitionBy("h_fp").orderBy("doc_id")
+    final = (
+        hashed.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") == 1)
+        .withColumn("rn2", F.row_number().over(w_fp))
+        .filter(F.col("rn2") == 1)
     )
-    final = survivors.join(fp_kept, "doc_id")
 
     h = F.expr(
         "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 16"
