@@ -79,63 +79,75 @@ _OPERATOR_MODULES = (
 #: d_split_leakage_audit's slots — the staleness policy evicts the
 #: FRESHEST regrades (both graded r6) when new never-graded queries need
 #: a first grading.
+#: Seventh rotation (r8): the STALENESS round (judge r7 task #1). With
+#: zero never-graded queries left, the window regrades the 50
+#: OLDEST-graded names: the 45 r1-vintage rows (headline suite + the A
+#: CQL-read/write core + scalar-function packs — last driver-graded six
+#: rounds and several heavy refactors ago: session shipping, conf
+#: pinning, the dedup/window rewrites) plus the 5 oldest r3-vintage
+#: slots. tools/graded_history.json now records name → last-graded
+#: round; tests/test_entry.py enforces that no window regrade is fresher
+#: than any left-out name. New never-graded queries added this round
+#: take the freshest slots first (same eviction policy as r7).
 _DRIVER_WINDOW = (
-    # A35 analytic repair/lifecycle surface + AS-OF snapshot
-    "a_repair_merkle_ranges",
-    "a_tombstone_gc_report",
-    "a_snapshot_as_of",
-    # B32-B43 analytics pack
-    "b32_zorder_layout_eval",
-    "b33_cohort_retention",
-    "b34_rolling_zscore_anomalies",
-    "b35_touch_attribution",
-    "b36_rolling_dau",
-    "d4j_ivf_multiprobe_knn",
-    "b37_funnel_conversion",
-    "b38_path_transitions",
-    "b39_join_skew_report",
-    "b40_retention_decay_fit",
-    "b41_funnel_latency_percentiles",
-    "b42_rolling_series_correlation",
-    "b43_session_bounce_rate",
-    # graded streaming replays (C1/C2/C3/C5/C6 as ACTUAL streams) + CDC
-    # consumer + sketch replay
-    "c1d_tumbling_replay",
-    "c2c_sliding_replay",
-    "c3c_session_replay",
-    "c5b_dedup_replay",
-    "c6c_stateful_replay",
-    "c12b_cdc_stream_consumer",
-    "d4k_nprobe_recall_curve",
-    # D-layer curation/eval ops added late r5
-    "d13c_context_chunking",
-    "d13d_boundary_packing",
-    "d14d_token_budget_mixing",
-    "c10c_outer_interval_replay",
-    "d2i_lsh_dedup_eval",
-    "d2j_dup_graph_stats",
-    "d2k_triangle_count",
-    "d2l_cluster_quality_keeper",
-    "d2m_cross_source_dup_matrix",
-    "d2n_dedup_threshold_curve",
-    "d7e_image_decode",
-    "d4g_pq_encoding",
-    "d4h_pq_adc_eval",
-    "d4i_semantic_decontamination",
-    "d5o_text_normalization",
-    "d5q_oov_rate",
-    "d5r_zipf_slope",
-    "d5s_lexical_divergence",
-    "d5t_quality_drift",
-    "d7d_audio_frame_energy",
-    "d8c_domain_affinity",
-    "d8d_matryoshka_eval",
-    "d8e_embedding_drift",
-    "d_dataset_card",
-    "d_quality_weighted_sample",
-    "d7g_mp4_metadata",
-    "d7f_jpeg_metadata",
+    # r8 first-gradings (new this round) — never-graded names take the
+    # freshest slots per the r7 eviction policy.
+    # headline suite (r1-vintage regrades)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_top2_per_cust",
+    "distinct_users_per_type",
+    "tumbling_window_events",
+    "json_extract_props",
+    "antijoin_custs_no_orders",
+    "cube_rollup",
+    "text_token_counts",
+    "knn_top10_vs_query",
+    "exact_dedup_docs",
+    # A-row CQL core (r1-vintage)
+    "a01_full_table_scan",
+    "a02_point_read_pk",
+    "a03_clustering_slice",
+    "a04_in_partition_keys",
+    "a06_limit_paging",
+    "a07_per_partition_limit",
+    "a08_select_distinct_pk",
+    "a09_projection_alias",
+    "a11_filter_contains",
+    "a12_like_patterns",
+    "a13_allow_filtering",
+    "a14_secondary_index_eq",
+    "a15_global_aggregates",
+    "a16_group_by_key_prefix",
+    "a17_order_by_clustering",
+    "a18_upsert_lww",
+    "a19_delete_tombstones",
+    "a19b_range_tombstones",
+    "a20_ttl_expiry",
+    "a21_writetime_readback",
+    "a22_counter_updates",
+    "a24_batch_write",
+    "a25_lwt_insert_if_not_exists",
+    "a26_materialized_view",
+    "a27_select_json",
+    "a28_from_json_typed",
+    "a29_time_functions",
+    "a31_blob_conversions",
+    "a32_arithmetic_ops",
+    # scalar-function packs (r1-vintage)
+    "b25_string_functions",
+    "b26_date_functions",
+    "b27_math_functions",
+    "b28_conditional_functions",
+    # oldest r3-vintage fill (registry order)
+    "a05_token_range_scan",
+    "a10_cast_types",
+    "a23_collection_mutations",
+    "a30_uuid_generation",
+    "b29_array_functions",
 )
+
 
 
 @dataclass(frozen=True)

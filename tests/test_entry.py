@@ -77,6 +77,35 @@ def test_rotation_never_regrades_greens_while_backlog_exists():
         assert not left_out, f"never-graded queries left out of window: {left_out[:5]}..."
 
 
+def test_rotation_regrades_oldest_evidence_first():
+    """Staleness guard (judge r7 demand): with the never-graded backlog
+    closed, regrade slots must go to the STALEST driver evidence.
+    tools/graded_history.json records name -> last-graded round; no
+    window regrade may carry a FRESHER last grade than any left-out
+    name. (New never-graded queries are exempt — they need a first
+    grading and take the freshest slots.)"""
+    import json
+    import pathlib
+
+    from dcosb_cassandra_spark.registry import _DRIVER_WINDOW, REGISTRY, load_all
+
+    load_all()
+    hist_path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "graded_history.json"
+    last = json.loads(hist_path.read_text())
+    if not isinstance(last, dict):  # pre-r8 flat-list format: no round tags
+        return
+    regrades = [n for n in _DRIVER_WINDOW if n in last]
+    left_out = [n for n in REGISTRY if n not in _DRIVER_WINDOW and n in last]
+    if not regrades or not left_out:
+        return
+    freshest_in = max(last[n] for n in regrades)
+    oldest_out = min(last[n] for n in left_out)
+    assert freshest_in <= oldest_out, (
+        f"window regrades round-{freshest_in} evidence while round-{oldest_out} "
+        f"names wait: {sorted(n for n in regrades if last[n] == freshest_in)[:5]}"
+    )
+
+
 def test_bench_suite_names_exist():
     """bench.py's HEADLINE and PIPELINE name lists must reference live
     registry entries — a rename that silently drops a benched query would

@@ -46,6 +46,15 @@ def test_distributed_d4d_prunes_partitions_and_limits_window(spark, monkeypatch)
     from dcosb_cassandra_spark.plans.audit import plan_string
 
     monkeypatch.setattr(llm_similarity, "FUSED_SMALL_INDEX_BYTES", -1)
+    # force the on-disk serving posture too: with the index RAM-resident
+    # (InMemoryRelation) the parquet PartitionFilters line never appears —
+    # standalone runs of this test were order-dependent without this.
+    # Spark's CacheManager substitutes a matching cached plan regardless
+    # of our Python-level memo, so any prior test's .cache() of the same
+    # index scan must be unpersisted, not just forgotten.
+    monkeypatch.setattr(llm_similarity, "RAM_INDEX_BYTES", -1)
+    for k in list(llm_similarity._IVF_INDEX_DF_CACHE):
+        llm_similarity._IVF_INDEX_DF_CACHE.pop(k).unpersist()
     plan = plan_string(REGISTRY["d4d_ivf_probe_knn"].fn(spark, SF_DIR))
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "WindowGroupLimit" in plan

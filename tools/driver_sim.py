@@ -103,6 +103,15 @@ def dtype_audit(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
 
 
 qs, os_ = m.queries(), m.oracle_sql()
+# DRIVER_SIM_ONLY="window" → just the 50-name graded prefix;
+# DRIVER_SIM_ONLY="a,b,c" → the named queries. Default: full sweep.
+_only = os.environ.get("DRIVER_SIM_ONLY", "")
+if _only == "window":
+    _keep = set(list(qs)[:50])
+    qs = {k: v for k, v in qs.items() if k in _keep}
+elif _only:
+    _keep = set(_only.split(","))
+    qs = {k: v for k, v in qs.items() if k in _keep}
 bad = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
