@@ -113,14 +113,24 @@ def table(
 #: (swept at sf0.1: sequential headline suite 2.41 s → ~1.95 s). At 100 TB
 #: the same intent is expressed as bucketed storage, and a scan of it
 #: carries the same partitioning guarantee.
+#: partitions-sized-by-bytes, applied to the CACHED snapshots (r8): at the
+#: bench SF the whole working set is ~100 MB, so 4-8 partitions keeps each
+#: cached partition near the 16-64 MB sweet spot. The r7 values (16/8) were
+#: sized for single-query parallelism; under CONCURRENT serving (the
+#: realistic 32-slot shape) the extra tasks were pure scheduler/GIL
+#: contention — measured all-4 cut the 12-query concurrent wall ~35% vs
+#: all-16/8 while costing ~5% sequential. lineitem keeps 8 (largest table,
+#: q1/q3/q5 scan parallelism). At 100 TB the same bytes rule yields
+#: thousands of partitions — the CONSTANT is bench-scale, the rule is not.
 WARM_CACHE_PARTITIONS: dict[str, tuple[int, str | None]] = {
-    "lineitem": (16, "l_orderkey"),
-    "orders": (8, "o_custkey"),
-    "events": (8, "user_id"),
-    "customer": (8, "c_custkey"),
+    "lineitem": (8, "l_orderkey"),
+    "orders": (4, "o_custkey"),
+    "events": (4, "user_id"),
+    "customer": (4, "c_custkey"),
     # the pipeline suite's hot tables: minhash signatures / embedding math
-    # parallelize from the cached snapshot's partitioning
-    "documents": (8, None),
+    # re-spread from the cached snapshot by session.spread_width, so the
+    # cached partition count is not their parallelism bound
+    "documents": (4, None),
     "embeddings": (4, None),
 }
 
@@ -134,6 +144,10 @@ WARM_CACHE_PARTITIONS: dict[str, tuple[int, str | None]] = {
 #: removes the only data-carrying exchange from each consumer. Storage
 #: cost is one extra copy of orders, exactly what the Cassandra data
 #: model pays for the same read path.
+#: partition count MATCHES lineitem's cached partitioning: both sides of
+#: the orderkey fact-fact edge arrive hashpartitioned(orderkey, 8), so
+#: the q3/q5 join needs no exchange at all (r8 — mismatched partition
+#: counts forced a re-exchange of orders on every run).
 SERVING_MVS: tuple[tuple[str, str, int], ...] = (("orders", "o_orderkey", 8),)
 
 

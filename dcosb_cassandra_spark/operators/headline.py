@@ -124,10 +124,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B1", "B2", "B9", "P0"),
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape, 6-way join. Shuffle joins only on the fact-fact
-    edges (orders⋈lineitem on orderkey, then supplier); supplier scales
-    linearly with SF — no hint (an explicit hint cannot be demoted by AQE;
-    AQE promotes it to broadcast at runtime when it fits).
+    """TPC-H Q5 shape, 6-way join. orders⋈lineitem is pinned SHUFFLE_HASH
+    on orderkey (same rationale as q3: both cached sides arrive
+    hashpartitioned(orderkey, 16) so the join is exchange-free AND
+    sort-free, and at 100 TB orders can never broadcast — without the
+    hint the static planner broadcast-collects all of orders to the
+    driver on every run at bench SFs). customer/supplier scale linearly
+    with SF — no hint (an explicit hint cannot be demoted by AQE; AQE
+    promotes them to broadcast at runtime when they fit).
 
     nation/region are FIXED-size dims (25/5 rows at every SF by the TPC-H
     spec), and both have unique join keys — so their inner joins are
@@ -136,20 +140,24 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to dim joins. Exactly equivalent to the broadcast joins
     (unique-keyed inner join ≡ key-membership filter + map lookup) but
     drops two broadcast-build jobs and two exchanges from EVERY run —
-    identical at 100 TB because the dims do not scale. 25 output groups."""
+    identical at 100 TB because the dims do not scale. The name map is
+    applied AFTER the aggregation (25 group rows), not to the ~600 k
+    pre-agg stream — groupBy(s_nationkey) and groupBy(n_name) induce the
+    same groups because the map is injective on the filtered key set.
+    25 output groups."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders", cluster_key="o_orderkey")
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     valid_nk, name_map = _folded_nation_dim(spark, sf_dir)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .filter(F.col("s_nationkey").isin(valid_nk) if valid_nk else F.lit(False))
-        .withColumn("n_name", name_map[F.col("s_nationkey")])
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .select(name_map[F.col("s_nationkey")].alias("n_name"), "revenue")
         .transform(bounded_sort, F.desc("revenue"))
     )
 
