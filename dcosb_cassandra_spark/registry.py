@@ -92,6 +92,7 @@ _OPERATOR_MODULES = (
 _DRIVER_WINDOW = (
     # r8 first-gradings (new this round) — never-graded names take the
     # freshest slots per the r7 eviction policy.
+    "d7h_jpeg_decode",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -145,7 +146,6 @@ _DRIVER_WINDOW = (
     "a10_cast_types",
     "a23_collection_mutations",
     "a30_uuid_generation",
-    "b29_array_functions",
 )
 
 

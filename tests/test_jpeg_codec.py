@@ -87,9 +87,88 @@ def test_progressive_sof2_flag():
     assert (m["width"], m["height"]) == (32, 8)
 
 
-def test_pixel_decode_is_gated():
-    with pytest.raises(NotImplementedError, match="codec"):
+def test_pixel_decode_rejects_subsampled_container():
+    """The d7f metadata container declares 4:2:0 sampling; the real pixel
+    decoder (r8) supports baseline 1x1 sampling only and must refuse the
+    subsampled layout loudly rather than produce wrong pixels."""
+    with pytest.raises(ValueError, match="sampl"):
         jpeg_decode_pixels(jpeg_encode_container(8, 8))
+
+
+# -- real baseline codec (r8): encode -> entropy decode -> pixels ------------
+
+
+def test_constant_block_roundtrip_is_bit_exact():
+    """Constant 8x8 blocks concentrate into DC, and the DC quant step of 8
+    cancels the FDCT's DC gain — every pixel value must round-trip
+    exactly (the property d7h's SQL oracle relies on)."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_gray
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    w, h, nc, out = jpeg_decode_pixels(jpeg_encode_gray(px.tobytes(), 32, 48))
+    assert (w, h, nc) == (32, 48, 1)
+    assert np.array_equal(np.frombuffer(out, dtype=np.uint8).reshape(48, 32), px)
+
+
+def test_smooth_gradient_roundtrip_within_quant_error():
+    """A smooth gradient exercises AC coefficients, run lengths, and EOB;
+    Annex-K quantization of smooth content stays within a few levels."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_gray
+
+    xs = np.linspace(0, 255, 64)
+    px = np.clip(np.add.outer(xs, xs) / 2, 0, 255).astype(np.uint8)
+    w, h, nc, out = jpeg_decode_pixels(jpeg_encode_gray(px.tobytes(), 64, 64))
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(64, 64).astype(int)
+    assert np.abs(dec - px.astype(int)).max() <= 4
+
+
+def test_random_noise_roundtrip_and_byte_stuffing():
+    """Random noise drives wide Huffman categories, ZRL runs, and 0xFF
+    bytes in the bitstream (stuffing). The decode must complete and the
+    per-pixel error stay bounded by the quantization table's worst case."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_gray
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    data = jpeg_encode_gray(px.tobytes(), 24, 24)
+    w, h, nc, out = jpeg_decode_pixels(data)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(24, 24).astype(int)
+    # worst case error of dropping every AC coefficient entirely is the
+    # sum of half the quant steps over the basis; empirically noise stays
+    # far below — gate generously but meaningfully
+    assert np.abs(dec - px.astype(int)).mean() < 40
+    # several random images must exercise byte stuffing somewhere
+    stuffed = 0
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        p = r.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        d = jpeg_encode_gray(p.tobytes(), 16, 16)
+        stuffed += sum(
+            1 for i in range(len(d) - 3) if d[i] == 0xFF and d[i + 1] == 0x00
+        )
+        jpeg_decode_pixels(d)  # and each must decode cleanly
+    assert stuffed > 0
+
+
+def test_real_stream_parses_with_metadata_path():
+    """jpeg_parse_meta (the d7f path) must read the REAL encoder's output
+    too: dims from SOF0, 1 component, a non-empty entropy segment."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_gray
+
+    px = np.full((8, 16), 77, dtype=np.uint8)
+    m = jpeg_parse_meta(jpeg_encode_gray(px.tobytes(), 16, 8))
+    assert (m["width"], m["height"], m["n_components"]) == (16, 8, 1)
+    assert m["entropy_bytes"] > 0 and m["n_dht"] == 1 and m["n_dqt"] == 1
 
 
 def test_jfif_app0_parsed_before_exif():
