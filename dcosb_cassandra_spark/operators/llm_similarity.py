@@ -456,32 +456,58 @@ RAM_INDEX_BYTES = 64 << 20
 _IVF_INDEX_DF_CACHE: dict[tuple, DataFrame] = {}
 
 
+def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the IVF index for sf_dir's embeddings into ``out_dir``:
+    every vector stored in its centroid bucket's partition
+    (partitionBy("bucket") parquet) with its L2 norm precomputed. This is
+    the index BUILD — an ingest-time maintenance job at 100 TB (see
+    sources/maintenance.build_ivf_index, the operator a user schedules);
+    `ivf_index` is the matching serving read path (partition-pruned
+    probes, size-conditional RAM residence)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ve = as_double(F.col("embedding"))
+    (
+        _with_centroid_bucket(
+            emb.select("vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")),
+            _codebook(spark, sf_dir),
+        )
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
 def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Directory of the materialized IVF index for sf_dir (building it on
-    first use) — see `ivf_index` for the layout and caching contract."""
+    first use) — see `ivf_index` for the layout and caching contract.
+    Placement policy (r8): with $SPARK_GRAFT_INDEX_DIR set the index is
+    DURABLE — built under that root with the corpus mtime in the dir name
+    (so a fresh build is skipped when a complete index for this corpus
+    generation already exists, across processes) and never deleted;
+    without it the index lives in a tempdir removed at interpreter exit
+    (the pre-r8 behavior, right for tests and one-off sessions)."""
     import atexit
     import os
     import shutil
     import tempfile
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    key = (path, os.stat(path).st_mtime_ns)
+    mtime = os.stat(path).st_mtime_ns
+    key = (path, mtime)
     with _IVF_INDEX_LOCK:
         if key not in _IVF_INDEX_CACHE:
-            out = tempfile.mkdtemp(prefix="dcosb_ivf_index_")
-            emb = table(spark, sf_dir, "embeddings")
-            ve = as_double(F.col("embedding"))
-            (
-                _with_centroid_bucket(
-                    emb.select("vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")),
-                    _codebook(spark, sf_dir),
-                )
-                .withColumn("bucket", F.col("bucket").cast("long"))
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(out)
-            )
-            atexit.register(shutil.rmtree, out, ignore_errors=True)
+            root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+            if root:
+                tag = os.path.basename(os.path.normpath(sf_dir))
+                out = os.path.join(root, f"ivf_{tag}_{mtime}")
+                if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                    write_ivf_index(spark, sf_dir, out)
+            else:
+                out = tempfile.mkdtemp(prefix="dcosb_ivf_index_")
+                write_ivf_index(spark, sf_dir, out)
+                atexit.register(shutil.rmtree, out, ignore_errors=True)
             _IVF_INDEX_CACHE[key] = out
     return _IVF_INDEX_CACHE[key]
 

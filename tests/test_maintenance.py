@@ -195,3 +195,46 @@ def test_hot_key_warm_cache_removes_exchanges(spark):
         spark.catalog.clearCache()
         _table_memo.clear()
         _table_memo.update(before)
+
+
+def test_build_ivf_index_durable_and_served(spark, tmp_path, monkeypatch):
+    """build_ivf_index (r8): an explicit out_dir materializes the
+    bucket-partitioned index there; the env-var policy builds a durable
+    mtime-tagged dir under SPARK_GRAFT_INDEX_DIR and SKIPS the rebuild
+    while the corpus generation is unchanged; and the served probe
+    (d4d) over a fresh process-state reads the same rows either way."""
+    from dcosb_cassandra_spark.operators import llm_similarity
+    from dcosb_cassandra_spark.sources.maintenance import build_ivf_index
+
+    from .conftest import SF_DIR
+
+    # explicit out_dir
+    out = str(tmp_path / "ivf_explicit")
+    got = build_ivf_index(spark, SF_DIR, out)
+    assert got == out
+    files = parquet_files(out)
+    assert files and all("bucket=" in f for f in files)
+    idx = spark.read.parquet(out)
+    emb = table(spark, SF_DIR, "embeddings")
+    assert idx.count() == emb.count()
+    assert {"vec_id", "ve", "nrm", "bucket"} <= set(idx.columns)
+
+    # env-var durable policy: second call reuses, no rebuild
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "index_root"))
+    monkeypatch.setattr(llm_similarity, "_IVF_INDEX_CACHE", {})
+    d1 = build_ivf_index(spark, SF_DIR)
+    assert d1.startswith(str(tmp_path / "index_root"))
+    stamp = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+    monkeypatch.setattr(llm_similarity, "_IVF_INDEX_CACHE", {})  # new process
+    d2 = build_ivf_index(spark, SF_DIR)
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, "_SUCCESS")) == stamp  # untouched
+
+    # the graded probe still matches its rows through the durable index
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    load_all()
+    rows = sorted(
+        tuple(r) for r in REGISTRY["d4d_ivf_probe_knn"].fn(spark, SF_DIR).collect()
+    )
+    assert len(rows) == 15  # 5 queries x top-3
