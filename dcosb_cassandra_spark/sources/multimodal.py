@@ -9,9 +9,10 @@ encode+decode with stdlib zlib/struct (`png_encode_gray`/`png_decode_gray`
 below — signature, chunk CRCs, IDAT inflate, scanline unfilter), the JPEG
 path does a REAL container+EXIF metadata parse (`jpeg_parse_meta`: marker
 walk, JFIF/TIFF-IFD decode, entropy-segment scan) AND a real baseline
-pixel codec (r8: `jpeg_encode_gray`/`jpeg_decode_pixels` — FDCT/Huffman
-encode, full entropy decode + dequant + IDCT; 4:2:0 chroma upsampling is
-the one remaining out-of-scope piece), and only video
+pixel codec (r8: `jpeg_encode_gray`/`jpeg_encode_color`/
+`jpeg_decode_pixels` — FDCT/Huffman encode, full entropy decode + dequant
++ IDCT, interleaved-MCU 4:2:0/4:2:2 chroma with replication upsampling,
+JFIF YCbCr<->RGB), and only video
 keeps the fingerprint STUB (``decode_image_stub``: deterministic fake
 dims from the payload's md5 — plumbing real and oracle-checkable, body
 swapped for ffmpeg in a real deployment).
@@ -456,9 +457,9 @@ def jpeg_parse_meta(data: bytes) -> dict:
 # gap, stdlib+numpy only): FDCT/quantize/zig-zag/Huffman on the encode
 # side, the full Huffman entropy decode + dequantize + IDCT + level shift
 # on the decode side, per ITU-T T.81 (the public JPEG spec). Baseline
-# sequential, 8-bit; grayscale or any non-subsampled (1x1 sampling)
-# component layout — chroma UPSAMPLING (4:2:0) is the one part still out
-# of scope, matching the 4:2:0 container d7f emits for the metadata path.
+# sequential, 8-bit; grayscale, 4:4:4, and subsampled 4:2:0/4:2:2
+# interleaved-MCU layouts (replication chroma upsampling + JFIF
+# YCbCr<->RGB helpers) — the full baseline pixel path, no codec libs.
 # ---------------------------------------------------------------------------
 
 #: zig-zag scan order: zigzag index -> raster index (T.81 Figure 5)
@@ -557,6 +558,39 @@ def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
+def _encode_block(w, block, m, q, dc_codes, ac_codes, prev_dc: int) -> int:
+    """FDCT + quantize + zig-zag + Huffman-encode ONE level-shifted 8x8
+    block into BitWriter ``w``; returns the block's DC for the caller's
+    difference chain."""
+    import numpy as np
+
+    coeffs = m @ block @ m.T
+    quant = np.rint(coeffs / q).astype(np.int64)
+    zz = [int(quant.flat[r]) for r in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    w.put(*dc_codes[s])
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _category(zz[i])
+        w.put(*ac_codes[(run << 4) | s])
+        v = zz[i]
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
     """REAL baseline-JPEG encoder, grayscale, stdlib+numpy: level shift,
     8x8 orthonormal FDCT, quantize (`_JPEG_DQT_DC8`), zig-zag, DC
@@ -587,31 +621,7 @@ def jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
     for by in range(height // 8):
         for bx in range(width // 8):
             block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeffs = m @ block @ m.T
-            quant = np.rint(coeffs / q).astype(np.int64)
-            zz = [int(quant.flat[r]) for r in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            w.put(*dc_codes[s])
-            if s:
-                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s = _category(zz[i])
-                w.put(*ac_codes[(run << 4) | s])
-                v = zz[i]
-                w.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                w.put(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(w, block, m, q, dc_codes, ac_codes, prev_dc)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -623,6 +633,108 @@ def jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
         + bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
     )
     sos = bytes([1]) + bytes([1, 0x00]) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
+def rgb_to_ycbcr(rgb):
+    """JFIF (BT.601 full-range) color transform, float in → float out."""
+    import numpy as np
+
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycbcr):
+    """Inverse JFIF color transform; clamps to [0, 255] uint8."""
+    import numpy as np
+
+    arr = np.asarray(ycbcr, dtype=np.float64)
+    y, cb, cr = arr[..., 0], arr[..., 1], arr[..., 2]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def jpeg_encode_color(rgb, width: int, height: int, subsample: str = "420") -> bytes:
+    """REAL baseline-JPEG COLOR encoder (r8 follow-through): RGB →
+    JFIF YCbCr, chroma box-downsampled per ``subsample`` ("420", "422" or
+    "444"), MCU-interleaved entropy coding (T.81 A.2.3 — h*v luma blocks
+    then the chroma blocks per MCU), one shared quant + Huffman table set
+    for all components (legal baseline; Annex-K luminance tables). Dims
+    must be multiples of the MCU size (16x16 for 4:2:0, 16x8 for 4:2:2,
+    8x8 for 4:4:4). `jpeg_decode_pixels` round-trips the output —
+    decoder-side replication upsampling pairs with the box downsample
+    here, so flat-chroma regions are loss-free through the chroma path."""
+    import struct
+
+    import numpy as np
+
+    hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[subsample]
+    if width % (8 * hs) or height % (8 * vs):
+        raise ValueError(f"dims must be multiples of the {subsample} MCU size")
+    rgb = np.asarray(
+        np.frombuffer(bytes(rgb), dtype=np.uint8), dtype=np.float64
+    ).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb)
+    y_plane = ycc[..., 0] - 128.0
+    chroma = []
+    for ci in (1, 2):
+        p = ycc[..., ci]
+        if hs > 1 or vs > 1:  # box average over the sampling footprint
+            p = p.reshape(height // vs, vs, width // hs, hs).mean(axis=(1, 3))
+        chroma.append(p - 128.0)
+    m = _dct_matrix()
+    q = np.empty(64)
+    for zzi, raster in enumerate(_ZIGZAG):
+        q[raster] = _JPEG_DQT_DC8[zzi]
+    q = q.reshape(8, 8)
+    dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(height // (8 * vs)):
+        for mx in range(width // (8 * hs)):
+            for bv in range(vs):  # luma: hs*vs blocks per MCU
+                for bh in range(hs):
+                    y0, x0 = (my * vs + bv) * 8, (mx * hs + bh) * 8
+                    prev[0] = _encode_block(
+                        w, y_plane[y0 : y0 + 8, x0 : x0 + 8],
+                        m, q, dc_codes, ac_codes, prev[0],
+                    )
+            for ci, p in enumerate(chroma, start=1):  # 1 block per chroma
+                y0, x0 = my * 8, mx * 8
+                prev[ci] = _encode_block(
+                    w, p[y0 : y0 + 8, x0 : x0 + 8],
+                    m, q, dc_codes, ac_codes, prev[ci],
+                )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0]) + _JPEG_DQT_DC8
+    sof0 = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0])
+    )
+    dht = (
+        bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    )
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
     return (
         b"\xff\xd8"
         + seg(0xDB, dqt)
@@ -690,10 +802,11 @@ def jpeg_decode_pixels(data: bytes):
     SOF0/SOS, Huffman-decodes the entropy segment (DC difference coding,
     AC run-length with ZRL and EOB, 0xFF00 unstuffing), dequantizes,
     un-zig-zags, applies the orthonormal 8x8 IDCT, level-shifts and
-    clamps. Supports baseline sequential 8-bit with 1x1 sampling on every
-    component (grayscale or 4:4:4 interleaved); 4:2:0 chroma upsampling
-    remains out of scope and raises. Returns (width, height,
-    n_components, bytes) with components interleaved per pixel."""
+    clamps. Supports baseline sequential 8-bit with ARBITRARY sampling
+    factors (grayscale, 4:4:4, 4:2:0/4:2:2 interleaved MCUs with
+    replication chroma upsampling). Returns (width, height,
+    n_components, bytes) with components interleaved per pixel in their
+    native color space (YCbCr for JFIF color — `ycbcr_to_rgb` converts)."""
     import struct
 
     import numpy as np
@@ -748,11 +861,8 @@ def jpeg_decode_pixels(data: bytes):
                 raise ValueError("only 8-bit precision is supported")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError(
-                        "subsampled components (chroma upsampling) are not "
-                        "supported — 1x1 sampling only"
-                    )
+                if not (1 <= samp >> 4 <= 4 and 1 <= samp & 0xF <= 4):
+                    raise ValueError(f"invalid sampling factors 0x{samp:02x}")
                 comps.append((cid, samp, tq))
         elif marker == 0xDA:
             ns = body[0]
@@ -769,44 +879,77 @@ def jpeg_decode_pixels(data: bytes):
     if len(scan) != len(comps):
         raise ValueError("partial scans are not supported")
 
+    for cid, tdc, tac in scan:
+        if (0, tdc) not in hufflut or (1, tac) not in hufflut:
+            raise ValueError(f"missing Huffman table for scan component {cid}")
+        if all(c != cid for c, _, _ in comps):
+            raise ValueError(f"scan references unknown component {cid}")
+    samp = {cid: (s >> 4, s & 0xF) for cid, s, _ in comps}
+    hmax = max(h for h, _ in samp.values())
+    vmax = max(v for _, v in samp.values())
+    for cid, (h, v) in samp.items():
+        if hmax % h or vmax % v:
+            raise ValueError(f"non-integer upsampling ratio for component {cid}")
     m = _dct_matrix()
     reader = _BitReader(data, pos)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.empty((len(comps), bh * 8, bw * 8), dtype=np.uint8)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcuy * v * 8, mcux * h * 8), dtype=np.uint8)
+        for cid, (h, v) in samp.items()
+    }
     comp_q = {cid: tq for cid, _, tq in comps}
     prev_dc = {cid: 0 for cid, _, _ in scan}
-    for by in range(bh):
-        for bx in range(bw):
-            for cid, tdc, tac in scan:  # interleaved MCU = 1 block/comp at 1x1
-                zz = [0] * 64
-                s = _huff_decode(reader, hufflut[(0, tdc)])
-                diff = _extend(reader.bits(s), s) if s else 0
-                prev_dc[cid] += diff
-                zz[0] = prev_dc[cid]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(reader, hufflut[(1, tac)])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    s = rs & 0x0F
-                    zz[k] = _extend(reader.bits(s), s)
-                    k += 1
-                q = qtables[comp_q[cid]]
-                block = np.zeros(64)
-                for i, raster in enumerate(_ZIGZAG):
-                    block[raster] = zz[i] * q[i]
-                px = m.T @ block.reshape(8, 8) @ m + 128.0
-                ci = next(i for i, (c, _, _) in enumerate(comps) if c == cid)
-                out[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.rint(px), 0, 255
-                ).astype(np.uint8)
-    interleaved = np.transpose(out[:, :height, :width], (1, 2, 0)).tobytes()
+
+    def decode_block(cid: int, tdc: int, tac: int):
+        zz = [0] * 64
+        s = _huff_decode(reader, hufflut[(0, tdc)])
+        diff = _extend(reader.bits(s), s) if s else 0
+        prev_dc[cid] += diff
+        zz[0] = prev_dc[cid]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(reader, hufflut[(1, tac)])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            s = rs & 0x0F
+            zz[k] = _extend(reader.bits(s), s)
+            k += 1
+        q = qtables[comp_q[cid]]
+        block = np.zeros(64)
+        for i, raster in enumerate(_ZIGZAG):
+            block[raster] = zz[i] * q[i]
+        px = m.T @ block.reshape(8, 8) @ m + 128.0
+        return np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+    # interleaved MCUs (T.81 A.2.3): h*v blocks per component per MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, tdc, tac in scan:
+                h, v = samp[cid]
+                for bv in range(v):
+                    for bhx in range(h):
+                        y0, x0 = (my * v + bv) * 8, (mx * h + bhx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = decode_block(
+                            cid, tdc, tac
+                        )
+
+    # upsample subsampled planes to full resolution by replication (the
+    # "fancy upsampling off" nearest-neighbor path), crop to image dims
+    full = []
+    for cid, _, _ in comps:
+        h, v = samp[cid]
+        p = planes[cid]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width])
+    interleaved = np.stack(full, axis=-1).tobytes()
     return width, height, len(comps), interleaved
 
 

@@ -87,11 +87,11 @@ def test_progressive_sof2_flag():
     assert (m["width"], m["height"]) == (32, 8)
 
 
-def test_pixel_decode_rejects_subsampled_container():
-    """The d7f metadata container declares 4:2:0 sampling; the real pixel
-    decoder (r8) supports baseline 1x1 sampling only and must refuse the
-    subsampled layout loudly rather than produce wrong pixels."""
-    with pytest.raises(ValueError, match="sampl"):
+def test_pixel_decode_rejects_fake_entropy_container():
+    """The d7f metadata container carries filler where a Huffman bitstream
+    belongs (its DHT defines only a stub DC table); the real decoder must
+    refuse it loudly rather than emit garbage pixels."""
+    with pytest.raises(ValueError, match="Huffman"):
         jpeg_decode_pixels(jpeg_encode_container(8, 8))
 
 
@@ -181,3 +181,61 @@ def test_jfif_app0_parsed_before_exif():
     assert m["jfif_version"] is None
     assert (m["width"], m["height"]) == (24, 12)
     assert m["orientation"] == 1
+
+
+# -- color path (r8 follow-through): 4:2:0 / 4:2:2 / 4:4:4 -------------------
+
+
+@pytest.mark.parametrize("subsample,max_err", [("420", 1), ("422", 1), ("444", 1)])
+def test_color_flat_mcu_roundtrip(subsample, max_err):
+    """Flat color per MCU: the chroma box-downsample + replication
+    upsample pair is loss-free on flat regions, so the only residue is
+    the ±1 YCbCr<->RGB rounding."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        jpeg_decode_pixels,
+        jpeg_encode_color,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    mvals = rng.integers(30, 226, size=(3, 2, 3), dtype=np.uint8)
+    rgb = np.repeat(np.repeat(mvals, 16, axis=0), 16, axis=1)
+    h, w = rgb.shape[:2]
+    data = jpeg_encode_color(rgb.tobytes(), w, h, subsample)
+    W, H, nc, out = jpeg_decode_pixels(data)
+    assert (W, H, nc) == (w, h, 3)
+    dec = ycbcr_to_rgb(np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= max_err
+
+
+def test_color_gradient_roundtrip_within_quant_error():
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        jpeg_decode_pixels,
+        jpeg_encode_color,
+        ycbcr_to_rgb,
+    )
+
+    xs = np.linspace(0, 255, 32)
+    g = np.clip(np.add.outer(xs, xs) / 2, 0, 255).astype(np.uint8)
+    rgb = np.stack([g, g[::-1], g.T], axis=-1).astype(np.uint8)
+    data = jpeg_encode_color(rgb.tobytes(), 32, 32, "444")
+    _, _, _, out = jpeg_decode_pixels(data)
+    dec = ycbcr_to_rgb(np.frombuffer(out, dtype=np.uint8).reshape(32, 32, 3))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_color_420_metadata_parses():
+    """jpeg_parse_meta must read the color encoder's stream: 3 components,
+    dims from SOF0, non-empty entropy segment."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_color
+
+    rgb = np.full((16, 16, 3), 90, dtype=np.uint8)
+    m = jpeg_parse_meta(jpeg_encode_color(rgb.tobytes(), 16, 16, "420"))
+    assert (m["width"], m["height"], m["n_components"]) == (16, 16, 3)
+    assert m["entropy_bytes"] > 0
