@@ -144,28 +144,56 @@ WARM_CACHE_PARTITIONS: dict[str, tuple[int, str | None]] = {
 #: removes the only data-carrying exchange from each consumer. Storage
 #: cost is one extra copy of orders, exactly what the Cassandra data
 #: model pays for the same read path.
-#: partition count MATCHES lineitem's cached partitioning: both sides of
-#: the orderkey fact-fact edge arrive hashpartitioned(orderkey, 8), so
-#: the q3/q5 join needs no exchange at all (r8 — mismatched partition
-#: counts forced a re-exchange of orders on every run).
-SERVING_MVS: tuple[tuple[str, str, int], ...] = (("orders", "o_orderkey", 8),)
+#: (table, cluster key, base partitions, size-partner table). The
+#: partition count MATCHES the partner's cached partitioning: both sides
+#: of the orderkey fact-fact edge arrive hashpartitioned(orderkey, n) for
+#: the SAME n, so the q3/q5 join needs no exchange at all (r8 —
+#: mismatched partition counts forced a re-exchange of orders on every
+#: run). The partner (lineitem) drives the byte-scaled count so the match
+#: survives the upward scaling rule too — the same "bucket both fact
+#: tables into the SAME bucket count" discipline as bucketed storage.
+SERVING_MVS: tuple[tuple[str, str, int, str], ...] = (
+    ("orders", "o_orderkey", 8, "lineitem"),
+)
+
+
+#: bytes-per-cached-partition target for the upward scaling rule below
+_CACHE_PARTITION_BYTES = 48 << 20
+
+
+def _scaled_partitions(sf_dir: str, name: str, base_n: int) -> int:
+    """Apply the partitions-sized-by-bytes rule UPWARD: the
+    WARM_CACHE_PARTITIONS constants are right for the bench SF (~100 MB
+    working set); for a larger corpus the cached partition count grows so
+    each stays near the 16-64 MB sweet spot. At 100 TB this yields
+    thousands of partitions from the same rule."""
+    import glob as _glob
+    import math
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True) or [path]
+    nbytes = sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+    return max(base_n, math.ceil(nbytes / _CACHE_PARTITION_BYTES))
 
 
 def warm_cache(spark: SparkSession, sf_dir: str) -> None:
     """Cache every table for repeated-query serving (bench / interactive),
-    repartitioned per WARM_CACHE_PARTITIONS, and install the cached frames
-    in the loader memo so every operator's ``table()`` call hits them."""
+    repartitioned per WARM_CACHE_PARTITIONS (scaled up by bytes past the
+    bench SF), and install the cached frames in the loader memo so every
+    operator's ``table()`` call hits them."""
     app_id = spark.sparkContext.applicationId
     for name in TABLES:
         df = table(spark, sf_dir, name)
         spec = WARM_CACHE_PARTITIONS.get(name)
         if spec:
             n, hot_key = spec
+            n = _scaled_partitions(sf_dir, name, n)
             df = df.repartition(n, F.col(hot_key)) if hot_key else df.repartition(n)
         df = df.cache()
         df.count()
         _table_memo[(app_id, sf_dir, name)] = df
-    for name, cluster_key, n in SERVING_MVS:
+    for name, cluster_key, n, partner in SERVING_MVS:
+        n = _scaled_partitions(sf_dir, partner, n)
         mv = table(spark, sf_dir, name).repartition(n, F.col(cluster_key)).cache()
         mv.count()
         _table_memo[(app_id, sf_dir, f"{name}@{cluster_key}")] = mv
