@@ -93,6 +93,7 @@ _DRIVER_WINDOW = (
     # r8 first-gradings (new this round) — never-graded names take the
     # freshest slots per the r7 eviction policy.
     "d7h_jpeg_decode",
+    "d7i_jpeg_color_decode",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -145,7 +146,6 @@ _DRIVER_WINDOW = (
     "a05_token_range_scan",
     "a10_cast_types",
     "a23_collection_mutations",
-    "a30_uuid_generation",
 )
 
 
