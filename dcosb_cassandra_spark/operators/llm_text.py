@@ -1499,3 +1499,103 @@ def d5t_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mt2") - F.col("mt1"), 6).alias("d_mean_tokens"),
         F.round(F.col("mu2") - F.col("mu1"), 6).alias("d_mean_uniq"),
     )
+
+
+@query(
+    "d5u_bigram_lm_quality",
+    oracle="""
+        -- character-bigram LM quality score in FIXED POINT: every value
+        -- in the pipeline is an exact integer (floor-divided micro-units),
+        -- so no float summation order or transcendental-ulp drift can
+        -- hash-mismatch (the d2l lesson applied to LM scoring).
+        WITH pos AS (
+            SELECT doc_id, text, unnest(range(1, len(text))) AS i
+            FROM documents WHERE len(text) >= 2
+        ),
+        big AS (
+            SELECT doc_id,
+                   substr(text, CAST(i AS INT), 2) AS bg,
+                   substr(text, CAST(i AS INT), 1) AS pre
+            FROM pos
+        ),
+        bc AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+        pc AS (SELECT pre, count(*) AS p FROM big GROUP BY pre),
+        allch AS (
+            SELECT substr(text, CAST(j AS INT), 1) AS ch
+            FROM (SELECT text, unnest(range(1, len(text) + 1)) AS j
+                  FROM documents)
+        ),
+        v AS (SELECT count(DISTINCT ch) AS v FROM allch),
+        docbg AS (
+            SELECT doc_id, bg, pre, count(*) AS cnt
+            FROM big WHERE doc_id < 50 GROUP BY doc_id, bg, pre
+        ),
+        scored AS (
+            SELECT docbg.doc_id, docbg.cnt,
+                   (bc.c + 1) * 1000000 // (pc.p + v.v) AS q
+            FROM docbg JOIN bc USING (bg) JOIN pc USING (pre) CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(sum(q * cnt) // sum(cnt) AS BIGINT) AS lm_fp_avg
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("D5", "D6", "P1"),
+)
+def d5u_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring — the perplexity-filter shape at the
+    heart of LLM data curation (CCNet/C4-style: score every document
+    under a corpus LM, filter the tail), with a character-bigram model
+    trained ON the corpus itself. Train: bigram counts c(ab), prefix
+    counts c(a), vocabulary size V (add-one smoothing). Score: each
+    document's mean smoothed bigram likelihood.
+
+    Everything is FIXED-POINT integer arithmetic: per-bigram likelihood
+    q = (c(ab)+1) * 1e6 div (c(a)+V) (exact integer division), per-doc
+    score = sum(q·cnt) div n_bigrams — so the result is bit-identical
+    across engines and summation orders by construction; no log-ulp or
+    float-tie risk (driver-contract lesson, see d2l).
+
+    Scale shape: one explode pass builds the bigram stream; the MODEL
+    tables are charset-bounded (|V|² bigrams max — KBs even for CJK
+    corpora) and explicitly broadcast, so scoring is a map-side join over
+    the per-doc bigram aggregate: train-once, broadcast, score-everywhere
+    — the exact deployment shape of a fastText/KenLM quality filter at
+    100 TB. The only shuffles are the model groupBys (vocab-sized) and
+    the per-doc aggregate (doc-count-sized)."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.filter(F.length("text") >= 2).select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+    )
+    big = pos.select(
+        "doc_id",
+        F.col("text").substr(F.col("i"), F.lit(2)).alias("bg"),
+        F.col("text").substr(F.col("i"), F.lit(1)).alias("pre"),
+    )
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    pc = big.groupBy("pre").agg(F.count(F.lit(1)).alias("p"))
+    allch = d.select(
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("j"), "text"
+    ).select(F.col("text").substr(F.col("j"), F.lit(1)).alias("ch"))
+    v = allch.agg(F.countDistinct("ch").alias("v"))
+    docbg = (
+        big.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "bg", "pre")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        docbg.join(F.broadcast(bc), "bg")
+        .join(F.broadcast(pc), "pre")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "cnt",
+            F.expr("(c + 1) * 1000000L div (p + v)").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.expr("sum(q * cnt) div sum(cnt)").alias("lm_fp_avg"),
+    )

@@ -89,6 +89,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:events"},
         "broadcast side is agg(max(ts)): exactly 1 row at any SF",
     ),
+    "d5u_bigram_lm_quality": (
+        {"bounded:documents"},
+        "broadcast sides are the charset-bounded LM model tables: bigram "
+        "counts (<=|V|^2 rows), prefix counts (<=|V| rows), and the 1-row "
+        "vocab scalar — |V| is the character set, which does not scale "
+        "with the corpus (KBs even for CJK)",
+    ),
     "d2b_minhash_lsh_pairs": (
         {"documents", "bounded:documents"},
         "broadcast sides are the LSH band rows (aggregate-bounded: bands "
