@@ -554,6 +554,52 @@ def c10c_outer_interval_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c10d_full_outer_interval_replay",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+               p.ts AS purchase_ts, c.event_id AS click_id,
+               c.user_id AS c_user, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+    """,
+    tags=("C10", "C4", "B3", "P1"),
+)
+def c10d_full_outer_interval_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join, graded (r8 — completes the
+    C10 outer family after r7's left outer): every purchase AND every
+    click is preserved — matched pairs within the 2h window, unmatched
+    purchases with NULL click columns, unmatched clicks with NULL
+    purchase columns, each emitted once the watermark proves no partner
+    can still arrive. Same two replay properties as c10c (event-time-
+    ordered chunks + trailing watermark sentinels; sentinel strip on the
+    BATCH-read side so filter pushdown cannot freeze the watermark) —
+    here the strip must test BOTH preserved sides, since either side's
+    user column can legitimately be NULL on the other side's rows. At
+    100 TB/day the watermark bounds both state stores to O(2h)."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c8_write_stream,
+        c10_stream_stream_join,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    stream = read_events_stream(spark, _stage_ordered_events_dir(spark, sf_dir))
+    name = _sink_name("c10d_sink")
+    q = c8_write_stream(
+        c10_stream_stream_join(stream, how="fullOuter"), name, output_mode="append"
+    )
+    q.awaitTermination(240)
+    sunk = spark.table(name)
+    return sunk.filter(
+        (F.col("p_user").isNull() | (F.col("p_user") >= 0))
+        & (F.col("c_user").isNull() | (F.col("c_user") >= 0))
+    )
+
+
+@query(
     "c1d_tumbling_replay",
     oracle="""
         SELECT date_trunc('hour', ts) AS h, event_type,

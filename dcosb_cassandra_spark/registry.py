@@ -95,6 +95,7 @@ _DRIVER_WINDOW = (
     "d7h_jpeg_decode",
     "d7i_jpeg_color_decode",
     "d5u_bigram_lm_quality",
+    "c10d_full_outer_interval_replay",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -145,7 +146,6 @@ _DRIVER_WINDOW = (
     "b28_conditional_functions",
     # oldest r3-vintage fill (registry order)
     "a05_token_range_scan",
-    "a10_cast_types",
 )
 
 

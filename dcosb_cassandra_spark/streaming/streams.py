@@ -297,7 +297,7 @@ def c10_stream_stream_join(events: DataFrame, how: str = "inner") -> DataFrame:
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    return purchases.join(
+    joined = purchases.join(
         clicks,
         F.expr(
             """
@@ -307,7 +307,15 @@ def c10_stream_stream_join(events: DataFrame, how: str = "inner") -> DataFrame:
             """
         ),
         how,
-    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+    )
+    if how == "fullOuter":
+        # click-side-preserved rows have NULL purchase columns, so the
+        # click's own user must be carried for the row to be identifiable
+        # (and for batch-side sentinel stripping on either side).
+        return joined.select(
+            "purchase_id", "p_user", "purchase_ts", "click_id", "c_user", "click_ts"
+        )
+    return joined.select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
 
 
 DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING"
