@@ -56,6 +56,10 @@ REPRESENTATIVE = [
     "c6c_stateful_replay",       # STREAMING applyInPandasWithState in multi-JVM
     "c10c_outer_interval_replay",  # stream-stream LEFT OUTER join state across JVMs
     "d7e_image_decode",          # chained mapInPandas, PNG codec closure pickling
+    "d7h_jpeg_decode",           # r8: JPEG entropy codec module-ref pickling
+    "d7i_jpeg_color_decode",     # r8: color MCU decode + numpy color transform
+    "d5u_bigram_lm_quality",     # r8: broadcast LM model join-back + div arithmetic
+    "c10d_full_outer_interval_replay",  # r8: FULL OUTER two-sided stream state
 ]
 
 
