@@ -90,11 +90,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is agg(max(ts)): exactly 1 row at any SF",
     ),
     "d5u_bigram_lm_quality": (
-        {"bounded:documents"},
-        "broadcast sides are the charset-bounded LM model tables: bigram "
-        "counts (<=|V|^2 rows), prefix counts (<=|V| rows), and the 1-row "
-        "vocab scalar — |V| is the character set, which does not scale "
-        "with the corpus (KBs even for CJK)",
+        {"bounded:local_rows"},
+        "broadcast side is the trained bigram-LM model: <=|V|^2 rows "
+        "(charset-bounded, KBs even for CJK), collected once per corpus "
+        "generation (_bigram_model memo, the _codebook pattern) and "
+        "shipped as the scoring artifact — corpus size never changes its "
+        "bound",
     ),
     "d2b_minhash_lsh_pairs": (
         {"documents", "bounded:documents"},
