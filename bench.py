@@ -61,6 +61,7 @@ PIPELINE = [
     "d16_substring_dedup",
     "d13_sequence_packing",
     "d_pipeline_end_to_end",
+    "d5u_bigram_lm_quality",
 ]
 
 
