@@ -1228,3 +1228,79 @@ def test_auth_select_checks_every_from_reference(sess):
             "SELECT n_name FROM nation WHERE n_regionkey IN "
             "(SELECT r_regionkey FROM region)"
         )
+
+
+def test_auth_random_sequences_preserve_no_escalation(sess):
+    """Property fuzz over the auth model: after ANY sequence of
+    superuser-issued role/grant statements, a non-superuser principal's
+    effective permissions are exactly the transitive closure of its
+    grants — it can read iff some inherited role holds SELECT (or ALL)
+    on the table chain, and it can NEVER mint permissions for itself
+    (every self-issued GRANT without AUTHORIZE raises). A deterministic
+    seeded walk (no hypothesis: each step drives a full Spark query) —
+    regression net for the r8 _authorize_ddl/_authorize_data rewrite."""
+    import random
+
+    from dcosb_cassandra_spark.cql import Unauthorized
+
+    rng = random.Random(80)
+    roles = [f"fz{i}" for i in range(6)]
+    for r in roles:
+        sess.execute(f"CREATE ROLE {r} WITH LOGIN = true")
+    resources = ["TABLE nation", "TABLE region", "KEYSPACE dcosb", "ALL KEYSPACES"]
+    perms = ["SELECT", "MODIFY", "ALL PERMISSIONS"]
+    grants: set[tuple[str, str, str]] = set()  # (role, perm-normalized, res)
+    member_of: dict[str, set[str]] = {r: set() for r in roles}
+
+    def closure(r: str) -> set[str]:
+        seen, todo = set(), [r]
+        while todo:
+            x = todo.pop()
+            if x not in seen:
+                seen.add(x)
+                todo.extend(member_of.get(x, ()))
+        return seen
+
+    def can_select(r: str, tbl: str) -> bool:
+        chain = {f"TABLE {tbl.upper()}", "KEYSPACE DCOSB", "ALL KEYSPACES"}
+        return any(
+            role in closure(r) and p in ("SELECT", "ALL") and res in chain
+            for role, p, res in grants
+        )
+
+    for step in range(40):
+        op = rng.randrange(4)
+        if op == 0:  # superuser grants a permission
+            r, p, res = rng.choice(roles), rng.choice(perms), rng.choice(resources)
+            sess.login("cassandra")
+            sess.execute(f"GRANT {p} ON {res} TO {r}")
+            grants.add((r, p.replace(" PERMISSIONS", ""), res.upper()))
+        elif op == 1:  # superuser revokes
+            r, p, res = rng.choice(roles), rng.choice(perms), rng.choice(resources)
+            sess.login("cassandra")
+            sess.execute(f"REVOKE {p} ON {res} FROM {r}")
+            grants.discard((r, p.replace(" PERMISSIONS", ""), res.upper()))
+        elif op == 2:  # superuser grants role membership (no cycles: i<j)
+            i, j = sorted(rng.sample(range(len(roles)), 2))
+            sess.login("cassandra")
+            sess.execute(f"GRANT {roles[i]} TO {roles[j]}")
+            member_of[roles[j]].add(roles[i])
+        else:  # a non-superuser tries to self-escalate: must ALWAYS raise
+            r = rng.choice(roles)
+            has_authorize = any(
+                role in closure(r) and p in ("AUTHORIZE", "ALL")
+                for role, p, _res in grants
+            )
+            if not has_authorize:
+                sess.login(r)
+                with pytest.raises(Unauthorized):
+                    sess.execute(f"GRANT ALL PERMISSIONS ON ALL KEYSPACES TO {r}")
+        # invariant: model and engine agree on SELECT for a random probe
+        r, tbl = rng.choice(roles), rng.choice(["nation", "region"])
+        sess.login(r)
+        if can_select(r, tbl):
+            assert sess.execute(f"SELECT * FROM {tbl} LIMIT 1").count() == 1
+        else:
+            with pytest.raises(Unauthorized):
+                sess.execute(f"SELECT * FROM {tbl} LIMIT 1")
+    sess.login("cassandra")
