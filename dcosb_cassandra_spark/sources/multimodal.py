@@ -546,10 +546,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         pad = (8 - self.n) % 8
         if pad:
             self.put((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm — a marker, so written raw (no
+        stuffing), per T.81 F.1.2.3/E.1.4."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -591,15 +600,20 @@ def _encode_block(w, block, m, q, dc_codes, ac_codes, prev_dc: int) -> int:
     return zz[0]
 
 
-def jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
+def jpeg_encode_gray(
+    pixels, width: int, height: int, restart_interval: int = 0
+) -> bytes:
     """REAL baseline-JPEG encoder, grayscale, stdlib+numpy: level shift,
     8x8 orthonormal FDCT, quantize (`_JPEG_DQT_DC8`), zig-zag, DC
     difference coding + AC run-length coding with the Annex-K luminance
     Huffman tables, 0xFF byte stuffing, final-byte 1-padding. Container:
-    SOI, DQT, SOF0 (1 component, 1x1), DHT (DC class 0 + AC class 0),
-    SOS, entropy data, EOI. width/height must be multiples of 8 (the
-    corpus construction guarantees it; general edge replication is an
-    encoder nicety, not a decoder requirement)."""
+    SOI, DQT, [DRI], SOF0 (1 component, 1x1), DHT (DC class 0 + AC class
+    0), SOS, entropy data, EOI. ``restart_interval`` > 0 emits a DRI
+    segment and an RSTm marker every that-many MCUs (byte-aligned, DC
+    prediction reset — T.81 E.1.4, what real encoders emit for error
+    resilience). width/height must be multiples of 8 (the corpus
+    construction guarantees it; general edge replication is an encoder
+    nicety, not a decoder requirement)."""
     import struct
 
     import numpy as np
@@ -618,14 +632,21 @@ def jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
     ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     w = _BitWriter()
     prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            prev_dc = _encode_block(w, block, m, q, dc_codes, ac_codes, prev_dc)
+    n_mcus = (height // 8) * (width // 8)
+    rst = 0
+    for mcu in range(n_mcus):
+        by, bx = divmod(mcu, width // 8)
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.restart(rst)
+            rst += 1
+            prev_dc = 0
+        block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        prev_dc = _encode_block(w, block, m, q, dc_codes, ac_codes, prev_dc)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     dqt = bytes([0]) + _JPEG_DQT_DC8
     sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     dht = (
@@ -636,6 +657,7 @@ def jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
     return (
         b"\xff\xd8"
         + seg(0xDB, dqt)
+        + dri
         + seg(0xC0, sof0)
         + seg(0xC4, dht)
         + seg(0xDA, sos)
@@ -779,6 +801,19 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Consume an RSTm marker at an MCU-restart boundary: discard the
+        pad bits of the finished interval, then expect FF D0-D7
+        (T.81 E.2.4)."""
+        self.n = 0  # drop byte-alignment padding
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker at interval boundary")
+        self.pos += 2
+
 
 def _huff_decode(reader: _BitReader, lut: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -818,6 +853,7 @@ def jpeg_decode_pixels(data: bytes):
     comps: list[tuple[int, int, int]] = []  # (comp id, sampling, qtable id)
     scan: list[tuple[int, int, int]] = []  # (comp id, dc table, ac table)
     width = height = None
+    restart_interval = 0
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -864,6 +900,8 @@ def jpeg_decode_pixels(data: bytes):
                 if not (1 <= samp >> 4 <= 4 and 1 <= samp & 0xF <= 4):
                     raise ValueError(f"invalid sampling factors 0x{samp:02x}")
                 comps.append((cid, samp, tq))
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             for si in range(ns):
@@ -928,9 +966,16 @@ def jpeg_decode_pixels(data: bytes):
         px = m.T @ block.reshape(8, 8) @ m + 128.0
         return np.clip(np.rint(px), 0, 255).astype(np.uint8)
 
-    # interleaved MCUs (T.81 A.2.3): h*v blocks per component per MCU
+    # interleaved MCUs (T.81 A.2.3): h*v blocks per component per MCU;
+    # at each DRI boundary consume the RSTm marker and reset DC chains
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart()
+                for k in prev_dc:
+                    prev_dc[k] = 0
+            mcu_i += 1
             for cid, tdc, tac in scan:
                 h, v = samp[cid]
                 for bv in range(v):

@@ -239,3 +239,46 @@ def test_color_420_metadata_parses():
     m = jpeg_parse_meta(jpeg_encode_color(rgb.tobytes(), 16, 16, "420"))
     assert (m["width"], m["height"], m["n_components"]) == (16, 16, 3)
     assert m["entropy_bytes"] > 0
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTm (T.81 E.1.4/E.2.4): real encoders emit restart intervals
+    for error resilience — the codec must byte-align, emit/consume RSTm,
+    and reset the DC prediction chain at every boundary. Constant blocks
+    stay bit-exact across every interval size."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_gray
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    for ri in (1, 3, 7, 24):
+        data = jpeg_encode_gray(px.tobytes(), 48, 32, restart_interval=ri)
+        rst = sum(
+            1
+            for i in range(len(data) - 3)
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+        )
+        assert rst == (24 - 1) // ri, f"ri={ri}: wrong marker count {rst}"
+        w, h, nc, out = jpeg_decode_pixels(data)
+        assert np.array_equal(np.frombuffer(out, dtype=np.uint8).reshape(32, 48), px)
+        # the metadata path (d7f) must scan across RSTn unharmed
+        m = jpeg_parse_meta(data)
+        assert (m["width"], m["height"]) == (48, 32) and m["entropy_bytes"] > 0
+
+
+def test_truncated_restart_stream_rejected():
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import jpeg_encode_gray
+
+    px = np.full((16, 16), 50, dtype=np.uint8)
+    data = bytearray(jpeg_encode_gray(px.tobytes(), 16, 16, restart_interval=1))
+    i = next(
+        j for j in range(len(data) - 1)
+        if data[j] == 0xFF and 0xD0 <= data[j + 1] <= 0xD7
+    )
+    data[i + 1] = 0xC0  # corrupt the restart marker into a non-RST marker
+    with pytest.raises(ValueError):
+        jpeg_decode_pixels(bytes(data))
