@@ -692,3 +692,103 @@ def d7i_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "n_components", "max_chroma_dev",
         F.round("mean_red", 6).alias("mean_red"),
     )
+
+
+@query(
+    "d7j_mjpeg_frame_decode",
+    oracle="""
+        -- independent derivation of what the REAL MJPEG-in-MP4 frame
+        -- decode must find: each of the doc's frames is a 16x16 JPEG of
+        -- four constant 8x8 blocks drawn from the md5 digest (frame f
+        -- uses bytes 4f..4f+3), so a decoder that slices mdat at the
+        -- wrong stsz offsets, drops a frame, or mis-decodes a JPEG
+        -- mismatches. Frame means are quarters — exact at 2 decimals.
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(16 AS INT) AS width,
+               CAST(16 AS INT) AS height,
+               round(( CAST(('0x' || substr(md5(text), i*8+1, 2)) AS INTEGER)
+                     + CAST(('0x' || substr(md5(text), i*8+3, 2)) AS INTEGER)
+                     + CAST(('0x' || substr(md5(text), i*8+5, 2)) AS INTEGER)
+                     + CAST(('0x' || substr(md5(text), i*8+7, 2)) AS INTEGER)
+                     ) / 4.0, 6) AS frame_mean
+        FROM (SELECT doc_id, text, unnest(range(0, 1 + len(text) % 4)) AS i
+              FROM documents WHERE doc_id < 60)
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7j_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO frame decode, graded end-to-end (r8 — closes the last D7
+    stub): stage 1 renders each document as a real MJPEG-in-MP4 track
+    (1-4 frames of 16x16 constant-block JPEGs from the md5 digest, stsd
+    'jpeg' sample entry, true stsz sizes, concatenated mdat); stage 2 —
+    the graded path — must walk the box tree, slice mdat by the stsz
+    table, and entropy-decode EVERY frame with the baseline JPEG codec,
+    emitting one row per frame. Constant blocks + the DC-step-8 table
+    make each frame's pixels bit-exact (d7h's argument), so the oracle
+    derives per-frame means from the digest. Inter-coded codecs
+    (H.264 et al.) stay honestly gated in `mp4_decode_frames`; MJPEG is
+    the real, decodable video path — same two-stage mapInPandas shape as
+    d7e/d7h/d7i: Arrow batches, zero shuffles."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import (
+        jpeg_encode_gray,
+        mp4_decode_frames,
+        mp4_encode_mjpeg,
+        multimodal_frame,
+    )
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for batch in frames:
+            payloads = []
+            for b in batch["payload"]:
+                n = len(b.decode("utf-8"))
+                digest = hashlib.md5(b).digest()
+                jpegs = []
+                for f in range(1 + n % 4):
+                    vals = np.frombuffer(
+                        digest[4 * f : 4 * f + 4], dtype=np.uint8
+                    ).reshape(2, 2)
+                    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    jpegs.append(jpeg_encode_gray(px.tobytes(), 16, 16))
+                payloads.append(mp4_encode_mjpeg(jpegs, 16, 16))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "mp4": payloads})
+
+    def decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in frames:
+            rows = {
+                "doc_id": [], "frame_idx": [], "width": [],
+                "height": [], "frame_mean": [],
+            }
+            for doc_id, mp4 in zip(batch["doc_id"], batch["mp4"]):
+                for idx, (w, h, nc, px) in enumerate(mp4_decode_frames(mp4)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_mean"].append(
+                        int(np.frombuffer(px, dtype=np.uint8).sum(dtype=np.int64))
+                        / (w * h * nc)
+                    )
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir).filter(F.col("doc_id") < 60)
+    mp4s = mm.mapInPandas(render, schema="doc_id long, mp4 binary")
+    out = mp4s.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "frame_mean double"
+        ),
+    )
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("frame_mean", 6).alias("frame_mean"),
+    )

@@ -81,14 +81,16 @@ _OPERATOR_MODULES = (
 #: a first grading.
 #: Seventh rotation (r8): the STALENESS round (judge r7 task #1). With
 #: zero never-graded queries left, the window regrades the 50
-#: OLDEST-graded names: the 45 r1-vintage rows (headline suite + the A
+#: OLDEST-graded names — the 45 r1-vintage rows (headline suite + the A
 #: CQL-read/write core + scalar-function packs — last driver-graded six
 #: rounds and several heavy refactors ago: session shipping, conf
-#: pinning, the dedup/window rewrites) plus the 5 oldest r3-vintage
-#: slots. tools/graded_history.json now records name → last-graded
-#: round; tests/test_entry.py enforces that no window regrade is fresher
-#: than any left-out name. New never-graded queries added this round
-#: take the freshest slots first (same eviction policy as r7).
+#: pinning, the dedup/window rewrites). The round's 5 NEW queries (JPEG
+#: gray/color pixel decode, bigram-LM quality, FULL OUTER interval
+#: replay, MJPEG frame decode) are never-graded and take the freshest
+#: slots first (same eviction policy as r7), displacing the r3-vintage
+#: fill. tools/graded_history.json now records name → last-graded round;
+#: tests/test_entry.py enforces that no window regrade is fresher than
+#: any left-out name.
 _DRIVER_WINDOW = (
     # r8 first-gradings (new this round) — never-graded names take the
     # freshest slots per the r7 eviction policy.
@@ -96,6 +98,7 @@ _DRIVER_WINDOW = (
     "d7i_jpeg_color_decode",
     "d5u_bigram_lm_quality",
     "c10d_full_outer_interval_replay",
+    "d7j_mjpeg_frame_decode",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -144,8 +147,6 @@ _DRIVER_WINDOW = (
     "b26_date_functions",
     "b27_math_functions",
     "b28_conditional_functions",
-    # oldest r3-vintage fill (registry order)
-    "a05_token_range_scan",
 )
 
 

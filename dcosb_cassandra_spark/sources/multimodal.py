@@ -1016,12 +1016,18 @@ def mp4_encode_container(
     height: int,
     sample_sizes: list[int],
     brand: bytes = b"isom",
+    payload: bytes | None = None,
+    codec: bytes = b"",
 ) -> bytes:
     """Build a structurally valid ISO-BMFF stream: ftyp, moov (mvhd v0 with
     timescale/duration, trak > tkhd v0 with 16.16 fixed-point dims, mdia >
-    mdhd v0 + hdlr 'vide' + minf > stbl > stsz with the per-sample size
-    table), and an mdat whose payload length is sum(sample_sizes). Box
-    sizes, nesting, and full-box version/flags fields are spec-correct."""
+    mdhd v0 + hdlr 'vide' + minf > stbl > [stsd +] stsz with the
+    per-sample size table), and an mdat whose payload length is
+    sum(sample_sizes). Box sizes, nesting, and full-box version/flags
+    fields are spec-correct. ``payload`` supplies REAL sample bytes
+    (default: deterministic filler); ``codec`` adds an stsd
+    VisualSampleEntry declaring the sample format (e.g. b"jpeg" for an
+    MJPEG track, decodable by `mp4_decode_frames`)."""
     import struct
 
     def box(fourcc: bytes, body: bytes) -> bytes:
@@ -1058,12 +1064,34 @@ def mp4_encode_container(
         struct.pack(">II", 0, len(sample_sizes))  # sample_size=0 → per-sample
         + b"".join(struct.pack(">I", s) for s in sample_sizes),
     )
-    stbl = box(b"stbl", stsz)
+    stbl_body = b""
+    if codec:
+        # stsd with one VisualSampleEntry (ISO 14496-12 §8.5.2 + 12.1.3):
+        # 6 reserved + data_ref_index, 16 pre_defined/reserved, dims,
+        # 72/72 dpi 16.16, reserved, frame_count=1, 32-byte compressor
+        # name (pascal), depth 24, pre_defined -1.
+        entry = box(
+            codec,
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1),
+        )
+        stbl_body += full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stbl_body += stsz
+    stbl = box(b"stbl", stbl_body)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
-    payload = bytes((i * 31 + 7) % 256 for i in range(sum(sample_sizes)))
+    if payload is None:
+        payload = bytes((i * 31 + 7) % 256 for i in range(sum(sample_sizes)))
+    if len(payload) != sum(sample_sizes):
+        raise ValueError("payload length must equal sum(sample_sizes)")
     mdat = box(b"mdat", payload)
     return ftyp + moov + mdat
 
@@ -1145,12 +1173,91 @@ def mp4_parse_meta(data: bytes) -> dict:
     return meta
 
 
-def mp4_decode_frames(data: bytes):
-    """Frame reconstruction (H.264/H.265/AV1 entropy decode + motion
-    compensation) is codec-bound — the container has no ffmpeg, so this
-    stage is gated; the box-level metadata pass above is real. A
-    deployment swaps this body for PyAV/ffmpeg keyframe extraction."""
-    raise NotImplementedError(
-        "MP4 frame decode requires a codec library (ffmpeg/PyAV); "
-        "box-structure parsing (mp4_parse_meta) is the real, tested path"
+def mp4_encode_mjpeg(
+    frames: list[bytes], width: int, height: int, timescale: int = 30
+) -> bytes:
+    """Real MJPEG-in-MP4 track: each sample IS a complete baseline JPEG
+    (the Motion-JPEG layout QuickTime/ISO players accept), stsd declares
+    the 'jpeg' sample format, stsz carries the true per-frame sizes, and
+    mdat is the concatenated frames. One frame per timescale tick."""
+    return mp4_encode_container(
+        duration=len(frames),
+        timescale=timescale,
+        width=width,
+        height=height,
+        sample_sizes=[len(f) for f in frames],
+        payload=b"".join(frames),
+        codec=b"jpeg",
     )
+
+
+def mp4_decode_frames(data: bytes):
+    """REAL frame decode for MJPEG tracks (r8 — possible once the JPEG
+    entropy codec landed): walks the box tree for the stsd sample format,
+    the stsz size table, and the mdat payload; for a 'jpeg'/'mjpa' track
+    every sample is a complete baseline JPEG, so each is sliced by its
+    stsz size and entropy-decoded with `jpeg_decode_pixels`. Returns
+    [(width, height, n_components, pixel_bytes)] in sample order.
+
+    Inter-coded codecs (H.264/H.265/AV1: motion compensation + their own
+    entropy coders) remain honestly gated — a deployment swaps the gate
+    branch for PyAV/ffmpeg; the container walk and the MJPEG path stay."""
+    import struct
+
+    codec: list[bytes] = []
+    sizes: list[int] = []
+    mdat: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int, depth: int = 0) -> None:
+        pos = start
+        if depth > 16:
+            raise ValueError("box nesting too deep")
+        while pos < end:
+            if end - pos < 8:
+                raise ValueError(f"truncated box header at offset {pos}")
+            (size,) = struct.unpack_from(">I", buf, pos)
+            fourcc = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"bad box size {size} for {fourcc!r} at {pos}")
+            b0, b1 = pos + hdr, pos + size
+            if fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(buf, b0, b1, depth + 1)
+            elif fourcc == b"stsd":
+                (n_entries,) = struct.unpack_from(">I", buf, b0 + 4)
+                if n_entries >= 1:
+                    codec.append(buf[b0 + 12 : b0 + 16])
+            elif fourcc == b"stsz":
+                uniform, count = struct.unpack_from(">II", buf, b0 + 4)
+                sizes.extend(
+                    [uniform] * count
+                    if uniform
+                    else struct.unpack_from(f">{count}I", buf, b0 + 12)
+                )
+            elif fourcc == b"mdat":
+                mdat.append(buf[b0:b1])
+            pos += size
+
+    walk(data, 0, len(data))
+    fmt = codec[0] if codec else b"?"
+    if fmt not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"sample format {fmt!r}: inter-coded video (H.264/H.265/AV1) "
+            "requires a codec library (ffmpeg/PyAV); MJPEG tracks decode "
+            "natively and box parsing (mp4_parse_meta) is always real"
+        )
+    if not mdat or not sizes:
+        raise ValueError("MJPEG track missing stsz or mdat")
+    payload = mdat[0]
+    if sum(sizes) != len(payload):
+        raise ValueError("stsz sum does not match mdat payload")
+    frames, off = [], 0
+    for n in sizes:
+        frames.append(jpeg_decode_pixels(payload[off : off + n]))
+        off += n
+    return frames

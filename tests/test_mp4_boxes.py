@@ -123,6 +123,62 @@ def test_missing_ftyp_rejected():
         mp4_parse_meta(_box(b"free", b""))
 
 
-def test_frame_decode_is_gated():
+def test_frame_decode_gated_for_non_mjpeg():
+    """A track without an MJPEG stsd entry (here: no stsd at all — the
+    d7g metadata container) must keep the honest codec gate."""
     with pytest.raises(NotImplementedError, match="codec"):
         mp4_decode_frames(mp4_encode_container(10, 1000, 32, 32, [4]))
+
+
+# -- real MJPEG track decode (r8) --------------------------------------------
+
+
+def test_mjpeg_track_roundtrip_bit_exact():
+    """mp4_encode_mjpeg -> mp4_decode_frames: stsd 'jpeg' sample entry,
+    stsz-sliced mdat, every frame entropy-decoded; constant-block frames
+    round-trip bit-exact (the d7j oracle's foundation)."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        jpeg_encode_gray,
+        mp4_encode_mjpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    raws, frames = [], []
+    for _ in range(4):
+        vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        raws.append(px)
+        frames.append(jpeg_encode_gray(px.tobytes(), 16, 16))
+    data = mp4_encode_mjpeg(frames, 16, 16)
+    m = mp4_parse_meta(data)
+    assert m["n_samples"] == 4 and m["total_sample_bytes"] == m["mdat_bytes"]
+    decoded = mp4_decode_frames(data)
+    assert len(decoded) == 4
+    for (w, h, nc, px), raw in zip(decoded, raws):
+        assert (w, h, nc) == (16, 16, 1)
+        assert np.array_equal(np.frombuffer(px, dtype=np.uint8).reshape(16, 16), raw)
+
+
+def test_mjpeg_corrupt_stsz_rejected():
+    import struct
+
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        jpeg_encode_gray,
+        mp4_encode_mjpeg,
+    )
+
+    px = np.full((16, 16), 99, dtype=np.uint8)
+    data = bytearray(mp4_encode_mjpeg([jpeg_encode_gray(px.tobytes(), 16, 16)], 16, 16))
+    i = bytes(data).index(b"stsz")
+    # inflate the sample count so stsz disagrees with mdat
+    (count,) = struct.unpack_from(">I", data, i + 12)
+    struct.pack_into(">I", data, i + 12, count)  # unchanged count…
+    # …but corrupt the one sample size instead
+    (sz,) = struct.unpack_from(">I", data, i + 16)
+    struct.pack_into(">I", data, i + 16, sz + 8)
+    with pytest.raises(ValueError, match="stsz"):
+        mp4_decode_frames(bytes(data))
