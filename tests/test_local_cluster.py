@@ -60,6 +60,7 @@ REPRESENTATIVE = [
     "d7i_jpeg_color_decode",     # r8: color MCU decode + numpy color transform
     "d5u_bigram_lm_quality",     # r8: broadcast LM model join-back + div arithmetic
     "c10d_full_outer_interval_replay",  # r8: FULL OUTER two-sided stream state
+    "d7j_mjpeg_frame_decode",    # r8: MP4 box walk + per-frame JPEG decode
 ]
 
 
