@@ -5,8 +5,9 @@ Arrow-batched ``mapInPandas``.
 The container has no image/audio codec libraries (environment constraint),
 so coverage is split by what's honestly computable: the AUDIO path (d7d)
 does real numpy math on real bytes, the PNG image path (d7e) does a REAL
-encode+decode with stdlib zlib/struct (`png_encode_gray`/`png_decode_gray`
-below — signature, chunk CRCs, IDAT inflate, scanline unfilter), the JPEG
+encode+decode with stdlib zlib/struct (`png_encode`/`png_decode` below —
+signature, chunk CRCs, IDAT inflate, all five scanline filters, 8-bit
+gray/RGB/RGBA), the JPEG
 path does a REAL container+EXIF metadata parse (`jpeg_parse_meta`: marker
 walk, JFIF/TIFF-IFD decode, entropy-segment scan) AND a real baseline
 pixel codec (r8: `jpeg_encode_gray`/`jpeg_encode_color`/
@@ -234,12 +235,74 @@ def png_encode_gray(pixels, width: int, height: int) -> bytes:
     )
 
 
-def png_decode_gray(data: bytes):
-    """Parse + decode a grayscale PNG: validates the signature and every
-    chunk CRC, reads IHDR, inflates the IDAT stream, reverses per-scanline
-    filtering (types 0/1/2 — what any encoder of gray rows emits), and
-    returns (width, height, bit_depth, pixels bytearray). Raises ValueError
-    on any structural corruption — this is a real decoder, not a stub."""
+#: PNG color type → channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4)."""
+    pp = a + b - c
+    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(
+    pixels, width: int, height: int, color_type: int = 0, filter_type: int = 0
+) -> bytes:
+    """Valid 8-bit PNG for gray (0), RGB (2) or RGBA (6): IHDR + one zlib
+    IDAT + IEND, CRCs included. ``filter_type`` applies that scanline
+    filter (0 none / 1 Sub / 2 Up / 3 Average / 4 Paeth) to EVERY row —
+    real encoders choose per-row; a fixed choice exercises each decoder
+    branch deterministically. ``pixels`` is w*h*channels uint8 bytes,
+    row-major, channel-interleaved."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    rowbytes = width * ch
+    mv = memoryview(bytes(pixels))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    zero = bytes(rowbytes)
+    for y in range(height):
+        cur = mv[y * rowbytes : (y + 1) * rowbytes]
+        prev = mv[(y - 1) * rowbytes : y * rowbytes] if y else zero
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += cur
+        else:
+            for x in range(rowbytes):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pred = {1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[filter_type]
+                raw.append((cur[x] - pred) & 0xFF)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes):
+    """Parse + decode an 8-bit gray/RGB/RGBA PNG: validates the signature
+    and every chunk CRC, reads IHDR, inflates the IDAT stream, reverses
+    ALL five per-scanline filters (None/Sub/Up/Average/Paeth, with the
+    correct bytes-per-pixel stride), and returns (width, height,
+    bit_depth, color_type, pixels bytearray). Raises ValueError on any
+    structural corruption — this is a real decoder, not a stub."""
     import struct
     import zlib
 
@@ -258,8 +321,10 @@ def png_decode_gray(data: bytes):
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (color, comp, filt, interlace) != (0, 0, 0, 0) or depth != 8:
-                raise ValueError("unsupported PNG variant (need gray8, no interlace)")
+            if depth != 8 or color not in _PNG_CHANNELS or (comp, filt, interlace) != (0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit gray/RGB/RGBA, no interlace)"
+                )
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -267,23 +332,48 @@ def png_decode_gray(data: bytes):
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color]
+    rowbytes = width * ch
     raw = zlib.decompress(bytes(idat))
-    stride = width + 1
-    out = bytearray(width * height)
+    stride = rowbytes + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(rowbytes * height)
+    zero = bytes(rowbytes)
     for y in range(height):
         row = raw[y * stride : (y + 1) * stride]
         ftype, scan = row[0], bytearray(row[1:])
-        if ftype == 1:  # Sub
-            for x in range(1, width):
-                scan[x] = (scan[x] + scan[x - 1]) & 0xFF
+        prev = out[(y - 1) * rowbytes : y * rowbytes] if y else zero
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(ch, rowbytes):
+                scan[x] = (scan[x] + scan[x - ch]) & 0xFF
         elif ftype == 2:  # Up
-            prev = out[(y - 1) * width : y * width] if y else bytes(width)
-            for x in range(width):
+            for x in range(rowbytes):
                 scan[x] = (scan[x] + prev[x]) & 0xFF
-        elif ftype != 0:
+        elif ftype == 3:  # Average
+            for x in range(rowbytes):
+                a = scan[x - ch] if x >= ch else 0
+                scan[x] = (scan[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(rowbytes):
+                a = scan[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                scan[x] = (scan[x] + _paeth(a, prev[x], c)) & 0xFF
+        else:
             raise ValueError(f"unsupported PNG filter {ftype}")
-        out[y * width : (y + 1) * width] = scan
-    return width, height, 8, out
+        out[y * rowbytes : (y + 1) * rowbytes] = scan
+    return width, height, 8, color, out
+
+
+def png_decode_gray(data: bytes):
+    """Grayscale form of `png_decode` (the d7e contract): returns
+    (width, height, bit_depth, pixels bytearray), rejecting color PNGs."""
+    width, height, depth, color, out = png_decode(data)
+    if color != 0:
+        raise ValueError("unsupported PNG variant (need gray8, no interlace)")
+    return width, height, depth, out
 
 
 # ---------------------------------------------------------------------------

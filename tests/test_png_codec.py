@@ -81,6 +81,39 @@ def test_sub_and_up_filters_reversed():
 
 
 def test_unsupported_filter_rejected():
-    png = _png_with_filters([(3, bytes([1, 2, 3, 4]))], 4)
+    # 0-4 are the spec's complete filter set (all supported as of r8);
+    # anything above is corruption and must be refused
+    png = _png_with_filters([(9, bytes([1, 2, 3, 4]))], 4)
     with pytest.raises(ValueError, match="filter"):
         png_decode_gray(png)
+
+
+# -- color + full filter set (r8) --------------------------------------------
+
+
+@pytest.mark.parametrize("color,ch", [(0, 1), (2, 3), (6, 4)])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_every_color_type_and_filter_roundtrips(color, ch, ftype):
+    """8-bit gray/RGB/RGBA x all five scanline filters (None/Sub/Up/
+    Average/Paeth): byte-exact round trip with the correct
+    bytes-per-pixel stride (a bpp=1 assumption silently corrupts color
+    rows under Sub/Average/Paeth)."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(31 * color + ftype)
+    px = rng.integers(0, 256, size=(11, 19 * ch), dtype=np.uint8).tobytes()
+    w, h, depth, c, out = png_decode(png_encode(px, 19, 11, color, ftype))
+    assert (w, h, depth, c) == (19, 11, 8, color)
+    assert bytes(out) == px
+
+
+def test_gray_wrapper_rejects_color():
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import png_decode_gray, png_encode
+
+    px = np.zeros((4, 4 * 3), dtype=np.uint8).tobytes()
+    with pytest.raises(ValueError, match="gray8"):
+        png_decode_gray(png_encode(px, 4, 4, color_type=2))
