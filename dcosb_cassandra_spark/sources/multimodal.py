@@ -376,6 +376,34 @@ def png_decode_gray(data: bytes):
     return width, height, depth, out
 
 
+def resize_image_real(data: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize (r8 — the operation `resize_image_stub`
+    fingerprints): sniff the container (PNG signature / JPEG SOI), decode
+    with the real codec, nearest-neighbor resample (the deterministic
+    kernel — a production pipeline swaps in area/lanczos), re-encode as
+    PNG (lossless, so the output is exactly the resampled pixels).
+    Gray stays gray; JPEG color decodes to YCbCr and is converted to RGB
+    before the resample so the output PNG is directly viewable."""
+    import numpy as np
+
+    if data[:8] == _PNG_SIG:
+        w, h, _, color, px = png_decode(data)
+        ch = _PNG_CHANNELS[color]
+        arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+    elif data[:2] == b"\xff\xd8":
+        w, h, ch, px = jpeg_decode_pixels(data)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        if ch == 3:
+            arr = ycbcr_to_rgb(arr)
+        color = {1: 0, 3: 2}[ch]
+    else:
+        raise ValueError("unsupported image container (need PNG or JPEG)")
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = np.ascontiguousarray(arr[yi][:, xi])
+    return png_encode(out.tobytes(), out_w, out_h, color)
+
+
 # ---------------------------------------------------------------------------
 # REAL JPEG container path (no codec libraries needed for the CONTAINER):
 # the JFIF/EXIF marker structure — SOI, APPn, DQT, SOFn, DHT, SOS, entropy

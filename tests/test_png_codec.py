@@ -117,3 +117,63 @@ def test_gray_wrapper_rejects_color():
     px = np.zeros((4, 4 * 3), dtype=np.uint8).tobytes()
     with pytest.raises(ValueError, match="gray8"):
         png_decode_gray(png_encode(px, 4, 4, color_type=2))
+
+
+# -- real resize (r8): decode -> nearest-neighbor -> lossless re-encode ------
+
+
+def test_resize_image_real_png_downscale_exact():
+    """Nearest-neighbor 2x downscale of a PNG picks the exact source
+    pixels ((i*h)//out_h grid) — byte-checkable end to end because the
+    output container is lossless PNG."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        png_decode,
+        png_encode,
+        resize_image_real,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = resize_image_real(png_encode(px.tobytes(), 8, 8, 0), 4, 4)
+    w, h, _, color, rp = png_decode(out)
+    assert (w, h, color) == (4, 4, 0)
+    assert np.array_equal(
+        np.frombuffer(bytes(rp), dtype=np.uint8).reshape(4, 4), px[::2, ::2]
+    )
+
+
+def test_resize_image_real_jpeg_sources():
+    """JPEG inputs route through the real entropy decoder; constant-block
+    frames make the decode exact, so resizing to one pixel per block
+    returns exactly the block values (gray) / their RGB (achromatic
+    color)."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        jpeg_encode_color,
+        jpeg_encode_gray,
+        png_decode,
+        resize_image_real,
+    )
+
+    vals = np.array([[10, 200], [60, 140]], dtype=np.uint8)
+    big = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = resize_image_real(jpeg_encode_gray(big.tobytes(), 16, 16), 2, 2)
+    _, _, _, color, rp = png_decode(out)
+    assert color == 0
+    assert np.array_equal(np.frombuffer(bytes(rp), dtype=np.uint8).reshape(2, 2), vals)
+
+    rgb = np.stack([big] * 3, axis=-1)
+    out3 = resize_image_real(jpeg_encode_color(rgb.tobytes(), 16, 16, "420"), 2, 2)
+    w3, h3, _, c3, rp3 = png_decode(out3)
+    assert (w3, h3, c3) == (2, 2, 2)
+    dec = np.frombuffer(bytes(rp3), dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(dec, np.stack([vals] * 3, axis=-1))
+
+
+def test_resize_image_real_rejects_unknown_container():
+    from dcosb_cassandra_spark.sources.multimodal import resize_image_real
+
+    with pytest.raises(ValueError, match="container"):
+        resize_image_real(b"GIF89a" + b"\x00" * 16, 2, 2)
