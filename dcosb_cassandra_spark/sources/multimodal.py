@@ -1379,3 +1379,99 @@ def mp4_decode_frames(data: bytes):
         frames.append(jpeg_decode_pixels(payload[off : off + n]))
         off += n
     return frames
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV / RIFF container path (audio, r8): the chunk structure — RIFF
+# size + WAVE form, fmt_ PCM descriptor, data payload, optional chunks
+# honored by size-walking — is plain struct-level byte work, and PCM
+# samples ARE the decoded audio, so unlike image/video the FULL audio
+# path (container + samples) is honestly computable stdlib-only. d7d's
+# frame-energy math gains a real container to read from; compressed
+# codecs (MP3/AAC/FLAC) would gate like H.264 does for video.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode_pcm16(
+    samples, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Valid RIFF/WAVE file: fmt_ chunk (PCM, s16le) + data chunk.
+    ``samples`` is an iterable of int16 values, channel-interleaved."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(list(samples) if not hasattr(samples, "dtype") else samples)
+    data = pcm.astype("<i2").tobytes()
+    block_align = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_parse_meta(data: bytes) -> dict:
+    """REAL RIFF/WAVE parse: validates the RIFF header and form type,
+    size-walks the chunk list (skipping unknown chunks — LIST/INFO/cue
+    etc. — by their declared sizes, honoring word alignment), decodes the
+    fmt_ PCM descriptor, and locates the data payload. Raises ValueError
+    on structural corruption."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size + 8 > len(data):
+        raise ValueError("RIFF size exceeds payload")
+    meta = {
+        "audio_format": None, "channels": None, "sample_rate": None,
+        "bits_per_sample": None, "n_samples": None, "data_bytes": None,
+        "data_offset": None,
+    }
+    pos = 12
+    while pos + 8 <= riff_size + 8:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > len(data):
+            raise ValueError(f"truncated chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt_code, ch, rate, _brate, balign, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            meta.update(
+                audio_format=fmt_code, channels=ch, sample_rate=rate,
+                bits_per_sample=bits,
+            )
+        elif tag == b"data":
+            meta["data_bytes"], meta["data_offset"] = size, body
+        pos = body + size + (size % 2)  # word alignment
+    if meta["audio_format"] is None or meta["data_bytes"] is None:
+        raise ValueError("WAVE missing fmt_ or data chunk")
+    if meta["audio_format"] != 1:
+        raise NotImplementedError(
+            f"WAVE format {meta['audio_format']}: compressed audio "
+            "(MP3/AAC/FLAC) requires a codec library; PCM decodes natively"
+        )
+    bytes_per = meta["bits_per_sample"] // 8 * meta["channels"]
+    meta["n_samples"] = meta["data_bytes"] // bytes_per if bytes_per else 0
+    return meta
+
+
+def wav_decode_samples(data: bytes):
+    """REAL PCM decode: parse the container, slice the data chunk, view as
+    little-endian int16 (the fmt_-declared layout). Returns
+    (sample_rate, channels, numpy int16 array of shape [n, channels])."""
+    import numpy as np
+
+    meta = wav_parse_meta(data)
+    if meta["bits_per_sample"] != 16:
+        raise ValueError("only 16-bit PCM supported")
+    raw = data[meta["data_offset"] : meta["data_offset"] + meta["data_bytes"]]
+    pcm = np.frombuffer(raw, dtype="<i2").reshape(-1, meta["channels"])
+    return meta["sample_rate"], meta["channels"], pcm
