@@ -1635,3 +1635,123 @@ def _bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in bc
         ]
     return spark.createDataFrame(_BIGRAM_MODEL_CACHE[key], "bg STRING, q LONG")
+
+
+@query(
+    "d5v_gopher_repetition",
+    oracle="""
+        -- independent derivation of the Gopher repetition rules: per-doc
+        -- word n-gram repetition is DOC-LOCAL, so both engines compute it
+        -- inside list lambdas with no grouping at all. Integer ppm units
+        -- (floor-divided micro-fractions) keep the hash exact.
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ts,
+                   length(text) AS lc
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, ts, len(ts) AS n, lc - (len(ts) - 1) AS chars,
+                   list_transform(range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i + 1]) AS g2,
+                   list_transform(range(1, len(ts) - 1),
+                                  i -> ts[i] || ' ' || ts[i + 1] || ' ' ||
+                                       ts[i + 2]) AS g3
+            FROM t WHERE len(ts) >= 5
+        ),
+        c AS (
+            SELECT doc_id, n, chars, g2, g3,
+                   list_transform(g2,
+                       x -> len(list_filter(g2, y -> y = x))) AS c2
+            FROM g
+        ),
+        top AS (
+            SELECT doc_id, n, chars, g3,
+                   list_aggregate(c2, 'max') AS top2_cnt,
+                   list_aggregate(
+                       list_filter(g2, (x, i) -> c2[i] = list_aggregate(c2, 'max')),
+                       'min') AS top2_gram
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               CAST(top2_cnt AS BIGINT) AS top2_cnt,
+               top2_gram,
+               CAST(1000000::BIGINT * top2_cnt * (length(top2_gram) - 1)
+                    // chars AS BIGINT) AS top2_ppm,
+               CAST(coalesce(list_sum(list_transform(
+                   list_distinct(g3),
+                   x -> CASE WHEN len(list_filter(g3, y -> y = x)) > 1
+                             THEN 1000000::BIGINT * len(list_filter(g3, y -> y = x))
+                                  * (length(x) - 2)
+                             ELSE 0 END)), 0) // chars AS BIGINT)
+                   AS dup3_ppm
+        FROM top
+    """,
+    tags=("D5", "D2", "P1"),
+)
+def d5v_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules (Rae et al. 2021 [public] §A1.1 — the half
+    of the rule set d5m_gopher_rules does not cover): per document, the
+    fraction of characters inside occurrences of the most frequent word
+    2-gram (`top2_ppm`) and inside duplicated word 3-grams (`dup3_ppm`,
+    n adapted from the paper's 5-10 down to 3 so the rule is non-vacuous
+    on this synthetic ~23-word-doc corpus, the d5m threshold convention;
+    summed over occurrences, so boilerplate-heavy docs can exceed 1e6 —
+    the paper's 'fraction of characters in duplicate n-grams' estimator).
+
+    Scale shape: repetition is DOC-LOCAL, so the whole rule evaluates as
+    narrow higher-order expressions (transform/filter/aggregate over the
+    token array) — ZERO shuffles, no explode, no per-doc grouping; a
+    100 TB corpus filters at parquet-read throughput, unlike a
+    groupBy(doc_id, gram) formulation whose shuffle would carry every
+    n-gram occurrence. Per-doc cost is O(words²) with words ≤ a few
+    hundred — JVM codegen territory. Fractions are floor-divided integer
+    ppm so the cross-engine hash is exact (no float summation order, no
+    round-half ties). Ties for the top 2-gram break to the
+    lexicographically smallest gram on both engines (ASCII corpus —
+    binary and default collations agree)."""
+    return gopher_repetition(table(spark, sf_dir, "documents"))
+
+
+def gopher_repetition(d: DataFrame) -> DataFrame:
+    """Core of d5v over any ``(doc_id, text)`` frame — narrow higher-order
+    expressions only (see the query docstring for the rule semantics)."""
+    e = (
+        d.select("doc_id", "text")
+        .filter(F.size(F.split("text", " ")) >= 5)
+        .selectExpr(
+            "doc_id",
+            "split(text, ' ') AS ts",
+            "length(text) - (size(split(text, ' ')) - 1) AS chars",
+        )
+        .selectExpr(
+            "doc_id",
+            "size(ts) AS n",
+            "chars",
+            "transform(sequence(1, size(ts) - 1), "
+            " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1))) AS g2",
+            "transform(sequence(1, size(ts) - 2), "
+            " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), "
+            "      element_at(ts, i + 2))) AS g3",
+        )
+        .selectExpr(
+            "doc_id", "n", "chars", "g2", "g3",
+            "transform(g2, x -> size(filter(g2, y -> y = x))) AS c2",
+        )
+        .selectExpr(
+            "doc_id", "n", "chars", "g3",
+            "array_max(c2) AS top2_cnt",
+            "array_min(filter(g2, (x, i) -> c2[i] = array_max(c2))) AS top2_gram",
+        )
+    )
+    return e.selectExpr(
+        "doc_id",
+        "CAST(n AS BIGINT) AS n_words",
+        "CAST(top2_cnt AS BIGINT) AS top2_cnt",
+        "top2_gram",
+        "1000000L * top2_cnt * (length(top2_gram) - 1) DIV chars AS top2_ppm",
+        "CAST(coalesce(aggregate(array_distinct(g3), 0L, (acc, x) -> "
+        " acc + CASE WHEN size(filter(g3, y -> y = x)) > 1 "
+        "       THEN 1000000L * size(filter(g3, y -> y = x)) * (length(x) - 2) "
+        "       ELSE 0L END), 0L) DIV chars AS BIGINT) AS dup3_ppm",
+    )

@@ -71,3 +71,45 @@ def test_kmeans_partitions_all_vectors(spark):
     rows = kmeans_report(spark, SF_DIR).collect()
     assert sum(r.n_members for r in rows) == total
     assert len({r.cluster_id for r in rows}) == len(rows)
+
+
+def test_gopher_repetition_known_answers(spark):
+    """Constructed known-answer docs for the d5v repetition rules (the
+    fixture corpus never trips the dup-3-gram rule, so oracle parity
+    alone can't prove the nonzero branch)."""
+    from dcosb_cassandra_spark.operators.llm_text import gopher_repetition
+
+    rows = [
+        # 'a b' occurs 3x (6 grams total); 'a b a' dup 3-gram twice
+        (1, "s", "a b a b a b"),
+        # no repetition at all
+        (2, "s", "p q r s t"),
+        # too short for the rule (filtered out)
+        (3, "s", "x y"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(
+            spark.createDataFrame(rows, "doc_id long, source string, text string")
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    d1 = out[1]
+    # doc 1: 6 words, 11 chars, 6 non-space... text 'a b a b a b' = 11
+    # chars, 6 words -> non-space = 11 - 5 = 6
+    assert d1["n_words"] == 6
+    assert d1["top2_cnt"] == 3 and d1["top2_gram"] == "a b"
+    # top2: 3 occurrences x 2 chars = 6 of 6 chars -> 1e6 ppm
+    assert d1["top2_ppm"] == 1_000_000
+    # dup 3-grams: 'a b a' x2 (3 chars each) and 'b a b' x2 -> 12 of 6
+    # chars -> 2e6 ppm (overlap-counted, per the paper's estimator)
+    assert d1["dup3_ppm"] == 2_000_000
+    d2 = out[2]
+    assert d2["top2_cnt"] == 1 and d2["top2_gram"] == "p q"
+    assert d2["dup3_ppm"] == 0
+    # tie-break: all 2-grams unique -> lexicographically smallest wins
+    rows2 = [(4, "s", "z y x w v")]
+    d4 = gopher_repetition(
+        spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    ).collect()[0]
+    assert d4["top2_cnt"] == 1 and d4["top2_gram"] == "w v"
