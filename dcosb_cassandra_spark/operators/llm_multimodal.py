@@ -792,3 +792,119 @@ def d7j_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "width", "height",
         F.round("frame_mean", 6).alias("frame_mean"),
     )
+
+
+@query(
+    "d7k_mulaw_audio_decode",
+    oracle="""
+        -- independent derivation of what the REAL G.711 mu-law WAV decode
+        -- must find: sample i of each doc is BUILT as the exact mu-law
+        -- reconstruction level addressed by digest byte i%16 (sign = bit0,
+        -- mantissa = bits1-4, exponent = bits5-7), so companding
+        -- round-trips losslessly and integer energy sums are exact. A
+        -- decoder that mis-expands the code (wrong bias/shift), misreads
+        -- the fmt-7 container, or drops samples mismatches.
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(text), (i % 16) * 2 + 1, 2))
+                        AS INTEGER) AS x
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, 48 + len(text) % 32)) AS i
+                  FROM documents)
+        ),
+        v AS (
+            SELECT doc_id,
+                   (1 - 2 * (x & 1)) *
+                   ((8 * ((x >> 1) & 15) + 132) * (1::BIGINT << (x >> 5))
+                    - 132) AS smp
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_samples,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+               CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+               CAST(max(abs(smp)) AS INT) AS peak_abs
+        FROM v GROUP BY doc_id
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7k_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode, graded end-to-end (r8): stage 1 renders
+    each document as a real G.711 mu-law RIFF/WAVE file (format tag 7) —
+    deterministic int16 samples drawn from the md5 digest, companded by
+    the real encoder; stage 2 — the graded path — must size-walk the RIFF
+    chunks, honor the fmt-7 descriptor, and EXPAND every 8-bit code
+    through the exact ITU mu-law formula before the integer energy
+    aggregates.
+
+    Exactness construction: rendered samples are exact mu-law
+    reconstruction levels (mag = (8*mant + 132)*2^exp - 132), so
+    encode→decode is the identity on them (pytest-verified over all 256
+    codes) and the oracle derives the decoded values straight from the
+    digest bytes. All aggregates are integer (sum|x|, sum x², peak) — no
+    float summation order anywhere. Same two-stage mapInPandas shape as
+    d7e/d7h: Arrow batches, ZERO shuffles; the per-doc aggregation
+    happens inside the decode stage (samples never leave the executor)."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import (
+        multimodal_frame,
+        mulaw_encode,
+        wav_decode_samples,
+        wav_encode_mulaw,
+        wav_parse_meta,
+    )
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for batch in frames:
+            payloads = []
+            for b in batch["payload"]:
+                n = len(b.decode("utf-8"))
+                ns = 48 + n % 32
+                digest = hashlib.md5(b).digest()
+                x = np.frombuffer(
+                    (digest * ((ns // 16) + 1))[:ns], dtype=np.uint8
+                ).astype(np.int64)
+                smp = (1 - 2 * (x & 1)) * (
+                    ((8 * ((x >> 1) & 15) + 132) << (x >> 5)) - 132
+                )
+                payloads.append(
+                    wav_encode_mulaw(mulaw_encode(smp.astype(np.int16)), 8000)
+                )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "wav": payloads})
+
+    def decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in frames:
+            rows = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "sum_abs": [], "sum_sq": [], "peak_abs": [],
+            }
+            for doc_id, wav in zip(batch["doc_id"], batch["wav"]):
+                meta = wav_parse_meta(wav)
+                assert meta["audio_format"] == 7
+                rate, _ch, pcm = wav_decode_samples(wav)
+                s = pcm.astype(np.int64).ravel()
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(s))
+                rows["sample_rate"].append(rate)
+                rows["sum_abs"].append(int(np.abs(s).sum()))
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["peak_abs"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir)
+    wavs = mm.mapInPandas(render, schema="doc_id long, wav binary")
+    return wavs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_samples int, sample_rate int, "
+            "sum_abs long, sum_sq long, peak_abs int"
+        ),
+    )

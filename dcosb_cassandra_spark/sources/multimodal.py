@@ -1453,10 +1453,11 @@ def wav_parse_meta(data: bytes) -> dict:
         pos = body + size + (size % 2)  # word alignment
     if meta["audio_format"] is None or meta["data_bytes"] is None:
         raise ValueError("WAVE missing fmt_ or data chunk")
-    if meta["audio_format"] != 1:
+    if meta["audio_format"] not in (1, 7):
         raise NotImplementedError(
             f"WAVE format {meta['audio_format']}: compressed audio "
-            "(MP3/AAC/FLAC) requires a codec library; PCM decodes natively"
+            "(MP3/AAC/FLAC) requires a codec library; linear PCM (1) and "
+            "G.711 mu-law (7) decode natively"
         )
     bytes_per = meta["bits_per_sample"] // 8 * meta["channels"]
     meta["n_samples"] = meta["data_bytes"] // bytes_per if bytes_per else 0
@@ -1470,8 +1471,67 @@ def wav_decode_samples(data: bytes):
     import numpy as np
 
     meta = wav_parse_meta(data)
-    if meta["bits_per_sample"] != 16:
-        raise ValueError("only 16-bit PCM supported")
     raw = data[meta["data_offset"] : meta["data_offset"] + meta["data_bytes"]]
-    pcm = np.frombuffer(raw, dtype="<i2").reshape(-1, meta["channels"])
+    if meta["audio_format"] == 7:  # G.711 mu-law: expand to linear int16
+        if meta["bits_per_sample"] != 8:
+            raise ValueError("mu-law WAVE must be 8 bits/sample")
+        pcm = mulaw_decode(raw).reshape(-1, meta["channels"])
+    else:
+        if meta["bits_per_sample"] != 16:
+            raise ValueError("only 16-bit linear PCM supported")
+        pcm = np.frombuffer(raw, dtype="<i2").reshape(-1, meta["channels"])
     return meta["sample_rate"], meta["channels"], pcm
+
+
+# ---------------------------------------------------------------------------
+# REAL G.711 mu-law companding (ITU-T G.711 [PK], the telephony codec and
+# WAVE format tag 7): 8-bit logarithmic codes <-> 16-bit linear PCM. Both
+# directions are exact integer bit-work (numpy-vectorized), so unlike
+# MP3/AAC/FLAC this compressed-audio format decodes honestly stdlib-only
+# and extends the RIFF/WAVE path beyond linear PCM.
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84  # 132, the G.711 encoder bias
+
+
+def mulaw_encode(pcm) -> bytes:
+    """Linear int16 -> 8-bit mu-law codes (sign | 3-bit exponent | 4-bit
+    mantissa, ones-complemented per the wire format). Vectorized; exact on
+    every reconstruction level (decode . encode == identity there)."""
+    import numpy as np
+
+    s = np.asarray(pcm, dtype=np.int64)
+    sign = (s < 0).astype(np.int64)
+    mag = np.minimum(np.abs(s) + _MULAW_BIAS, 0x7FFF)
+    # exponent = MSB position - 8 (mag >= 0x84 so bit_length >= 8);
+    # frexp returns the exact bit length for positive ints — no log2
+    # float-boundary risk
+    exp = (np.frexp(mag.astype(np.float64))[1] - 8).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = ~((sign << 7) | (exp << 4) | mant) & 0xFF
+    return code.astype(np.uint8).tobytes()
+
+
+def mulaw_decode(codes: bytes):
+    """8-bit mu-law codes -> linear int16 numpy array (the exact G.711
+    expansion: mag = ((8*mant + 0x84) << exp) - 0x84, sign-applied)."""
+    import numpy as np
+
+    u = ~np.frombuffer(codes, dtype=np.uint8).astype(np.int64) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) | _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(u >> 7 == 1, -mag, mag).astype(np.int16)
+
+
+def wav_encode_mulaw(codes: bytes, sample_rate: int = 8000) -> bytes:
+    """Valid RIFF/WAVE file with format tag 7 (mu-law, 8 bits/sample,
+    mono) wrapping pre-companded codes."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(codes)) + codes
+    if len(codes) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -68,3 +68,69 @@ def test_compressed_format_gated():
     struct.pack_into("<H", wav, i, 85)  # format 85 = MP3
     with pytest.raises(NotImplementedError, match="codec"):
         wav_parse_meta(bytes(wav))
+
+
+def test_mulaw_roundtrip_all_codes():
+    """decode(encode(level)) is the identity on every reconstruction
+    level, and encode(decode(code)) recovers every wire code — the two
+    identities that make d7k's exactness construction sound."""
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    codes = bytes(range(256))
+    levels = mulaw_decode(codes)
+    # all 256 codes map to the documented expansion formula
+    for c, v in zip(codes, levels):
+        u = ~c & 0xFF
+        mag = (((u & 15) << 3 | 0x84) << ((u >> 4) & 7)) - 0x84
+        assert v == (-mag if u >> 7 else mag)
+    # encode inverts decode on every level, except the classic mu-law
+    # +/-0 ambiguity: 0x7F (negative zero) decodes to 0, which canonically
+    # re-encodes as 0xFF (positive zero)
+    re = mulaw_encode(levels)
+    assert all(
+        r == (0xFF if c == 0x7F else c) for r, c in zip(re, codes)
+    )
+    # decode . encode is identity on the levels
+    assert np.array_equal(mulaw_decode(mulaw_encode(levels)), levels)
+
+
+def test_mulaw_encode_quantizes_monotonically():
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    pcm = np.arange(-32768, 32768, 97, dtype=np.int16)
+    dec = mulaw_decode(mulaw_encode(pcm))
+    # quantization error bounded by the largest step (exp=7: 1024)
+    assert np.abs(dec.astype(np.int64) - pcm.astype(np.int64)).max() <= 1024
+    # monotone non-decreasing mapping
+    assert (np.diff(dec.astype(np.int64)) >= 0).all()
+
+
+def test_mulaw_wav_container_roundtrip():
+    import numpy as np
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        mulaw_encode,
+        wav_decode_samples,
+        wav_encode_mulaw,
+        wav_parse_meta,
+    )
+
+    smp = np.array([0, 132, -132, 8316, -8316, 32124, -32124], dtype=np.int16)
+    wav = wav_encode_mulaw(mulaw_encode(smp), 8000)
+    m = wav_parse_meta(wav)
+    assert m["audio_format"] == 7 and m["bits_per_sample"] == 8
+    assert m["n_samples"] == len(smp)
+    rate, ch, dec = wav_decode_samples(wav)
+    assert rate == 8000 and ch == 1
+    # these inputs are exact reconstruction levels -> lossless round-trip
+    assert np.array_equal(dec.ravel(), smp)
