@@ -1612,3 +1612,111 @@ def d8e_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("c1"), F.col("c2")), 6).alias("centroid_cosine"),
         F.round(l2, 6).alias("l2_shift"),
     )
+
+
+@query(
+    "d8f_sq8_calibrated_dot",
+    oracle="""
+        -- independent derivation of corpus-calibrated SQ8 scoring: per-dim
+        -- min/max (order-independent, so float-exact cross-engine) define
+        -- the affine code grid; codes and int dot products are then exact
+        -- integers. rank() keeps ties on both engines.
+        WITH pos AS (
+            SELECT unnest(embedding::DOUBLE[]) AS x,
+                   unnest(range(1, 65)) AS i
+            FROM embeddings
+        ),
+        cal AS (SELECT i, min(x) AS mn, max(x) AS mx FROM pos GROUP BY i),
+        cala AS (SELECT list(mn ORDER BY i) AS mns,
+                        list(mx ORDER BY i) AS mxs FROM cal),
+        enc AS (
+            SELECT vec_id,
+                   list_transform(range(1, 65), i ->
+                       CAST(floor((embedding[i]::DOUBLE - mns[i])
+                            / greatest(mxs[i] - mns[i], 1e-12)
+                            * 255.0 + 0.5) AS BIGINT)) AS code
+            FROM embeddings CROSS JOIN cala
+        ),
+        s AS (
+            SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.code[i] * c.code[i])) AS BIGINT) AS score
+            FROM enc q CROSS JOIN enc c
+            WHERE q.vec_id < 5 AND c.vec_id >= 5
+        )
+        SELECT qid, vec_id, score, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT qid, vec_id, score,
+                   rank() OVER (PARTITION BY qid ORDER BY score DESC) AS rk
+            FROM s
+        ) WHERE rk <= 3
+    """,
+    tags=("D8", "D4", "P1"),
+)
+def d8f_sq8_calibrated_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-calibrated scalar quantization (FAISS SQ8 shape [PK]) with
+    integer dot-product serving — the per-DIMENSION affine complement to
+    d8b's per-vector absmax: a calibration pass learns each dimension's
+    [min, max], vectors encode to 8-bit codes on that grid, and kNN scores
+    as a pure int8 dot product (one dequant affine per hit if real scores
+    are needed; ranking doesn't need it).
+
+    Scale shape: calibration is ONE partial-aggregated shuffle of
+    (dim, x) pairs down to 64 rows (min/max partial-aggregate map-side;
+    order-independent so float-exact); the 64-row grid re-joins as a
+    1-row broadcast; encoding is a narrow JVM projection (corpus never
+    shuffles); the 5-query batch broadcasts (d8d's key-bounded pattern);
+    per-query top-3 uses the two-phase rank (qid is low-cardinality — a
+    plain PARTITION BY qid window would funnel the corpus through 5
+    tasks, the exact shape tests/test_plans.py rejects). Integer codes
+    and scores make the oracle hash exact end-to-end."""
+    from .windows import two_phase_ranking
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    cal = (
+        e.select(F.posexplode("ve").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    cala = (
+        cal.select(F.struct("i", "mn", "mx").alias("g"))
+        .agg(F.sort_array(F.collect_list("g")).alias("gs"))
+        .select(
+            F.transform("gs", lambda s: s.mn).alias("mns"),
+            F.transform("gs", lambda s: s.mx).alias("mxs"),
+        )
+    )
+    enc = e.crossJoin(F.broadcast(cala)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "CAST(floor((element_at(ve, i) - element_at(mns, i)) "
+            "/ greatest(element_at(mxs, i) - element_at(mns, i), 1e-12) "
+            "* 255.0 + 0.5) AS BIGINT))"
+        ).alias("code"),
+    )
+    q = enc.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("code").alias("qc")
+    )
+    c = enc.filter(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qc"), F.col("code"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    ranked = two_phase_ranking(
+        scored,
+        part_col="qid",
+        val_col="score",
+        id_col="vec_id",
+        bucket=F.floor(F.col("score") / F.lit(65536)),
+        ntile_k=4,
+    )
+    top = ranked.filter(F.col("rk") <= 3).select("qid", "vec_id", "rk")
+    return top.join(scored, ["qid", "vec_id"]).select(
+        "qid", "vec_id", "score", F.col("rk").cast("long").alias("rk")
+    )

@@ -84,11 +84,13 @@ _OPERATOR_MODULES = (
 #: OLDEST-graded names — the 45 r1-vintage rows (headline suite + the A
 #: CQL-read/write core + scalar-function packs — last driver-graded six
 #: rounds and several heavy refactors ago: session shipping, conf
-#: pinning, the dedup/window rewrites). The round's 5 NEW queries (JPEG
+#: pinning, the dedup/window rewrites). The round's 8 NEW queries (JPEG
 #: gray/color pixel decode, bigram-LM quality, FULL OUTER interval
-#: replay, MJPEG frame decode) are never-graded and take the freshest
-#: slots first (same eviction policy as r7), displacing the r3-vintage
-#: fill. tools/graded_history.json now records name → last-graded round;
+#: replay, MJPEG frame decode, mu-law audio decode, Gopher repetition
+#: rules, SQ8 calibrated int-dot kNN) are never-graded and take the
+#: freshest slots first (same eviction policy as r7), displacing the
+#: r3-vintage fill and the freshest-equal r1 scalar packs.
+#: tools/graded_history.json now records name → last-graded round;
 #: tests/test_entry.py enforces that no window regrade is fresher than
 #: any left-out name.
 _DRIVER_WINDOW = (
@@ -99,6 +101,9 @@ _DRIVER_WINDOW = (
     "d5u_bigram_lm_quality",
     "c10d_full_outer_interval_replay",
     "d7j_mjpeg_frame_decode",
+    "d7k_mulaw_audio_decode",
+    "d5v_gopher_repetition",
+    "d8f_sq8_calibrated_dot",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -144,9 +149,6 @@ _DRIVER_WINDOW = (
     "a32_arithmetic_ops",
     # scalar-function packs (r1-vintage)
     "b25_string_functions",
-    "b26_date_functions",
-    "b27_math_functions",
-    "b28_conditional_functions",
 )
 
 
