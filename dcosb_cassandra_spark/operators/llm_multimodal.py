@@ -908,3 +908,163 @@ def d7k_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_abs long, sum_sq long, peak_abs int"
         ),
     )
+
+
+@query(
+    "d7l_adpcm_audio_decode",
+    oracle="""
+        -- independent derivation of the IMA ADPCM decode: the codec is
+        -- STATEFUL (predictor + adaptive step index evolve per 4-bit
+        -- code), so the oracle replays the exact state machine as a
+        -- recursive CTE — sample 0 is the block-header predictor (digest
+        -- bytes 0-1, signed LE int16), the step index seeds from byte 2
+        -- (mod 89), and nibble k comes from byte (3 + k/2) of the
+        -- repeated digest (low nibble first, the IMA packing order). A
+        -- decoder with a wrong step table, wrong clamp, wrong index
+        -- adaptation or one dropped nibble desynchronizes every later
+        -- sample and mismatches.
+        WITH RECURSIVE
+        d AS (
+          SELECT doc_id, md5(text) AS h, 37 + len(text) % 22 AS nn
+          FROM documents
+        ),
+        ini AS (
+          SELECT doc_id, nn,
+                 CASE WHEN lo + 256 * hi >= 32768
+                      THEN lo + 256 * hi - 65536 ELSE lo + 256 * hi END AS pred0,
+                 b2 % 89 AS idx0
+          FROM (SELECT doc_id, nn,
+                       CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS lo,
+                       CAST(('0x' || substr(h, 3, 2)) AS INTEGER) AS hi,
+                       CAST(('0x' || substr(h, 5, 2)) AS INTEGER) AS b2
+                FROM d)
+        ),
+        nib AS (
+          SELECT doc_id, k,
+                 (CAST(('0x' || substr(h, ((3 + k // 2) % 16) * 2 + 1, 2))
+                       AS INTEGER) >> (4 * (k % 2))) & 15 AS n
+          FROM (SELECT doc_id, h, unnest(range(0, nn)) AS k FROM d)
+        ),
+        walk AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS k,
+                 CAST(pred0 AS BIGINT) AS pred, CAST(idx0 AS BIGINT) AS idx, nn
+          FROM ini
+          UNION ALL
+          SELECT doc_id, k + 1,
+                 greatest(-32768, least(32767,
+                     pred + CASE WHEN (n & 8) <> 0 THEN -df ELSE df END)),
+                 greatest(0, least(88,
+                     idx + ([-1,-1,-1,-1,2,4,6,8])[(n & 7) + 1])),
+                 nn
+          FROM (
+            SELECT w.doc_id, w.k, w.pred, w.idx, w.nn, n.n,
+                   (w.stp >> 3)
+                   + CASE WHEN (n.n & 1) <> 0 THEN w.stp >> 2 ELSE 0 END
+                   + CASE WHEN (n.n & 2) <> 0 THEN w.stp >> 1 ELSE 0 END
+                   + CASE WHEN (n.n & 4) <> 0 THEN w.stp ELSE 0 END AS df
+            FROM (SELECT *, ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+                              34,37,41,45,50,55,60,66,73,80,88,97,107,118,
+                              130,143,157,173,190,209,230,253,279,307,337,
+                              371,408,449,494,544,598,658,724,796,876,963,
+                              1060,1166,1282,1411,1552,1707,1878,2066,2272,
+                              2499,2749,3024,3327,3660,4026,4428,4871,5358,
+                              5894,6484,7132,7845,8630,9493,10442,11487,
+                              12635,13899,15289,16818,18500,20350,22385,
+                              24623,27086,29794,32767])[idx + 1] AS stp
+                  FROM walk) w
+            JOIN nib n ON n.doc_id = w.doc_id AND n.k = w.k
+            WHERE w.k < w.nn
+          )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_samples,
+               CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+               CAST(sum(pred * pred) AS BIGINT) AS sum_sq,
+               CAST(max(abs(pred)) AS INT) AS peak_abs,
+               CAST(arg_max(pred, k) AS INT) AS last_sample
+        FROM walk GROUP BY doc_id
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7l_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL-codec decode, graded end-to-end (r8): stage 1 renders each
+    document as a real IMA ADPCM RIFF/WAVE file (format tag 0x11) — block
+    header (digest-seeded predictor + step index) plus a digest-derived
+    4-bit code stream; stage 2 — the graded path — must size-walk the
+    RIFF chunks, parse the fmt-0x11 cbSize extension (wSamplesPerBlock),
+    read the block header, unpack nibbles low-first, and replay the exact
+    adaptive-quantizer recurrence (step table, both clamps, index
+    adaptation) to reconstruct every sample.
+
+    This is the repo's first STATEFUL compressed-audio grading: unlike
+    mu-law (d7k, stateless per sample) a single mis-decoded nibble here
+    desynchronizes the remainder of the stream, so the integer aggregates
+    (plus last_sample, a direct probe of the final state) certify the
+    whole walk. The oracle replays the state machine as a recursive CTE —
+    the same WITH RECURSIVE technique as the connected-components and
+    context-chunking oracles, applied to codec state.
+
+    Scale shape: same two-stage mapInPandas as d7e/d7h/d7k — Arrow
+    batches, ZERO shuffles, per-doc aggregation inside the decode stage
+    (samples never leave the executor); at 100 TB each task decodes its
+    own files independently."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import (
+        multimodal_frame,
+        pack_nibbles,
+        wav_decode_samples,
+        wav_encode_adpcm,
+        wav_parse_meta,
+    )
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for batch in frames:
+            payloads = []
+            for b in batch["payload"]:
+                n = len(b.decode("utf-8"))
+                nn = 37 + n % 22
+                dg = hashlib.md5(b).digest()
+                pred0 = int.from_bytes(dg[0:2], "little", signed=True)
+                idx0 = dg[2] % 89
+                nibs = [
+                    (dg[(3 + k // 2) % 16] >> (4 * (k % 2))) & 15
+                    for k in range(nn)
+                ]
+                payloads.append(
+                    wav_encode_adpcm(pred0, idx0, pack_nibbles(nibs), nn, 8000)
+                )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "wav": payloads})
+
+    def decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in frames:
+            rows = {
+                "doc_id": [], "n_samples": [], "sum_abs": [],
+                "sum_sq": [], "peak_abs": [], "last_sample": [],
+            }
+            for doc_id, wav in zip(batch["doc_id"], batch["wav"]):
+                meta = wav_parse_meta(wav)
+                assert meta["audio_format"] == 0x11
+                _rate, _ch, pcm = wav_decode_samples(wav)
+                s = pcm.astype(np.int64).ravel()
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(s))
+                rows["sum_abs"].append(int(np.abs(s).sum()))
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["peak_abs"].append(int(np.abs(s).max()))
+                rows["last_sample"].append(int(s[-1]))
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir)
+    wavs = mm.mapInPandas(render, schema="doc_id long, wav binary")
+    return wavs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_samples int, sum_abs long, sum_sq long, "
+            "peak_abs int, last_sample int"
+        ),
+    )

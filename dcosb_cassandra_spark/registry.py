@@ -104,6 +104,7 @@ _DRIVER_WINDOW = (
     "d7k_mulaw_audio_decode",
     "d5v_gopher_repetition",
     "d8f_sq8_calibrated_dot",
+    "d7l_adpcm_audio_decode",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,8 +148,6 @@ _DRIVER_WINDOW = (
     "a29_time_functions",
     "a31_blob_conversions",
     "a32_arithmetic_ops",
-    # scalar-function packs (r1-vintage)
-    "b25_string_functions",
 )
 
 

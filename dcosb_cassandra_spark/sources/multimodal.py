@@ -1446,21 +1446,33 @@ def wav_parse_meta(data: bytes) -> dict:
             )
             meta.update(
                 audio_format=fmt_code, channels=ch, sample_rate=rate,
-                bits_per_sample=bits,
+                bits_per_sample=bits, block_align=balign,
             )
+            if fmt_code == 0x11:
+                # IMA ADPCM fmt extension: cbSize(=2) + wSamplesPerBlock
+                (cb,) = struct.unpack_from("<H", data, body + 16)
+                if cb < 2:
+                    raise ValueError("IMA ADPCM fmt_ missing wSamplesPerBlock")
+                (meta["samples_per_block"],) = struct.unpack_from(
+                    "<H", data, body + 18
+                )
         elif tag == b"data":
             meta["data_bytes"], meta["data_offset"] = size, body
         pos = body + size + (size % 2)  # word alignment
     if meta["audio_format"] is None or meta["data_bytes"] is None:
         raise ValueError("WAVE missing fmt_ or data chunk")
-    if meta["audio_format"] not in (1, 7):
+    if meta["audio_format"] not in (1, 7, 0x11):
         raise NotImplementedError(
             f"WAVE format {meta['audio_format']}: compressed audio "
-            "(MP3/AAC/FLAC) requires a codec library; linear PCM (1) and "
-            "G.711 mu-law (7) decode natively"
+            "(MP3/AAC/FLAC) requires a codec library; linear PCM (1), "
+            "G.711 mu-law (7) and IMA ADPCM (17) decode natively"
         )
-    bytes_per = meta["bits_per_sample"] // 8 * meta["channels"]
-    meta["n_samples"] = meta["data_bytes"] // bytes_per if bytes_per else 0
+    if meta["audio_format"] == 0x11:
+        blocks = meta["data_bytes"] // meta["block_align"]
+        meta["n_samples"] = blocks * meta["samples_per_block"]
+    else:
+        bytes_per = meta["bits_per_sample"] // 8 * meta["channels"]
+        meta["n_samples"] = meta["data_bytes"] // bytes_per if bytes_per else 0
     return meta
 
 
@@ -1472,7 +1484,13 @@ def wav_decode_samples(data: bytes):
 
     meta = wav_parse_meta(data)
     raw = data[meta["data_offset"] : meta["data_offset"] + meta["data_bytes"]]
-    if meta["audio_format"] == 7:  # G.711 mu-law: expand to linear int16
+    if meta["audio_format"] == 0x11:  # IMA ADPCM: stateful block decode
+        if meta["bits_per_sample"] != 4 or meta["channels"] != 1:
+            raise ValueError("IMA ADPCM WAVE must be 4-bit mono")
+        pcm = adpcm_decode_blocks(
+            raw, meta["block_align"], meta["samples_per_block"]
+        ).reshape(-1, 1)
+    elif meta["audio_format"] == 7:  # G.711 mu-law: expand to linear int16
         if meta["bits_per_sample"] != 8:
             raise ValueError("mu-law WAVE must be 8 bits/sample")
         pcm = mulaw_decode(raw).reshape(-1, meta["channels"])
@@ -1533,5 +1551,154 @@ def wav_encode_mulaw(codes: bytes, sample_rate: int = 8000) -> bytes:
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(codes)) + codes
     if len(codes) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# REAL IMA/DVI ADPCM (WAVE format tag 0x11 [PK: IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", the codec in every classic
+# game engine and VoIP stack]): 4-bit differential codes <-> 16-bit linear
+# PCM. Unlike mu-law (format 7, stateless per sample) this codec is
+# STATEFUL — a (predictor, step-index) pair evolves nibble by nibble, so a
+# correct decode requires replaying the exact adaptive-quantizer walk:
+# wrong step table, wrong clamp, wrong index adaptation or a single
+# dropped nibble desynchronizes every later sample. Exact integer
+# bit-work throughout; decodes honestly stdlib+numpy-only.
+# ---------------------------------------------------------------------------
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_decode_nibbles(nibbles, pred0: int, idx0: int):
+    """The IMA ADPCM state machine: given the block header state
+    (initial predictor = sample 0, initial step index) and the 4-bit code
+    stream, reconstruct int16 samples 1..n. Pure integer; the reference
+    recurrence (diff = step>>3 + per-bit step fractions, both clamps)."""
+    import numpy as np
+
+    pred, idx = int(pred0), int(idx0)
+    out = [pred]
+    for n in nibbles:
+        step = _ADPCM_STEPS[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _ADPCM_INDEX_ADJ[n & 7]))
+        out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+def adpcm_encode(pcm, idx0: int = 0) -> tuple[int, int, bytes]:
+    """REAL IMA ADPCM encoder: sample 0 seeds the predictor (block
+    header); each later sample quantizes its delta against the adaptive
+    step via the reference bit-build (b2 = delta>=step, then step>>1,
+    step>>2), tracking the DECODER's reconstruction so quantization error
+    never accumulates unchecked. Returns (pred0, idx0, packed nibbles —
+    low nibble first, zero-padded to a whole byte)."""
+    s = [int(x) for x in pcm]
+    pred, idx = s[0], int(idx0)
+    nibs = []
+    for x in s[1:]:
+        step = _ADPCM_STEPS[idx]
+        delta = x - pred
+        n = 0
+        if delta < 0:
+            n, delta = 8, -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        # replay the decoder so the next delta is vs the RECONSTRUCTION
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _ADPCM_INDEX_ADJ[n & 7]))
+        nibs.append(n)
+    return s[0], int(idx0), pack_nibbles(nibs)
+
+
+def pack_nibbles(nibbles) -> bytes:
+    """Nibble list -> bytes, LOW nibble first (the IMA/WAVE packing
+    order); odd counts pad the final high nibble with 0."""
+    ns = list(nibbles)
+    if len(ns) % 2:
+        ns = ns + [0]
+    return bytes((ns[i] & 15) | ((ns[i + 1] & 15) << 4) for i in range(0, len(ns), 2))
+
+
+def unpack_nibbles(data: bytes, count: int):
+    """Bytes -> first ``count`` nibbles, low nibble first."""
+    out = []
+    for b in data:
+        out.append(b & 15)
+        out.append(b >> 4)
+    return out[:count]
+
+
+def adpcm_decode_blocks(raw: bytes, block_align: int, samples_per_block: int):
+    """Walk the fmt-0x11 data chunk block by block: each block carries a
+    4-byte header (initial predictor int16 LE, step index uint8,
+    reserved) and then packed nibbles for samples_per_block-1 codes."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for off in range(0, len(raw) - block_align + 1, block_align):
+        pred0, idx0 = struct.unpack_from("<hB", raw, off)
+        if idx0 > 88:
+            raise ValueError(f"ADPCM step index {idx0} out of range")
+        nibs = unpack_nibbles(
+            raw[off + 4 : off + block_align], samples_per_block - 1
+        )
+        out.append(adpcm_decode_nibbles(nibs, pred0, idx0))
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int16)
+
+
+def wav_encode_adpcm(
+    pred0: int, idx0: int, nibbles: bytes, n_nibbles: int,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Valid RIFF/WAVE file with format tag 0x11 (IMA ADPCM, 4 bits per
+    sample, mono, one block): fmt_ carries the cbSize=2 extension with
+    wSamplesPerBlock; the data chunk is the 4-byte block header plus the
+    packed nibble payload."""
+    import struct
+
+    spb = n_nibbles + 1  # header predictor is sample 0
+    block = struct.pack("<hBB", pred0, idx0, 0) + nibbles
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * len(block) // spb, len(block), 4, 2, spb,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(block)) + block
+    if len(block) % 2:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -80,6 +80,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is the query set: vec_id < 5, key-bounded to "
         "<=5 rows at any SF (the d3b posture)",
     ),
+    "d8f_sq8_calibrated_dot": (
+        {"embeddings", "bounded:embeddings"},
+        "broadcast sides are the SQ8 calibration grid (global min/max "
+        "partial aggregate collapsed to ONE row of 64-entry arrays) and "
+        "the key-bounded query batch (vec_id < 5, d3b/d8d posture)",
+    ),
     "d17_kmeans_lloyd": (
         {"embeddings", "bounded:embeddings"},
         "broadcast sides are the k seed rows (vec_id key-bounded) and the "

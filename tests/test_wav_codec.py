@@ -134,3 +134,100 @@ def test_mulaw_wav_container_roundtrip():
     assert rate == 8000 and ch == 1
     # these inputs are exact reconstruction levels -> lossless round-trip
     assert np.array_equal(dec.ravel(), smp)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (format 0x11) — the STATEFUL codec (r8): encoder/decoder
+# state-machine properties and fmt-extension container coverage.
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_known_vector_state_walk():
+    """Hand-computed reference walk from (pred=0, idx=0): nibble 7 at
+    step 7 gives diff = 0+1+3+7... exercised against the published
+    recurrence diff = step>>3 (+step>>2 if b0)(+step>>1 if b1)(+step if
+    b2), sign bit 8, index adj table [-1,-1,-1,-1,2,4,6,8]."""
+    from dcosb_cassandra_spark.sources.multimodal import adpcm_decode_nibbles
+
+    out = adpcm_decode_nibbles([7, 7, 8, 0], pred0=0, idx0=0)
+    # step table: idx0=0 -> 7; n=7: diff = 0+1+3+7 = 11? no: 7>>3=0,
+    # 7>>2=1, 7>>1=3, 7 -> 0+1+3+7=11, pred=11, idx=0+8=8 (step 16)
+    # n=7 again: 16>>3=2 +4+8+16 = 30, pred=41, idx=16 (step 34)
+    # n=8: diff=34>>3=4, sign -> pred=37, idx=16-1=15 (step 31)
+    # n=0: diff=31>>3=3, pred=40
+    assert list(out) == [0, 11, 41, 37, 40]
+
+
+def test_adpcm_roundtrip_tracks_bounded():
+    """Lossy but bounded: the encoder replays the decoder, so error never
+    drifts unchecked. Reference property, per sample: whenever the target
+    delta fits the representable range (15/8 of the active step), the
+    greedy quantizer leaves a residual below step/4 + step/8 + 1; when
+    the signal outruns the range the index ramps (+8 per max nibble) and
+    tracking recovers — asserted via the end-of-stream error."""
+    from dcosb_cassandra_spark.sources.multimodal import (
+        _ADPCM_STEPS,
+        adpcm_decode_nibbles,
+        adpcm_encode,
+        unpack_nibbles,
+    )
+
+    rng = np.random.default_rng(11)
+    pcm = np.cumsum(rng.integers(-500, 500, 400)).clip(-32000, 32000)
+    p0, i0, packed = adpcm_encode(pcm, idx0=20)
+    nibs = unpack_nibbles(packed, len(pcm) - 1)
+    dec = adpcm_decode_nibbles(nibs, p0, i0).astype(np.int64)
+    assert dec[0] == pcm[0]
+    # replay the state walk to know (pred, step) before each sample
+    pred, idx = int(p0), int(i0)
+    for k, n in enumerate(nibs):
+        step = _ADPCM_STEPS[idx]
+        delta = int(pcm[k + 1]) - pred
+        if abs(delta) <= (15 * step) >> 3 and -32768 < int(dec[k + 1]) < 32767:
+            residual = abs(int(dec[k + 1]) - int(pcm[k + 1]))
+            assert residual <= (step >> 2) + (step >> 3) + 1
+        pred, idx = int(dec[k + 1]), max(
+            0, min(88, idx + [-1, -1, -1, -1, 2, 4, 6, 8][n & 7])
+        )
+    # recovery: the final sample is back within the last active step
+    assert abs(int(dec[-1]) - int(pcm[-1])) <= _ADPCM_STEPS[idx]
+
+
+def test_adpcm_clamps_at_int16_rails():
+    from dcosb_cassandra_spark.sources.multimodal import adpcm_decode_nibbles
+
+    up = adpcm_decode_nibbles([7] * 120, pred0=30000, idx0=88)
+    assert up.max() == 32767 and up[-1] == 32767
+    dn = adpcm_decode_nibbles([15] * 120, pred0=-30000, idx0=88)
+    assert dn.min() == -32768 and dn[-1] == -32768
+
+
+def test_adpcm_wav_container_roundtrip_and_meta():
+    from dcosb_cassandra_spark.sources.multimodal import (
+        adpcm_decode_nibbles,
+        pack_nibbles,
+        wav_encode_adpcm,
+    )
+
+    nibs = [3, 9, 14, 0, 7, 8, 1]  # odd count: pad nibble must be ignored
+    wav = wav_encode_adpcm(-123, 17, pack_nibbles(nibs), len(nibs), 8000)
+    m = wav_parse_meta(wav)
+    assert m["audio_format"] == 0x11
+    assert m["bits_per_sample"] == 4 and m["channels"] == 1
+    assert m["samples_per_block"] == len(nibs) + 1
+    assert m["n_samples"] == len(nibs) + 1
+    _sr, _ch, dec = wav_decode_samples(wav)
+    assert np.array_equal(
+        dec.ravel(), adpcm_decode_nibbles(nibs, -123, 17)
+    )
+
+
+def test_adpcm_rejects_out_of_range_step_index():
+    from dcosb_cassandra_spark.sources.multimodal import (
+        pack_nibbles,
+        wav_encode_adpcm,
+    )
+
+    wav = wav_encode_adpcm(0, 89, pack_nibbles([1, 2]), 2, 8000)
+    with pytest.raises(ValueError, match="step index"):
+        wav_decode_samples(wav)
