@@ -1068,3 +1068,104 @@ def d7l_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_abs int, last_sample int"
         ),
     )
+
+
+@query(
+    "d7m_gif_lzw_decode",
+    oracle="""
+        -- independent derivation of the GIF decode: pixel p of each
+        -- doc's 16-wide image is BUILT as (digest_byte(p%16) + 37*row)
+        -- % 256, so the oracle reads the expected luminance straight
+        -- from the digest while the graded path must round-trip those
+        -- pixels through a REAL GIF89a file — hand-rolled variable-width
+        -- LZW (both directions), sub-block framing, the grayscale global
+        -- color table. A decoder with a wrong width-bump, broken KwKwK
+        -- handling or off-by-one sub-block walk mismatches.
+        WITH px AS (
+          SELECT doc_id, h, p,
+                 (CAST(('0x' || substr(hh, (p % 16) * 2 + 1, 2))
+                       AS INTEGER) + (p // 16) * 37) % 256 AS x
+          FROM (SELECT doc_id, 4 + len(text) % 7 AS h, md5(text) AS hh,
+                       unnest(range(0, 16 * (4 + len(text) % 7))) AS p
+                FROM documents)
+        )
+        SELECT doc_id,
+               CAST(16 AS INT) AS width,
+               CAST(max(h) AS INT) AS height,
+               CAST(sum(x) AS BIGINT) AS sum_lum,
+               CAST(sum(x * x) AS BIGINT) AS sum_sq,
+               CAST(max(x) AS INT) AS peak,
+               CAST(arg_min(x, p) AS INT) AS first_px,
+               CAST(arg_max(x, p) AS INT) AS last_px
+        FROM px GROUP BY doc_id
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7m_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAND-ROLLED-LZW image decode, graded end-to-end (r8): stage 1
+    renders each document as a real GIF89a file (digest-derived 8-bit
+    grayscale pixels, 16xH); stage 2 — the graded path — must validate
+    the signature, walk the logical screen descriptor + 256-entry color
+    table, reassemble the <=255-byte data sub-blocks, and decompress the
+    variable-width LZW stream with NO library support (unlike PNG, where
+    DEFLATE comes from stdlib zlib, GIF's LZW has no stdlib
+    implementation — encoder and decoder are both hand-written:
+    clear/EOI codes, width bumps with the decoder's one-entry dictionary
+    lag, the 12-bit cap with rebuild, the KwKwK just-assigned-code case).
+
+    All aggregates are integers over the decoded luminances plus
+    positional probes (first/last pixel) that catch ordering bugs a
+    commutative sum would forgive. Scale shape: same two-stage
+    mapInPandas as d7e/d7h/d7l — Arrow batches, ZERO shuffles, per-doc
+    aggregation inside the decode stage."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import gif_decode, gif_encode_gray, multimodal_frame
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for batch in frames:
+            payloads = []
+            for b in batch["payload"]:
+                n = len(b.decode("utf-8"))
+                h = 4 + n % 7
+                dg = hashlib.md5(b).digest()
+                px = bytes(
+                    (dg[p % 16] + (p // 16) * 37) % 256 for p in range(16 * h)
+                )
+                payloads.append(gif_encode_gray(px, 16, h))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "gif": payloads})
+
+    def decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "sum_lum": [],
+                "sum_sq": [], "peak": [], "first_px": [], "last_px": [],
+            }
+            for doc_id, gif in zip(batch["doc_id"], batch["gif"]):
+                w, h, rgb = gif_decode(gif)
+                lum = [rgb[3 * i] for i in range(w * h)]
+                assert all(
+                    rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2]
+                    for i in range(w * h)
+                ), "grayscale palette violated"
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_lum"].append(sum(lum))
+                rows["sum_sq"].append(sum(x * x for x in lum))
+                rows["peak"].append(max(lum))
+                rows["first_px"].append(lum[0])
+                rows["last_px"].append(lum[-1])
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir)
+    gifs = mm.mapInPandas(render, schema="doc_id long, gif binary")
+    return gifs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, sum_lum long, "
+            "sum_sq long, peak int, first_px int, last_px int"
+        ),
+    )

@@ -105,6 +105,7 @@ _DRIVER_WINDOW = (
     "d5v_gopher_repetition",
     "d8f_sq8_calibrated_dot",
     "d7l_adpcm_audio_decode",
+    "d7m_gif_lzw_decode",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,7 +148,6 @@ _DRIVER_WINDOW = (
     "a28_from_json_typed",
     "a29_time_functions",
     "a31_blob_conversions",
-    "a32_arithmetic_ops",
 )
 
 

@@ -1702,3 +1702,203 @@ def wav_encode_adpcm(
     if len(block) % 2:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF87a/89a (CompuServe GIF spec [PK]) with HAND-ROLLED LZW: unlike
+# the PNG path (which delegates DEFLATE to stdlib zlib) the GIF
+# compression layer has no stdlib implementation, so BOTH directions of
+# the variable-width LZW coder live here — clear/EOI codes, dictionary
+# growth with width bumps at 2^w, the 12-bit cap, the KwKwK
+# just-added-code case, and the 255-byte sub-block framing. 8-bit
+# grayscale palette; exact integer throughout.
+# ---------------------------------------------------------------------------
+
+_GIF_HDR = b"GIF89a"
+
+
+def _lzw_compress(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, variable code width starting at
+    min_code_size+1, width bumps when the next free code would overflow
+    the current width, dictionary capped at 4096 (emit CLEAR and rebuild).
+    Little-endian bit packing (LSB first), per the GIF spec."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code, width = eoi + 1, min_code_size + 1
+    put(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:  # dictionary full: rebuild
+            put(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code, width = eoi + 1, min_code_size + 1
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse coder: rebuilds the dictionary from the code stream alone,
+    including the KwKwK case (a code equal to the next unassigned entry
+    decodes as prev + prev[0]). Width bumps mirror the compressor:
+    after assigning code c the width grows when c+1 would overflow —
+    the 'early change' convention GIF writers use."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: bytes([i]) for i in range(1 << min_code_size)}
+    table = dict(base)
+    next_code, width = eoi + 1, min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = dict(base)
+            next_code, width = eoi + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} out of sequence")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # one assignment EARLIER than the compressor's bump: the
+            # decoder's dictionary lags the encoder's by exactly one
+            # entry at each read, so width parity needs >= where the
+            # compressor uses >
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_encode_gray(pixels, width: int, height: int) -> bytes:
+    """Valid GIF89a: header, logical screen descriptor with a 256-entry
+    global color table (grayscale ramp: palette[i] = (i,i,i)), image
+    descriptor, LZW-compressed pixel indices packaged into <=255-byte
+    sub-blocks, trailer. ``pixels`` is row-major bytes/iterable of 0-255
+    values (index == luminance under the ramp palette)."""
+    import struct
+
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    out = bytearray(_GIF_HDR)
+    # logical screen descriptor: GCT flag, 8-bit color resolution,
+    # GCT size 2^(7+1)=256
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # grayscale global color table
+        out += bytes((i, i, i))
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    comp = _lzw_compress(px, 8)
+    for off in range(0, len(comp), 255):
+        blk = comp[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3B"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes):
+    """REAL GIF decode: validates the signature, walks the logical screen
+    descriptor + global color table, skips 89a extension blocks by their
+    sub-block sizes, reads the image descriptor, reassembles the LZW
+    stream from its sub-blocks and hand-decompresses it, then maps
+    indices through the palette. Returns (width, height, rgb bytes
+    row-major). Raises ValueError on structural corruption."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = data[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        break
+    ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    if iflags & 0x80:  # local color table overrides
+        n = 2 << (iflags & 7)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if palette is None:
+        raise ValueError("GIF image has no color table")
+    min_code = data[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF data sub-blocks truncated")
+        blen = data[pos]
+        pos += 1
+        if blen == 0:
+            break
+        stream += data[pos : pos + blen]
+        pos += blen
+    idx = _lzw_decompress(bytes(stream), min_code)
+    if len(idx) < iw * ih:
+        raise ValueError("LZW pixel data short of image size")
+    rgb = bytearray()
+    for i in idx[: iw * ih]:
+        rgb += palette[3 * i : 3 * i + 3]
+    return iw, ih, bytes(rgb)

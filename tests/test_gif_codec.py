@@ -1,0 +1,106 @@
+"""The hand-rolled GIF89a/LZW codec (sources/multimodal, r8): unlike PNG
+(zlib-backed) BOTH directions of GIF's variable-width LZW are ours, so
+these tests pin the coder's hard edges — the KwKwK just-assigned-code
+case, width bumps with the decoder's one-entry dictionary lag, the
+12-bit cap rebuild, sub-block framing — plus container structure and
+error paths the oracle comparison can't see."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from dcosb_cassandra_spark.sources.multimodal import (
+    _lzw_compress,
+    _lzw_decompress,
+    gif_decode,
+    gif_encode_gray,
+)
+
+
+def test_lzw_kwkwk_case():
+    """'ababab...' forces the decoder to receive a code equal to its next
+    unassigned dictionary slot (the cScSc pattern from the spec): entry
+    must decode as prev + prev[0]."""
+    data = b"ab" * 40
+    assert _lzw_decompress(_lzw_compress(data)) == data
+    # tighter: the 3-symbol trigger
+    data = b"aba" + b"ab" * 3
+    assert _lzw_decompress(_lzw_compress(data)) == data
+
+
+def test_lzw_width_bump_boundaries():
+    """Inputs sized to place codes exactly at the 9->10->11->12 bit
+    transitions: all-distinct pairs grow the dictionary one entry per
+    input byte, so long random streams cross every bump."""
+    rnd = random.Random(3)
+    for n in (250, 254, 255, 256, 300, 1 << 10, 1 << 11, 1 << 12, 6000):
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert _lzw_decompress(_lzw_compress(data)) == data
+
+
+def test_lzw_dictionary_cap_rebuild():
+    """> 4096 dictionary entries forces the mid-stream CLEAR + rebuild;
+    both highly repetitive (slow growth) and noise (fast growth) paths."""
+    rnd = random.Random(4)
+    noise = bytes(rnd.randrange(256) for _ in range(30000))
+    assert _lzw_decompress(_lzw_compress(noise)) == noise
+    rep = b"the quick brown fox " * 3000
+    assert _lzw_decompress(_lzw_compress(rep)) == rep
+
+
+def test_lzw_small_alphabet_min_code_size():
+    """min_code_size < 8 (e.g. 2-bit alphabet) exercises the generic
+    clear/EOI placement."""
+    data = bytes([0, 1, 2, 3] * 100)
+    assert _lzw_decompress(_lzw_compress(data, 2), 2) == data
+
+
+def test_lzw_rejects_truncation_and_bad_codes():
+    good = _lzw_compress(b"hello world, hello lzw")
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decompress(good[:3])
+    with pytest.raises(ValueError, match="out of sequence"):
+        # a 9-bit stream starting with a far-future code: CLEAR (0x100)
+        # then code 400 (unassigned — table holds 0..257 post-clear)
+        bits = (0x100) | (400 << 9)
+        raw = bytes((bits >> (8 * i)) & 0xFF for i in range(3))
+        _lzw_decompress(raw)
+
+
+def test_gif_container_roundtrip_and_structure():
+    rnd = random.Random(7)
+    px = bytes(rnd.randrange(256) for _ in range(16 * 11))
+    gif = gif_encode_gray(px, 16, 11)
+    assert gif[:6] == b"GIF89a" and gif[-1] == 0x3B
+    w, h, rgb = gif_decode(gif)
+    assert (w, h) == (16, 11)
+    assert bytes(rgb[3 * i] for i in range(16 * 11)) == px
+
+
+def test_gif_skips_extension_blocks():
+    """89a extensions (graphic control etc.) between the color table and
+    the image descriptor must be size-walked, not parsed."""
+    px = bytes(range(64))
+    gif = bytearray(gif_encode_gray(px, 8, 8))
+    # splice a Graphic Control Extension right before the image
+    # descriptor (0x2C after header 13 + 768 palette bytes)
+    at = 13 + 768
+    assert gif[at] == 0x2C
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    gif[at:at] = gce
+    w, h, rgb = gif_decode(bytes(gif))
+    assert (w, h) == (8, 8)
+    assert bytes(rgb[3 * i] for i in range(64)) == px
+
+
+def test_gif_error_paths():
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"PNG....")
+    px = bytes(range(16))
+    gif = bytearray(gif_encode_gray(px, 4, 4))
+    with pytest.raises(ValueError, match="sub-blocks truncated"):
+        gif_decode(bytes(gif[:-6]))
+    with pytest.raises(ValueError, match="pixel count"):
+        gif_encode_gray(px, 5, 5)
