@@ -1169,3 +1169,128 @@ def d7m_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sq long, peak int, first_px int, last_px int"
         ),
     )
+
+
+@query(
+    "d7n_audio_frame_features",
+    oracle="""
+        -- independent derivation of framed audio features: samples are
+        -- the d7k mu-law reconstruction levels (digest-addressed, so
+        -- exact integers), framing is the standard STFT grid (length 16,
+        -- hop 8 = 50% overlap), features are integer energy, peak and
+        -- zero-crossing count (strict sign flips between consecutive
+        -- in-frame samples). A decoder or framer that drops a sample,
+        -- misaligns the hop or counts zeros as crossings mismatches.
+        WITH s AS (
+            SELECT doc_id, i,
+                   (1 - 2 * (x & 1)) *
+                   ((8 * ((x >> 1) & 15) + 132) * (1::BIGINT << (x >> 5))
+                    - 132) AS smp
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(text), (i % 16) * 2 + 1, 2))
+                              AS INTEGER) AS x,
+                         i
+                  FROM (SELECT doc_id, text,
+                               unnest(range(0, 48 + len(text) % 32)) AS i
+                        FROM documents))
+        ),
+        p AS (
+            SELECT doc_id, i, smp,
+                   lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prv
+            FROM s
+        ),
+        f AS (
+            SELECT doc_id,
+                   unnest(range(0, ((48 + len(text) % 32) - 16) // 8 + 1))
+                       AS frame_idx
+            FROM documents
+        )
+        SELECT f.doc_id AS doc_id,
+               CAST(f.frame_idx AS INT) AS frame_idx,
+               CAST(sum(p.smp * p.smp) AS BIGINT) AS energy,
+               CAST(max(abs(p.smp)) AS INT) AS peak,
+               CAST(sum(CASE WHEN p.i > f.frame_idx * 8
+                              AND p.prv * p.smp < 0 THEN 1 ELSE 0 END)
+                    AS INT) AS zcr
+        FROM f JOIN p
+          ON p.doc_id = f.doc_id
+         AND p.i BETWEEN f.frame_idx * 8 AND f.frame_idx * 8 + 15
+        GROUP BY f.doc_id, f.frame_idx
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7n_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE-EXTRACTION stage, graded end-to-end (r8): the step a
+    training pipeline runs after codec decode — frame the PCM stream on
+    the standard STFT grid (frame 16, hop 8: 50% overlap) and emit
+    per-frame integer features (energy = sum x^2, peak, zero-crossing
+    count with the strict-sign-flip convention). Stage 1 renders the d7k
+    mu-law WAV; stage 2 REALLY decodes it (RIFF walk + G.711 expansion)
+    and frames with numpy stride tricks.
+
+    Unlike d7k/d7l (per-doc aggregates) this emits the per-frame feature
+    MATRIX — the row-explosion shape (|docs| x |frames|) a downstream
+    audio-quality filter consumes. Scale shape: two-stage mapInPandas,
+    Arrow batches, ZERO shuffles — framing multiplies rows inside the
+    executor, never through an exchange."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import (
+        multimodal_frame,
+        mulaw_encode,
+        wav_decode_samples,
+        wav_encode_mulaw,
+    )
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for batch in frames:
+            payloads = []
+            for b in batch["payload"]:
+                n = len(b.decode("utf-8"))
+                ns = 48 + n % 32
+                digest = hashlib.md5(b).digest()
+                x = np.frombuffer(
+                    (digest * ((ns // 16) + 1))[:ns], dtype=np.uint8
+                ).astype(np.int64)
+                smp = (1 - 2 * (x & 1)) * (
+                    ((8 * ((x >> 1) & 15) + 132) << (x >> 5)) - 132
+                )
+                payloads.append(
+                    wav_encode_mulaw(mulaw_encode(smp.astype(np.int16)), 8000)
+                )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "wav": payloads})
+
+    def featurize(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        FRAME, HOP = 16, 8
+        for batch in frames:
+            rows = {
+                "doc_id": [], "frame_idx": [], "energy": [],
+                "peak": [], "zcr": [],
+            }
+            for doc_id, wav in zip(batch["doc_id"], batch["wav"]):
+                _rate, _ch, pcm = wav_decode_samples(wav)
+                s = pcm.astype(np.int64).ravel()
+                nf = (len(s) - FRAME) // HOP + 1
+                idx = np.arange(FRAME)[None, :] + HOP * np.arange(nf)[:, None]
+                w = s[idx]  # (nf, FRAME) frame matrix
+                rows["doc_id"].extend([doc_id] * nf)
+                rows["frame_idx"].extend(range(nf))
+                rows["energy"].extend((w * w).sum(axis=1).tolist())
+                rows["peak"].extend(np.abs(w).max(axis=1).tolist())
+                rows["zcr"].extend(
+                    ((w[:, :-1] * w[:, 1:]) < 0).sum(axis=1).tolist()
+                )
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir)
+    wavs = mm.mapInPandas(render, schema="doc_id long, wav binary")
+    return wavs.mapInPandas(
+        featurize,
+        schema="doc_id long, frame_idx int, energy long, peak int, zcr int",
+    )

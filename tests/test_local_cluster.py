@@ -61,6 +61,10 @@ REPRESENTATIVE = [
     "d5u_bigram_lm_quality",     # r8: broadcast LM model join-back + div arithmetic
     "c10d_full_outer_interval_replay",  # r8: FULL OUTER two-sided stream state
     "d7j_mjpeg_frame_decode",    # r8: MP4 box walk + per-frame JPEG decode
+    "d7l_adpcm_audio_decode",    # r8: stateful ADPCM walk per executor task
+    "d7m_gif_lzw_decode",        # r8: hand-rolled LZW closure pickling
+    "d7n_audio_frame_features",  # r8: strided frame matrix, row explosion
+    "d8f_sq8_calibrated_dot",    # r8: 1-row calibration-grid broadcast across JVMs
 ]
 
 
