@@ -1720,3 +1720,141 @@ def d8f_sq8_calibrated_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(scored, ["qid", "vec_id"]).select(
         "qid", "vec_id", "score", F.col("rk").cast("long").alias("rk")
     )
+
+
+def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
+    """Append ``re`` — the PQ-RECONSTRUCTED vector (each 8-dim subspace
+    replaced by its nearest sub-codebook centroid) — to a DataFrame
+    carrying a ``ve`` double-array column, as a pure map stage: the k-row
+    codebook is folded into one vectorized Arrow pandas UDF (the
+    documented Pandas-UDF exception `_with_centroid_bucket` uses — a
+    64-dim × k × 8-subspace argmin has no vectorized built-in), so encode
+    is zero-shuffle and embarrassingly parallel. Float semantics match
+    the oracle exactly: per-subspace dist2 accumulates dim-by-dim via
+    `_argmin_centroid` (the sequential list_sum fold), ties take the
+    lowest cand, and reconstruction COPIES centroid doubles bit-for-bit.
+
+    At 100 TB this stage runs once at ingest and the codes/recon columns
+    live in the materialized index (the `ivf_index` posture); here it
+    runs over the already-bucket-pruned probe set, which is 1/k of the
+    corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cb, key=lambda r: r.cand)
+    code = np.array([r.ce for r in rows])  # (k, 64)
+
+    @pandas_udf("array<double>")
+    def _recon(col: pd.Series) -> pd.Series:
+        e = np.array(col.tolist())
+        if e.size == 0:
+            return pd.Series([], dtype=object)
+        parts = []
+        for s in range(_PQ_SUBSPACES):
+            lo, hi = s * _PQ_SUBDIM, (s + 1) * _PQ_SUBDIM
+            best = _argmin_centroid(code[:, lo:hi], e[:, lo:hi])
+            parts.append(code[best, lo:hi])
+        re = np.concatenate(parts, axis=1)
+        return pd.Series(list(re))
+
+    return df.withColumn("re", _recon("ve"))
+
+
+@query(
+    "d8g_ivfpq_search",
+    oracle=f"""
+        -- the complete FAISS-style IVF-PQ serving path, independently
+        -- derived: coarse assign (the d4d IVF), PQ-encode every
+        -- candidate (the d4g codes), RECONSTRUCT each candidate from its
+        -- chosen sub-codebook centroids in fixed dim order, then score
+        -- each query against ONLY its probed bucket by the asymmetric
+        -- distance ||q - recon||^2 — one fixed-order 64-term fold, so
+        -- both engines sum identically. Top-3 by ADC asc, ties to the
+        -- lower nbr_id.
+        WITH {_CENT_SQL},
+        codes AS (
+          SELECT vec_id, s, cand FROM (
+            SELECT v.vec_id, c.cand, sub.s,
+                   row_number() OVER (PARTITION BY v.vec_id, sub.s
+                       ORDER BY list_sum(list_transform(
+                           range({_PQ_SUBDIM} * sub.s + 1,
+                                 {_PQ_SUBDIM} * sub.s + {_PQ_SUBDIM} + 1),
+                           i -> (v.ve[i] - c.ce[i]) * (v.ve[i] - c.ce[i])))
+                           ASC, c.cand) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ve
+                  FROM embeddings WHERE vec_id >= 5) v
+            CROSS JOIN cent c
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s) sub
+          ) WHERE rn = 1
+        ),
+        recon AS (
+          SELECT k.vec_id,
+                 flatten(list(list_slice(c.ce, {_PQ_SUBDIM} * k.s + 1,
+                                         {_PQ_SUBDIM} * k.s + {_PQ_SUBDIM})
+                              ORDER BY k.s)) AS re
+          FROM codes k JOIN cent c ON c.cand = k.cand
+          GROUP BY k.vec_id
+        ),
+        q AS (SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qe, a.bucket
+              FROM embeddings e JOIN assign a USING (vec_id)
+              WHERE e.vec_id < 5),
+        cand AS (SELECT r.vec_id, r.re, a.bucket
+                 FROM recon r JOIN assign a USING (vec_id)),
+        scored AS (
+          SELECT q.qid, cand.vec_id,
+                 list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                     i -> (q.qe[i] - cand.re[i]) * (q.qe[i] - cand.re[i])))
+                     AS adc
+          FROM q JOIN cand ON q.bucket = cand.bucket
+        )
+        SELECT qid AS query_id, vec_id AS nbr_id,
+               round(adc, 6) AS adc_dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY adc ASC, vec_id) AS rn FROM scored)
+        WHERE rn <= 3
+    """,
+    tags=("D4", "D38", "D39", "D11", "P1"),
+)
+def d8g_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving, end-to-end (FAISS IVFPQ shape [PK], the
+    capstone composing d4d + d4g + d4h): candidate generation is the
+    MATERIALIZED IVF index probe (bucket equi-join, partition-pruned to
+    1/k of the corpus, nprobe=1), and scoring is the PQ ASYMMETRIC
+    distance — each candidate is reconstructed from its chosen
+    sub-codebook centroids (`_with_pq_recon`, a zero-shuffle Arrow map
+    with the k-row codebook folded in) and scored against the exact query
+    vector in one fixed-order 64-term JVM fold. This is the memory
+    contract a 100 TB ANN deployment actually runs: the index stores
+    8 bytes of codes per vector instead of 256 bytes of floats, the probe
+    reads 1/k of them, and only the k-row codebook is resident.
+
+    The 5-query batch broadcasts (key-bounded, the d4d posture); top-3
+    per query is a window over the already-bucket-pruned candidate set
+    (the d4d shape — input is 1/k of the corpus, never the full scan).
+    ADC float order matches the oracle: reconstruction copies centroid
+    doubles, and the fold is dim-sequential on both engines."""
+    cb = _codebook(spark, sf_dir)
+    probes = _query_batch(spark, sf_dir)[3]
+    all_buckets = sorted({r[0] for r in probes if r})
+    c = (
+        ivf_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= 5)
+        .filter(F.col("bucket").isin(all_buckets) if all_buckets else F.lit(False))
+    )
+    c = _with_pq_recon(c, cb).select(
+        F.col("vec_id").alias("nbr_id"), "re", "bucket"
+    )
+    q = _query_batch_df(spark, sf_dir, nprobe=1)
+    adc = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("re"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("nbr_id"))
+    return (
+        F.broadcast(q)  # key-bounded: vec_id < 5 — the corpus side never shuffles
+        .join(c, "bucket")
+        .select("query_id", "nbr_id", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "nbr_id", F.round("adc", 6).alias("adc_dist"))
+    )

@@ -107,6 +107,7 @@ _DRIVER_WINDOW = (
     "d7l_adpcm_audio_decode",
     "d7m_gif_lzw_decode",
     "d7n_audio_frame_features",
+    "d8g_ivfpq_search",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,7 +148,6 @@ _DRIVER_WINDOW = (
     "a26_materialized_view",
     "a27_select_json",
     "a28_from_json_typed",
-    "a29_time_functions",
 )
 
 

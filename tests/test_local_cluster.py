@@ -65,6 +65,7 @@ REPRESENTATIVE = [
     "d7m_gif_lzw_decode",        # r8: hand-rolled LZW closure pickling
     "d7n_audio_frame_features",  # r8: strided frame matrix, row explosion
     "d8f_sq8_calibrated_dot",    # r8: 1-row calibration-grid broadcast across JVMs
+    "d8g_ivfpq_search",          # r8: codebook-closure Arrow UDF + index probe
 ]
 
 

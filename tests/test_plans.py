@@ -80,6 +80,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is the query set: vec_id < 5, key-bounded to "
         "<=5 rows at any SF (the d3b posture)",
     ),
+    "d8g_ivfpq_search": (
+        {"embeddings"},
+        "broadcast side is the query batch: vec_id < 5, key-bounded to "
+        "<=5 rows at any SF (the d4d posture); the codebook is a "
+        "collected k-row literal, not a broadcast join",
+    ),
     "d8f_sq8_calibrated_dot": (
         {"embeddings", "bounded:embeddings"},
         "broadcast sides are the SQ8 calibration grid (global min/max "
