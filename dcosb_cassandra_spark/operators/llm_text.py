@@ -1755,3 +1755,143 @@ def gopher_repetition(d: DataFrame) -> DataFrame:
         "       THEN 1000000L * size(filter(g3, y -> y = x)) * (length(x) - 2) "
         "       ELSE 0L END), 0L) DIV chars AS BIGINT) AS dup3_ppm",
     )
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_rounds_oracle() -> str:
+    """The d5w oracle, generated by unrolling the round recurrence
+    _BPE_ROUNDS times (recursive CTEs cannot aggregate over the recursive
+    relation, and each round needs a corpus-wide argmax — so the oracle
+    is round-unrolled, the SQL mirror of the engine's fixed-round driver
+    loop). Every layer: adjacent-pair counts (distinct symbols, never
+    across the space boundary) -> deterministic top pair (count desc,
+    then lexicographic) -> simultaneous rewrite. The `prv IS NULL` guard
+    matters: without it the NULL lag at each doc's first position makes
+    NOT(prv = l AND sym = r2) NULL and silently drops every first token
+    equal to the right symbol."""
+    tok1 = (
+        "tok1 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "substr(s, CAST(i AS INT), 1) AS sym FROM ("
+        "SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z ]', "
+        "'', 'g'), 1, 80) AS s, unnest(range(1, "
+        "len(substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), "
+        "1, 80)) + 1)) AS i FROM documents))"
+    )
+    layers = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        layers.append(f"""
+        pairs{r} AS (
+            SELECT a.sym AS l, b.sym AS r2, count(*) AS c
+            FROM tok{r} a JOIN tok{r} b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.sym <> b.sym AND a.sym <> ' ' AND b.sym <> ' '
+            GROUP BY a.sym, b.sym
+        ),
+        top{r} AS (SELECT l, r2, c FROM pairs{r}
+                   ORDER BY c DESC, l, r2 LIMIT 1),
+        tok{r + 1} AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS pos,
+                   CASE WHEN sym = t.l AND nxt = t.r2 THEN t.l || t.r2
+                        ELSE sym END AS sym
+            FROM (
+                SELECT doc_id, pos, sym,
+                       lead(sym) OVER w AS nxt, lag(sym) OVER w AS prv
+                FROM tok{r}
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) CROSS JOIN top{r} t
+            WHERE prv IS NULL OR NOT (prv = t.l AND sym = t.r2)
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_sym, r2 AS right_sym, "
+        f"c AS merge_count, (SELECT count(*) FROM tok{r + 1}) AS "
+        f"tokens_after FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + tok1 + "," + ",".join(layers)
+        + " SELECT CAST(round AS INT) AS round, left_sym, right_sym, "
+        "CAST(merge_count AS BIGINT) AS merge_count, "
+        "CAST(tokens_after AS BIGINT) AS tokens_after "
+        f"FROM ({finals}) ORDER BY round"
+    )
+
+
+@query(
+    "d5w_bpe_merge_rounds",
+    oracle=_bpe_rounds_oracle(),
+    tags=("D20", "D5", "P1"),
+)
+def d5w_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING LOOP (Sennrich et al. 2016 [public], the
+    algorithm behind every production subword vocab): _BPE_ROUNDS rounds
+    of (count adjacent pairs corpus-wide -> merge the most frequent pair
+    everywhere -> repeat), generalizing d5k's single merge step into the
+    real iterative procedure with corpus-wide DATA-DEPENDENT state — each
+    round's rewrite depends on the argmax the previous round produced.
+    Merges never cross the space boundary and only join DISTINCT symbols;
+    that restriction makes occurrences provably non-overlapping ((l,r2)
+    at i-1 and i would force l = r2), so the simultaneous relational
+    rewrite both engines run equals the sequential greedy scan.
+
+    Scale shape (the d17 fixed-round posture): each round is ONE
+    partial-aggregated pair count (the only shuffle — (l, r2, count)
+    pairs, vocab-bounded) plus a 1-ROW collect (the argmax literal) and a
+    pure-JVM array rewrite (two-arg transform + filter, zero Python,
+    zero shuffle — sequences never leave their partition). tokens_after
+    is derived arithmetically (each merge removes exactly one token), so
+    the whole loop runs _BPE_ROUNDS+1 bounded actions; at 100 TB you
+    would checkpoint the rewritten corpus per round instead of
+    recomputing the expression chain, which is an IO policy, not a plan
+    change."""
+    docs = table(spark, sf_dir, "documents")
+    clean = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), 1, 80
+    )
+    df = docs.select("doc_id", clean.alias("s")).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(s) >= 1 THEN "
+            "transform(sequence(1, length(s)), i -> substring(s, i, 1)) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("seq"),
+    )
+    total = df.select(F.sum(F.size("seq"))).collect()[0][0] or 0
+    pairs_expr = (
+        "filter(transform(slice(seq, 1, greatest(size(seq) - 1, 0)), "
+        "(x, i) -> struct(x AS l, element_at(seq, i + 2) AS r2)), "
+        "p -> p.l <> p.r2 AND p.l <> ' ' AND p.r2 <> ' ')"
+    )
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            df.select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r2").alias("r2"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("l"), F.asc("r2"))
+            .limit(1)
+            .collect()[0]
+        )
+        left, right, c = top["l"], top["r2"], int(top["count"])
+        total -= c  # every merge removes exactly one token
+        rows.append((r, left, right, c, int(total)))
+        df = df.withColumn(
+            "seq",
+            F.expr(
+                f"filter(transform(seq, (x, i) -> "
+                f"CASE WHEN x = '{left}' AND i + 2 <= size(seq) "
+                f"AND element_at(seq, i + 2) = '{right}' "
+                f"THEN '{left}{right}' "
+                f"WHEN i >= 1 AND element_at(seq, i) = '{left}' "
+                f"AND x = '{right}' THEN NULL "
+                f"ELSE x END), x -> x IS NOT NULL)"
+            ),
+        )
+    return spark.createDataFrame(
+        rows,
+        "round int, left_sym string, right_sym string, "
+        "merge_count bigint, tokens_after bigint",
+    )
