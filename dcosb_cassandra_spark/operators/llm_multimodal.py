@@ -1294,3 +1294,149 @@ def d7n_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         featurize,
         schema="doc_id long, frame_idx int, energy long, peak int, zcr int",
     )
+
+
+@query(
+    "d7o_format_quarantine",
+    oracle="""
+        -- independent derivation of the ingest-quarantine verdicts: doc
+        -- i is RENDERED as format i%5 and files with i%17==0 are
+        -- truncated to 24 bytes, so the oracle knows every verdict a priori
+        -- while the graded path must earn it — sniff the container by
+        -- magic bytes alone and run the REAL full-structure validation
+        -- (PNG chunk walk + CRCs, JPEG segment scan + entropy decode,
+        -- GIF palette + LZW, RIFF size walk + mu-law expand, MP4 box
+        -- walk with the stsz-vs-mdat cross-check). A decoder that
+        -- rejects any well-formed file or accepts any truncated one
+        -- flips a row.
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                    ELSE 'mp4' END AS fmt,
+               CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS INT)
+                   AS valid
+        FROM documents
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7o_format_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal INGEST QUARANTINE, graded end-to-end (r8): the
+    operational front door of a 100 TB media pipeline — classify every
+    binary payload by magic bytes (never by filename or metadata), run
+    the full structural validation for its format, and quarantine
+    corrupt files instead of crashing the job. Stage 1 renders each doc
+    as one of the five REAL container formats this engine speaks (PNG,
+    baseline JPEG, GIF89a, mu-law RIFF/WAVE, ISO-BMFF MP4; format =
+    doc_id % 5) and TRUNCATES every 17th payload to 24 bytes; stage 2 —
+    the graded path — sniffs and fully validates: PNG chunk walk with
+    CRC checks, JPEG marker scan + entropy decode, GIF palette + LZW
+    decompression, RIFF size walk + G.711 expansion, MP4 box walk with
+    the stsz-vs-mdat cross-check (the box walk itself tolerates
+    truncation, so validity asserts the required boxes exist and agree).
+
+    The oracle knows every verdict from the construction; the engine has
+    to EARN each one through real parsing, so all five codecs' accept
+    AND reject paths are graded in one query. Scale shape: two-stage
+    mapInPandas, Arrow batches, ZERO shuffles; per-file try/except is
+    the quarantine semantics (errors become rows, never task
+    failures)."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import (
+        gif_decode,
+        gif_encode_gray,
+        jpeg_decode_pixels,
+        jpeg_encode_gray,
+        mp4_encode_container,
+        mp4_parse_meta,
+        mulaw_encode,
+        multimodal_frame,
+        png_decode,
+        png_encode_gray,
+        wav_decode_samples,
+        wav_encode_mulaw,
+    )
+
+    def render(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for batch in frames:
+            payloads = []
+            for doc_id, b in zip(batch["doc_id"], batch["payload"]):
+                dg = hashlib.md5(b).digest() * 3
+                f = int(doc_id) % 5
+                if f == 0:
+                    data = png_encode_gray(dg[:48], 8, 6)
+                elif f == 1:
+                    data = jpeg_encode_gray([dg[i % 48] for i in range(128)], 16, 8)
+                elif f == 2:
+                    data = gif_encode_gray(dg[:48], 8, 6)
+                elif f == 3:
+                    smp = (
+                        np.frombuffer(dg[:48], dtype=np.uint8).astype(np.int64)
+                        * 64 - 8000
+                    )
+                    data = wav_encode_mulaw(
+                        mulaw_encode(smp.astype(np.int16)), 8000
+                    )
+                else:
+                    data = mp4_encode_container(
+                        90, 30, 64, 48, [8 + dg[0] % 8, 8 + dg[1] % 8]
+                    )
+                if int(doc_id) % 17 == 0:
+                    data = data[:24]
+                payloads.append(data)
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "blob": payloads})
+
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+    def sniff_validate(data: bytes) -> tuple[str, int]:
+        if data[:8] == _PNG_SIG:
+            fmt = "png"
+        elif data[:2] == b"\xff\xd8":
+            fmt = "jpeg"
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            fmt = "gif"
+        elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            fmt = "wav"
+        elif data[4:8] == b"ftyp":
+            fmt = "mp4"
+        else:
+            return "unknown", 0
+        try:
+            if fmt == "png":
+                png_decode(data)
+            elif fmt == "jpeg":
+                jpeg_decode_pixels(data)
+            elif fmt == "gif":
+                gif_decode(data)
+            elif fmt == "wav":
+                wav_decode_samples(data)
+            else:
+                meta = mp4_parse_meta(data)
+                if any(
+                    meta[k] is None
+                    for k in ("timescale", "duration", "n_samples",
+                              "total_sample_bytes", "mdat_bytes")
+                ) or meta["total_sample_bytes"] != meta["mdat_bytes"]:
+                    return fmt, 0
+        except Exception:
+            return fmt, 0
+        return fmt, 1
+
+    def verdicts(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in frames:
+            rows = {"doc_id": [], "fmt": [], "valid": []}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                fmt, valid = sniff_validate(bytes(blob))
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["valid"].append(valid)
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir)
+    blobs = mm.mapInPandas(render, schema="doc_id long, blob binary")
+    return blobs.mapInPandas(verdicts, schema="doc_id long, fmt string, valid int")

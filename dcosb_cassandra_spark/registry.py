@@ -109,6 +109,7 @@ _DRIVER_WINDOW = (
     "d7n_audio_frame_features",
     "d8g_ivfpq_search",
     "d5w_bpe_merge_rounds",
+    "d7o_format_quarantine",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,7 +148,6 @@ _DRIVER_WINDOW = (
     "a24_batch_write",
     "a25_lwt_insert_if_not_exists",
     "a26_materialized_view",
-    "a27_select_json",
 )
 
 
