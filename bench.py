@@ -62,6 +62,13 @@ PIPELINE = [
     "d13_sequence_packing",
     "d_pipeline_end_to_end",
     "d5u_bigram_lm_quality",
+    # r8 continuation: one real codec (hand-rolled GIF/LZW, the Arrow-batch
+    # media path) and the IVF-PQ serving capstone — the two new families
+    # whose throughput a regression should surface. The ADPCM twin (d7l)
+    # is excluded: its recursive-CTE oracle costs ~9 s/run in DuckDB at
+    # sf0.1, which would triple the bench wall for one data point.
+    "d7m_gif_lzw_decode",
+    "d8g_ivfpq_search",
 ]
 
 

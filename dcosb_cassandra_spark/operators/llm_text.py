@@ -1867,14 +1867,17 @@ def d5w_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for r in range(1, _BPE_ROUNDS + 1):
-        top = (
+        top_rows = (
             df.select(F.explode(F.expr(pairs_expr)).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r2").alias("r2"))
             .count()
             .orderBy(F.desc("count"), F.asc("l"), F.asc("r2"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top_rows:  # degenerate corpus: nothing left to merge
+            break
+        top = top_rows[0]
         left, right, c = top["l"], top["r2"], int(top["count"])
         total -= c  # every merge removes exactly one token
         rows.append((r, left, right, c, int(total)))
