@@ -1399,3 +1399,133 @@ def d_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
         "n_moved_out",
     )
+
+
+@query(
+    "d2o_incremental_dedup",
+    oracle=f"""
+        -- independent derivation of the INCREMENTAL dedup verdicts: the
+        -- increment is doc_id % 4 == 0, candidates pair each new doc
+        -- against base docs and EARLIER new docs only (never base x
+        -- base), verification is exact Jaccard >= 0.5 on token sets,
+        -- and each new doc's verdict is (keep, dup_of = lowest verified
+        -- partner). DISTINCT here equals the engine's first-collision
+        -- band filter: both emit every oriented candidate pair exactly
+        -- once.
+        WITH sigs AS ({minhash_oracle_sql()}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            WHERE a.doc_id % 4 = 0
+              AND (b.doc_id % 4 <> 0 OR b.doc_id < a.doc_id)
+        ),
+        ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+        jac AS (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+                   (len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks))) AS j
+            FROM cand c
+            JOIN ts ta ON ta.doc_id = c.id_a
+            JOIN ts tb ON tb.doc_id = c.id_b
+        ),
+        agg AS (
+            SELECT id_a, count(*) AS nc,
+                   min(CASE WHEN j >= 0.5 THEN id_b END) AS dmin
+            FROM jac GROUP BY id_a
+        )
+        SELECT n.doc_id,
+               CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
+               CAST(CASE WHEN agg.dmin IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep,
+               CAST(coalesce(agg.dmin, -1) AS BIGINT) AS dup_of
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) n
+        LEFT JOIN agg ON agg.id_a = n.doc_id
+    """,
+    tags=("D2", "D44", "P1"),
+)
+def d2o_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the daily-ingest posture every
+    production corpus actually runs: a new batch (doc_id % 4 == 0, the
+    crawl increment) is deduped against the EXISTING base plus earlier
+    docs of its own batch, and the base is never re-paired with itself.
+    At 100 TB this asymmetry IS the feature: Base x Base is the quadratic
+    cost you paid at bootstrap and never pay again — candidate
+    enumeration here is |new-bands| probing the band index, so a 1%
+    daily increment costs ~1% of a full dedup.
+
+    Plan shape: one MinHash pass over the corpus (signatures are shared
+    work — in production the base's band index is a MATERIALIZED artifact
+    like `ivf_index`, so only the increment is signed); the increment's
+    band rows are spread (`spread_width`) and probe the full band set
+    with the d2b first-collision filter (no DISTINCT shuffle of the pair
+    stream); exact-Jaccard verification joins token arrays via
+    `maybe_broadcast` (size-conditional); the per-new-doc verdict is one
+    partial aggregate + a left join back to the increment (docs with zero
+    candidates keep trivially). Every new doc gets an auditable verdict
+    row: candidate count, keep flag, lowest verified duplicate partner
+    (-1 = none)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    probe = bands.filter(F.col("doc_id") % 4 == 0).repartition(
+        spread_width(spark)
+    )
+    a, b = probe.alias("a"), bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    cand = (
+        a.join(
+            maybe_broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (
+                (F.col("b.doc_id") % 4 != 0)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    ts = d.select(
+        "doc_id",
+        F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
+    )
+    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = (
+        cand.join(maybe_broadcast(ta), "id_a")
+        .join(maybe_broadcast(tb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("j"),
+        )
+    )
+    agg = jac.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.min(F.when(F.col("j") >= 0.5, F.col("id_b"))).alias("dmin"),
+    )
+    newd = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return newd.join(agg, newd.doc_id == agg.id_a, "left").select(
+        "doc_id",
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.when(F.col("dmin").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        F.coalesce(F.col("dmin"), F.lit(-1)).cast("long").alias("dup_of"),
+    )

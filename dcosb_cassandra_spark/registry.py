@@ -84,12 +84,16 @@ _OPERATOR_MODULES = (
 #: OLDEST-graded names — the 45 r1-vintage rows (headline suite + the A
 #: CQL-read/write core + scalar-function packs — last driver-graded six
 #: rounds and several heavy refactors ago: session shipping, conf
-#: pinning, the dedup/window rewrites). The round's 8 NEW queries (JPEG
+#: pinning, the dedup/window rewrites). The round's 15 NEW queries (JPEG
 #: gray/color pixel decode, bigram-LM quality, FULL OUTER interval
-#: replay, MJPEG frame decode, mu-law audio decode, Gopher repetition
-#: rules, SQ8 calibrated int-dot kNN) are never-graded and take the
-#: freshest slots first (same eviction policy as r7), displacing the
-#: r3-vintage fill and the freshest-equal r1 scalar packs.
+#: replay, MJPEG frame decode, mu-law + stateful-ADPCM audio decode,
+#: hand-rolled GIF/LZW decode, framed audio features, Gopher repetition
+#: rules, SQ8 calibrated int-dot kNN, IVF-PQ serving, the BPE training
+#: loop, format quarantine, incremental dedup) are never-graded and take
+#: the freshest slots first (same eviction policy as r7), displacing the
+#: r3-vintage fill, the freshest-equal r1 scalar packs and the tail of
+#: the A-row regrades (every displaced name stays pytest-oracle-guarded
+#: at sf0.01 each run).
 #: tools/graded_history.json now records name → last-graded round;
 #: tests/test_entry.py enforces that no window regrade is fresher than
 #: any left-out name.
@@ -110,6 +114,7 @@ _DRIVER_WINDOW = (
     "d8g_ivfpq_search",
     "d5w_bpe_merge_rounds",
     "d7o_format_quarantine",
+    "d2o_incremental_dedup",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,7 +152,6 @@ _DRIVER_WINDOW = (
     "a22_counter_updates",
     "a24_batch_write",
     "a25_lwt_insert_if_not_exists",
-    "a26_materialized_view",
 )
 
 

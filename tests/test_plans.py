@@ -120,6 +120,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "skew guard: a broadcast probe keeps the dominant bucket's pair "
         "enumeration spread across the round-robin partitions",
     ),
+    "d2o_incremental_dedup": (
+        {"documents", "bounded:documents"},
+        "same posture as d2b (shared maybe_broadcast sides: band rows + "
+        "token-set arrays, n_docs-bounded with the documented >10⁷-doc "
+        "shuffle fallback); the probe side is additionally 1/4 of the "
+        "corpus (the increment), which is the operator's entire point",
+    ),
     # d2h_semdedup no longer hints anything: r6 replaced the broadcast
     # self-join with the SemDeDup-paper per-cluster Gram (applyInPandas
     # after one shuffle by cluster) — no broadcast side exists.
