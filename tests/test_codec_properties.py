@@ -88,3 +88,82 @@ def test_adpcm_encode_decode_agree_on_state_walk(pcm, idx0):
     # more than 15/8 of the largest step (the max representable diff)
     deltas = np.abs(np.diff(a.astype(np.int64)))
     assert deltas.max(initial=0) <= (15 * _ADPCM_STEPS[-1]) >> 3
+
+
+# ---------------------------------------------------------------------------
+# Parser totality under garbage (the d7o quarantine contract): every
+# container parser either returns or raises promptly on ARBITRARY bytes —
+# no hangs, no unbounded loops, no non-Exception escapes. Hypothesis
+# additionally mutates REAL files (bit flips + truncations), the corrupt
+# inputs a 100 TB crawl actually contains.
+# ---------------------------------------------------------------------------
+
+from dcosb_cassandra_spark.sources.multimodal import (  # noqa: E402
+    gif_decode,
+    gif_encode_gray,
+    jpeg_decode_pixels,
+    jpeg_encode_gray,
+    mp4_encode_container,
+    mp4_parse_meta,
+    mulaw_encode,
+    png_decode,
+    png_encode_gray,
+    wav_decode_samples,
+    wav_encode_mulaw,
+)
+
+_PARSERS = (png_decode, jpeg_decode_pixels, gif_decode,
+            wav_decode_samples, mp4_parse_meta)
+
+
+def _real_files():
+    px = bytes(range(48))
+    return [
+        png_encode_gray(px, 8, 6),
+        jpeg_encode_gray([(7 * i) % 256 for i in range(128)], 16, 8),
+        gif_encode_gray(px, 8, 6),
+        wav_encode_mulaw(mulaw_encode(np.arange(-20, 28, dtype=np.int16)), 8000),
+        mp4_encode_container(90, 30, 64, 48, [10, 20, 30]),
+    ]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_parsers_total_on_garbage(data):
+    for p in _PARSERS:
+        try:
+            p(data)
+        except Exception:
+            pass  # rejecting garbage is the expected path
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=255),
+)
+def test_parsers_total_on_bit_flipped_real_files(which, pos, xor):
+    files = _real_files()
+    data = bytearray(files[which])
+    data[pos % len(data)] ^= xor
+    for p in _PARSERS:
+        try:
+            p(bytes(data))
+        except Exception:
+            pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_parsers_total_on_truncations(which, cut):
+    files = _real_files()
+    data = files[which]
+    for p in _PARSERS:
+        try:
+            p(data[: cut % (len(data) + 1)])
+        except Exception:
+            pass
