@@ -84,12 +84,13 @@ _OPERATOR_MODULES = (
 #: OLDEST-graded names — the 45 r1-vintage rows (headline suite + the A
 #: CQL-read/write core + scalar-function packs — last driver-graded six
 #: rounds and several heavy refactors ago: session shipping, conf
-#: pinning, the dedup/window rewrites). The round's 15 NEW queries (JPEG
+#: pinning, the dedup/window rewrites). The round's 16 NEW queries (JPEG
 #: gray/color pixel decode, bigram-LM quality, FULL OUTER interval
 #: replay, MJPEG frame decode, mu-law + stateful-ADPCM audio decode,
 #: hand-rolled GIF/LZW decode, framed audio features, Gopher repetition
 #: rules, SQ8 calibrated int-dot kNN, IVF-PQ serving, the BPE training
-#: loop, format quarantine, incremental dedup) are never-graded and take
+#: loop, format quarantine, incremental dedup, hand-rolled-DEFLATE PNG
+#: decode) are never-graded and take
 #: the freshest slots first (same eviction policy as r7), displacing the
 #: r3-vintage fill, the freshest-equal r1 scalar packs and the tail of
 #: the A-row regrades (every displaced name stays pytest-oracle-guarded
@@ -115,6 +116,7 @@ _DRIVER_WINDOW = (
     "d5w_bpe_merge_rounds",
     "d7o_format_quarantine",
     "d2o_incremental_dedup",
+    "d7p_png_hand_inflate",
     # headline suite (r1-vintage regrades)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -151,7 +153,6 @@ _DRIVER_WINDOW = (
     "a21_writetime_readback",
     "a22_counter_updates",
     "a24_batch_write",
-    "a25_lwt_insert_if_not_exists",
 )
 
 

@@ -10,6 +10,7 @@ with int16-clamped output."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -167,3 +168,43 @@ def test_parsers_total_on_truncations(which, cut):
             p(data[: cut % (len(data) + 1)])
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled DEFLATE inflate (RFC 1950/1951): differential-tested against
+# stdlib zlib over arbitrary inputs at every compression level (level 0 =
+# stored blocks, 1 = mostly fixed Huffman, 6/9 = dynamic Huffman), plus
+# explicit corruption paths.
+# ---------------------------------------------------------------------------
+
+import zlib as _zlib  # noqa: E402
+
+from dcosb_cassandra_spark.sources.multimodal import inflate  # noqa: E402
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=3000), st.sampled_from([0, 1, 6, 9]))
+def test_inflate_matches_zlib(data, level):
+    assert inflate(_zlib.compress(data, level)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=30), st.integers(min_value=2, max_value=500))
+def test_inflate_matches_zlib_repetitive(motif, reps):
+    data = motif * reps  # long back-references incl. overlap copies
+    for level in (1, 9):
+        assert inflate(_zlib.compress(data, level)) == data
+
+
+def test_inflate_rejects_corruption():
+    blob = _zlib.compress(b"hello deflate world" * 10)
+    with pytest.raises(ValueError):
+        inflate(blob[:5])  # truncated mid-stream
+    bad = bytearray(blob)
+    bad[-1] ^= 1  # adler trailer
+    with pytest.raises(ValueError, match="Adler"):
+        inflate(bytes(bad))
+    with pytest.raises(ValueError, match="header check"):
+        inflate(b"\x78\x00" + blob[2:])  # FCHECK broken
+    with pytest.raises(ValueError, match="not a DEFLATE"):
+        inflate(b"\x42\x42" + blob[2:])
