@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "d7n_audio_frame_features",  # r8: strided frame matrix, row explosion
     "d8f_sq8_calibrated_dot",    # r8: 1-row calibration-grid broadcast across JVMs
     "d8g_ivfpq_search",          # r8: codebook-closure Arrow UDF + index probe
+    "d7p_png_hand_inflate",      # r8: hand-rolled DEFLATE module pickling
 ]
 
 
