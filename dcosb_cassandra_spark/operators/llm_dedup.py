@@ -1529,3 +1529,91 @@ def d2o_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dmin").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         F.coalesce(F.col("dmin"), F.lit(-1)).cast("long").alias("dup_of"),
     )
+
+
+def _inc_token_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, toks): the xxhash64 token-set arrays the incremental
+    verify join consumes — shared by the inline path (d2o) and the
+    index build/probe split."""
+    return d.select(
+        "doc_id",
+        F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
+    )
+
+
+def write_band_index(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the BASE corpus's dedup index — the ingest-time
+    artifact d2o's docstring promises: the base's LSH band rows (with all
+    per-doc band hashes, so the first-collision filter works unchanged)
+    and its verification token-set arrays. With this on disk, a daily
+    increment is deduped WITHOUT ever re-reading, re-tokenizing or
+    re-MinHashing the base — the cost that makes naive daily dedup
+    quadratic over a corpus's lifetime. Layout: ``out_dir/bands`` +
+    ``out_dir/toks`` parquet. Returns ``out_dir``."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 != 0)
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    bands.write.mode("overwrite").parquet(f"{out_dir}/bands")
+    _inc_token_sets(d).write.mode("overwrite").parquet(f"{out_dir}/toks")
+    return out_dir
+
+
+def incremental_dedup_probe(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """d2o's verdicts computed the way production runs them: the base
+    side comes ENTIRELY from the materialized band index
+    (`write_band_index`) — only the increment (doc_id % 4 == 0) is read
+    from the corpus, tokenized and MinHashed. Bit-identical to the
+    inline d2o by construction (same band rows, same first-collision
+    filter, same verify join); asserted by
+    tests/test_incremental_index.py. At 100 TB the difference is the
+    whole game: signing cost scales with |increment|, not |corpus|."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
+    inc_bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
+    base_bands = spark.read.parquet(f"{index_dir}/bands").withColumn(
+        "is_base", F.lit(True)
+    )
+    all_bands = base_bands.unionByName(inc_bands.withColumn("is_base", F.lit(False)))
+    probe = inc_bands.repartition(spread_width(spark))
+    a, b = probe.alias("a"), all_bands.alias("b")
+    dup_enum = first_collision_only(
+        F.col("a.band_idx"),
+        DEFAULT_BANDS,
+        lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
+    )
+    cand = (
+        a.join(
+            maybe_broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("b.is_base") | (F.col("b.doc_id") < F.col("a.doc_id"))),
+        )
+        .filter(~dup_enum)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    ts = spark.read.parquet(f"{index_dir}/toks").unionByName(_inc_token_sets(d))
+    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = (
+        cand.join(maybe_broadcast(ta), "id_a")
+        .join(maybe_broadcast(tb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("j"),
+        )
+    )
+    agg = jac.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.min(F.when(F.col("j") >= 0.5, F.col("id_b"))).alias("dmin"),
+    )
+    newd = d.select("doc_id")
+    return newd.join(agg, newd.doc_id == agg.id_a, "left").select(
+        "doc_id",
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.when(F.col("dmin").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        F.coalesce(F.col("dmin"), F.lit(-1)).cast("long").alias("dup_of"),
+    )

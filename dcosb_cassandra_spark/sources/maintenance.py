@@ -168,3 +168,19 @@ def build_ivf_index(
     if out_dir is None:
         return ivf_index_dir(spark, sf_dir)
     return write_ivf_index(spark, sf_dir, out_dir)
+
+
+def build_band_index(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Materialize the incremental-dedup band index as a MAINTENANCE job
+    (the d2o serving contract, same build/serve split as
+    ``build_ivf_index``): the base corpus's LSH band rows + verification
+    token sets, written once at ingest so every future increment is
+    deduped at |increment| cost — the base is never re-read, re-tokenized
+    or re-MinHashed. Probe with
+    ``operators.llm_dedup.incremental_dedup_probe``; bit parity with the
+    inline d2o is asserted by tests/test_incremental_index.py."""
+    from ..operators.llm_dedup import write_band_index
+
+    return write_band_index(spark, sf_dir, out_dir)

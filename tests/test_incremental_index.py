@@ -1,0 +1,50 @@
+"""The incremental-dedup build/serve split (r8): `write_band_index`
+materializes the base corpus's band rows + token sets; the probe signs
+ONLY the increment and must produce verdicts BIT-IDENTICAL to the inline
+d2o query. Also asserts the scale contract: the probe's corpus scan
+reads the increment predicate and the base side comes from the index
+parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+from dcosb_cassandra_spark.operators.llm_dedup import incremental_dedup_probe
+from dcosb_cassandra_spark.registry import REGISTRY, load_all
+from dcosb_cassandra_spark.sources.maintenance import build_band_index
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("band_index"))
+    return build_band_index(spark, SF_DIR, out)
+
+
+def test_probe_matches_inline_d2o(spark, index_dir):
+    load_all()
+    inline = sorted(
+        tuple(r) for r in REGISTRY["d2o_incremental_dedup"].fn(spark, SF_DIR).collect()
+    )
+    probed = sorted(
+        tuple(r) for r in incremental_dedup_probe(spark, SF_DIR, index_dir).collect()
+    )
+    assert probed == inline
+    assert len(probed) > 0
+
+
+def test_probe_reads_base_from_index(spark, index_dir):
+    df = incremental_dedup_probe(spark, SF_DIR, index_dir)
+    files = df.inputFiles()
+    assert any("/bands" in f for f in files), "base bands must come from the index"
+    assert any("/toks" in f for f in files), "base token sets must come from the index"
+
+
+def test_index_layout(spark, index_dir):
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    assert {"doc_id", "band_idx", "band_hash", "bh0", "bh3"} <= set(bands.columns)
+    # base only: the increment (doc_id % 4 == 0) is never in the index
+    assert bands.filter("doc_id % 4 = 0").count() == 0
+    toks = spark.read.parquet(f"{index_dir}/toks")
+    assert toks.filter("doc_id % 4 = 0").count() == 0
