@@ -425,7 +425,10 @@ def _argmin_centroid(code, e):
 _IVF_INDEX_CACHE: dict[tuple, str] = {}
 _IVF_INDEX_LOCK = __import__("threading").Lock()
 
-_IVF_INDEX_SCHEMA = "vec_id bigint, ve array<double>, nrm double, bucket bigint"
+_IVF_INDEX_SCHEMA = (
+    "vec_id bigint, ve array<double>, nrm double, code array<integer>, "
+    "bucket bigint"
+)
 
 #: size threshold for the FUSED single-task Gram physical strategy (d2h):
 #: an index at or under this many bytes is scored in one task (numpy over
@@ -459,16 +462,22 @@ _IVF_INDEX_DF_CACHE: dict[tuple, DataFrame] = {}
 def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     """Materialize the IVF index for sf_dir's embeddings into ``out_dir``:
     every vector stored in its centroid bucket's partition
-    (partitionBy("bucket") parquet) with its L2 norm precomputed. This is
-    the index BUILD — an ingest-time maintenance job at 100 TB (see
-    sources/maintenance.build_ivf_index, the operator a user schedules);
-    `ivf_index` is the matching serving read path (partition-pruned
-    probes, size-conditional RAM residence)."""
+    (partitionBy("bucket") parquet) with its L2 norm precomputed AND its
+    PQ codes (r8: 8 subspace positions into the cand-sorted codebook —
+    the 8-bytes-per-vector payload an IVF-PQ deployment actually stores;
+    d8g's ADC probe reconstructs from these instead of re-encoding at
+    query time). This is the index BUILD — an ingest-time maintenance job
+    at 100 TB (see sources/maintenance.build_ivf_index, the operator a
+    user schedules); `ivf_index` is the matching serving read path
+    (partition-pruned probes, size-conditional RAM residence)."""
     emb = table(spark, sf_dir, "embeddings")
     ve = as_double(F.col("embedding"))
     (
-        _with_centroid_bucket(
-            emb.select("vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")),
+        _with_pq_codes(
+            _with_centroid_bucket(
+                emb.select("vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")),
+                _codebook(spark, sf_dir),
+            ),
             _codebook(spark, sf_dir),
         )
         .withColumn("bucket", F.col("bucket").cast("long"))
@@ -501,7 +510,9 @@ def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
             if root:
                 tag = os.path.basename(os.path.normpath(sf_dir))
-                out = os.path.join(root, f"ivf_{tag}_{mtime}")
+                # v2: the index schema grew PQ codes (r8) — the version
+                # bump keeps durable pre-codes indexes from being reused
+                out = os.path.join(root, f"ivf2_{tag}_{mtime}")
                 if not os.path.exists(os.path.join(out, "_SUCCESS")):
                     write_ivf_index(spark, sf_dir, out)
             else:
@@ -1722,6 +1733,41 @@ def d8f_sq8_calibrated_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_code_positions(code, e):
+    """(n, 8) positions into the cand-sorted codebook: per subspace, the
+    `_argmin_centroid` winner (exact dim-order fold, ties to the lowest
+    cand) — the encode half of PQ, shared by the index build and the
+    inline recon path so stored and recomputed codes can never drift."""
+    parts = [
+        _argmin_centroid(
+            code[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM],
+            e[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM],
+        )
+        for s in range(_PQ_SUBSPACES)
+    ]
+    return np.stack(parts, axis=1)
+
+
+def _with_pq_codes(df: DataFrame, cb: list) -> DataFrame:
+    """Append ``code`` — the 8 PQ subspace positions — to a DataFrame
+    carrying ``ve``: the ingest-time encode (one Arrow map, k-row
+    codebook folded in). Stored in the materialized IVF index so probes
+    never re-encode the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cb, key=lambda r: r.cand)
+    code = np.array([r.ce for r in rows])
+
+    @pandas_udf("array<int>")
+    def _codes(col: pd.Series) -> pd.Series:
+        e = np.array(col.tolist())
+        if e.size == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_pq_code_positions(code, e).astype(np.int32)))
+
+    return df.withColumn("code", _codes("ve"))
+
+
 def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
     """Append ``re`` — the PQ-RECONSTRUCTED vector (each 8-dim subspace
     replaced by its nearest sub-codebook centroid) — to a DataFrame
@@ -1734,26 +1780,50 @@ def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
     `_argmin_centroid` (the sequential list_sum fold), ties take the
     lowest cand, and reconstruction COPIES centroid doubles bit-for-bit.
 
-    At 100 TB this stage runs once at ingest and the codes/recon columns
-    live in the materialized index (the `ivf_index` posture); here it
-    runs over the already-bucket-pruned probe set, which is 1/k of the
-    corpus."""
+    At 100 TB this stage runs once at ingest: when ``df`` carries the
+    index's stored ``code`` column (write_ivf_index does this since r8),
+    reconstruction is a pure GATHER from the codebook — no argmin, no
+    distance math, exactly the 8-bytes-per-vector serving read an IVF-PQ
+    deployment pays; the argmin encode runs only for frames without
+    stored codes. Both paths produce bit-identical vectors by
+    construction (stored codes come from the same `_pq_code_positions`;
+    asserted in tests/test_similarity_paths)."""
     from pyspark.sql.functions import pandas_udf
 
     rows = sorted(cb, key=lambda r: r.cand)
     code = np.array([r.ce for r in rows])  # (k, 64)
+
+    if "code" in df.columns:
+
+        @pandas_udf("array<double>")
+        def _recon_from_codes(col: pd.Series) -> pd.Series:
+            c = np.array(col.tolist())  # (n, 8) stored positions
+            if c.size == 0:
+                return pd.Series([], dtype=object)
+            re = np.concatenate(
+                [
+                    code[c[:, s], s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                    for s in range(_PQ_SUBSPACES)
+                ],
+                axis=1,
+            )
+            return pd.Series(list(re))
+
+        return df.withColumn("re", _recon_from_codes("code"))
 
     @pandas_udf("array<double>")
     def _recon(col: pd.Series) -> pd.Series:
         e = np.array(col.tolist())
         if e.size == 0:
             return pd.Series([], dtype=object)
-        parts = []
-        for s in range(_PQ_SUBSPACES):
-            lo, hi = s * _PQ_SUBDIM, (s + 1) * _PQ_SUBDIM
-            best = _argmin_centroid(code[:, lo:hi], e[:, lo:hi])
-            parts.append(code[best, lo:hi])
-        re = np.concatenate(parts, axis=1)
+        best = _pq_code_positions(code, e)
+        re = np.concatenate(
+            [
+                code[best[:, s], s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                for s in range(_PQ_SUBSPACES)
+            ],
+            axis=1,
+        )
         return pd.Series(list(re))
 
     return df.withColumn("re", _recon("ve"))

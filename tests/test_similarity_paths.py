@@ -58,3 +58,19 @@ def test_distributed_d4d_prunes_partitions_and_limits_window(spark, monkeypatch)
     plan = plan_string(REGISTRY["d4d_ivf_probe_knn"].fn(spark, SF_DIR))
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_recon_stored_codes_match_inline_encode(spark):
+    """The IVF index's stored PQ codes (write_ivf_index, r8) and the
+    inline argmin encode must reconstruct BIT-IDENTICAL vectors — stored
+    codes come from the same `_pq_code_positions` on the same codebook,
+    so d8g's gather path is the cheap read of the exact same answer."""
+    cb = llm_similarity._codebook(spark, SF_DIR)
+    idx = llm_similarity.ivf_index(spark, SF_DIR)
+    assert "code" in idx.columns  # the index stores the 8 positions
+    stored = llm_similarity._with_pq_recon(idx, cb)
+    inline = llm_similarity._with_pq_recon(idx.drop("code"), cb)
+    a = {r.vec_id: r.re for r in stored.select("vec_id", "re").collect()}
+    b = {r.vec_id: r.re for r in inline.select("vec_id", "re").collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    assert all(a[k] == b[k] for k in a)  # exact float equality, not approx
