@@ -1502,10 +1502,28 @@ def d2o_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~dup_enum)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    ts = d.select(
+    newd = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return _incremental_verdicts(cand, _inc_token_sets(d), newd)
+
+
+def _inc_token_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, toks): the xxhash64 token-set arrays the incremental
+    verify join consumes — shared by the inline path (d2o) and the
+    index build/probe split."""
+    return d.select(
         "doc_id",
         F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
     )
+
+
+def _incremental_verdicts(
+    cand: DataFrame, ts: DataFrame, newd: DataFrame
+) -> DataFrame:
+    """Shared verdict tail of the incremental dedup (inline d2o AND the
+    index probe): exact-Jaccard verify over the candidate pairs, then one
+    partial aggregate + left join back to the increment. Keeping this in
+    ONE place is what makes the probe's bit-parity claim structural
+    rather than coincidental."""
     ta = ts.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
     tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -1522,22 +1540,11 @@ def d2o_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nc"),
         F.min(F.when(F.col("j") >= 0.5, F.col("id_b"))).alias("dmin"),
     )
-    newd = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
     return newd.join(agg, newd.doc_id == agg.id_a, "left").select(
         "doc_id",
         F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_candidates"),
         F.when(F.col("dmin").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         F.coalesce(F.col("dmin"), F.lit(-1)).cast("long").alias("dup_of"),
-    )
-
-
-def _inc_token_sets(d: DataFrame) -> DataFrame:
-    """(doc_id, toks): the xxhash64 token-set arrays the incremental
-    verify join consumes — shared by the inline path (d2o) and the
-    index build/probe split."""
-    return d.select(
-        "doc_id",
-        F.transform(tokens_of(F.col("text")), lambda t: F.xxhash64(t)).alias("toks"),
     )
 
 
@@ -1594,26 +1601,4 @@ def incremental_dedup_probe(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     ts = spark.read.parquet(f"{index_dir}/toks").unionByName(_inc_token_sets(d))
-    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = (
-        cand.join(maybe_broadcast(ta), "id_a")
-        .join(maybe_broadcast(tb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (inter / (F.size("toks_a") + F.size("toks_b") - inter)).alias("j"),
-        )
-    )
-    agg = jac.groupBy("id_a").agg(
-        F.count(F.lit(1)).alias("nc"),
-        F.min(F.when(F.col("j") >= 0.5, F.col("id_b"))).alias("dmin"),
-    )
-    newd = d.select("doc_id")
-    return newd.join(agg, newd.doc_id == agg.id_a, "left").select(
-        "doc_id",
-        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_candidates"),
-        F.when(F.col("dmin").isNull(), 1).otherwise(0).cast("int").alias("keep"),
-        F.coalesce(F.col("dmin"), F.lit(-1)).cast("long").alias("dup_of"),
-    )
+    return _incremental_verdicts(cand, ts, d.select("doc_id"))

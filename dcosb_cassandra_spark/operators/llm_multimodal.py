@@ -1138,6 +1138,8 @@ def d7m_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": batch["doc_id"], "gif": payloads})
 
     def decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for batch in frames:
             rows = {
                 "doc_id": [], "width": [], "height": [], "sum_lum": [],
@@ -1145,19 +1147,19 @@ def d7m_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, gif in zip(batch["doc_id"], batch["gif"]):
                 w, h, rgb = gif_decode(gif)
-                lum = [rgb[3 * i] for i in range(w * h)]
-                assert all(
-                    rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2]
-                    for i in range(w * h)
-                ), "grayscale palette violated"
+                # vectorized: this stage is the bench's codec-throughput
+                # sentinel, so the stats must not cost Python loops
+                tri = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                assert (tri == tri[:, :1]).all(), "grayscale palette violated"
+                lum = tri[:, 0].astype(np.int64)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["sum_lum"].append(sum(lum))
-                rows["sum_sq"].append(sum(x * x for x in lum))
-                rows["peak"].append(max(lum))
-                rows["first_px"].append(lum[0])
-                rows["last_px"].append(lum[-1])
+                rows["sum_lum"].append(int(lum.sum()))
+                rows["sum_sq"].append(int((lum * lum).sum()))
+                rows["peak"].append(int(lum.max()))
+                rows["first_px"].append(int(lum[0]))
+                rows["last_px"].append(int(lum[-1]))
             yield pd.DataFrame(rows)
 
     mm = multimodal_frame(spark, sf_dir)

@@ -1793,6 +1793,15 @@ def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
     rows = sorted(cb, key=lambda r: r.cand)
     code = np.array([r.ce for r in rows])  # (k, 64)
 
+    def gather(positions):  # (n, 8) -> (n, 64) — the ONE reconstruction
+        return np.concatenate(
+            [
+                code[positions[:, s], s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                for s in range(_PQ_SUBSPACES)
+            ],
+            axis=1,
+        )
+
     if "code" in df.columns:
 
         @pandas_udf("array<double>")
@@ -1800,14 +1809,7 @@ def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
             c = np.array(col.tolist())  # (n, 8) stored positions
             if c.size == 0:
                 return pd.Series([], dtype=object)
-            re = np.concatenate(
-                [
-                    code[c[:, s], s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
-                    for s in range(_PQ_SUBSPACES)
-                ],
-                axis=1,
-            )
-            return pd.Series(list(re))
+            return pd.Series(list(gather(c)))
 
         return df.withColumn("re", _recon_from_codes("code"))
 
@@ -1816,15 +1818,7 @@ def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
         e = np.array(col.tolist())
         if e.size == 0:
             return pd.Series([], dtype=object)
-        best = _pq_code_positions(code, e)
-        re = np.concatenate(
-            [
-                code[best[:, s], s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
-                for s in range(_PQ_SUBSPACES)
-            ],
-            axis=1,
-        )
-        return pd.Series(list(re))
+        return pd.Series(list(gather(_pq_code_positions(code, e))))
 
     return df.withColumn("re", _recon("ve"))
 

@@ -1454,7 +1454,15 @@ def wav_parse_meta(data: bytes) -> dict:
                 bits_per_sample=bits, block_align=balign,
             )
             if fmt_code == 0x11:
-                # IMA ADPCM fmt extension: cbSize(=2) + wSamplesPerBlock
+                # IMA ADPCM fmt extension: cbSize(=2) + wSamplesPerBlock.
+                # The declared chunk size must actually COVER the
+                # extension — without this check the unpack would read
+                # the next chunk's tag bytes as wSamplesPerBlock.
+                if size < 20:
+                    raise ValueError(
+                        "IMA ADPCM fmt_ chunk too short for its "
+                        "cbSize extension"
+                    )
                 (cb,) = struct.unpack_from("<H", data, body + 16)
                 if cb < 2:
                     raise ValueError("IMA ADPCM fmt_ missing wSamplesPerBlock")
@@ -1473,8 +1481,15 @@ def wav_parse_meta(data: bytes) -> dict:
             "G.711 mu-law (7) and IMA ADPCM (17) decode natively"
         )
     if meta["audio_format"] == 0x11:
-        blocks = meta["data_bytes"] // meta["block_align"]
-        meta["n_samples"] = blocks * meta["samples_per_block"]
+        ba, spb = meta["block_align"], meta["samples_per_block"]
+        if ba < 5:  # 4-byte block header + at least one nibble byte
+            raise ValueError(f"IMA ADPCM block align {ba} too small")
+        if spb - 1 > 2 * (ba - 4):
+            raise ValueError(
+                f"IMA ADPCM wSamplesPerBlock {spb} exceeds what "
+                f"block align {ba} can hold"
+            )
+        meta["n_samples"] = (meta["data_bytes"] // ba) * spb
     else:
         bytes_per = meta["bits_per_sample"] // 8 * meta["channels"]
         meta["n_samples"] = meta["data_bytes"] // bytes_per if bytes_per else 0
@@ -1865,24 +1880,32 @@ def gif_decode(data: bytes):
         if len(palette) < 3 * n:
             raise ValueError("truncated global color table")
         pos += 3 * n
-    while pos < len(data):
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF truncated before any image block")
         b = data[pos]
         if b == 0x3B:  # trailer before any image
             raise ValueError("GIF contains no image data")
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while data[pos] != 0:
+            while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
+            if pos >= len(data):
+                raise ValueError("GIF extension sub-blocks truncated")
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         break
+    if pos + 10 > len(data):
+        raise ValueError("GIF image descriptor truncated")
     ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
     pos += 10
     if iflags & 0x80:  # local color table overrides
         n = 2 << (iflags & 7)
         palette = data[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated local color table")
         pos += 3 * n
     if iflags & 0x40:
         raise NotImplementedError("interlaced GIF not supported")
@@ -1903,8 +1926,11 @@ def gif_decode(data: bytes):
     idx = _lzw_decompress(bytes(stream), min_code)
     if len(idx) < iw * ih:
         raise ValueError("LZW pixel data short of image size")
+    px = idx[: iw * ih]
+    if px and max(px) * 3 + 3 > len(palette):
+        raise ValueError("GIF pixel index exceeds color table")
     rgb = bytearray()
-    for i in idx[: iw * ih]:
+    for i in px:
         rgb += palette[3 * i : 3 * i + 3]
     return iw, ih, bytes(rgb)
 

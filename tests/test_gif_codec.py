@@ -104,3 +104,40 @@ def test_gif_error_paths():
         gif_decode(bytes(gif[:-6]))
     with pytest.raises(ValueError, match="pixel count"):
         gif_encode_gray(px, 5, 5)
+
+
+def test_gif_truncation_raises_valueerror_everywhere():
+    """Code-review r8 finding: truncation inside the extension walk or
+    before the image descriptor must raise ValueError (the documented
+    contract), never IndexError/struct.error."""
+    px = bytes(range(64))
+    gif = bytearray(gif_encode_gray(px, 8, 8))
+    at = 13 + 768
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    gif[at:at] = gce
+    # cut mid-extension
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode(bytes(gif[: at + 3]))
+    # cut right after the 0x2C introducer (descriptor missing)
+    with pytest.raises(ValueError, match="descriptor truncated"):
+        gif_decode(bytes(gif[: at + len(gce) + 1]))
+
+
+def test_gif_rejects_pixel_index_past_local_palette():
+    """A 4-entry local color table with 8-bit LZW indices > 3 must raise
+    rather than emit frame-shifted rgb (code-review r8 finding)."""
+    import struct as _s
+
+    from dcosb_cassandra_spark.sources.multimodal import _lzw_compress
+
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 2, 2, 0, 0, 0)  # no global table
+    out += b"\x2C" + _s.pack("<HHHHB", 0, 0, 2, 2, 0x81)  # local, 4 entries
+    out += bytes(12)  # 4-entry palette
+    out.append(8)
+    comp = _lzw_compress(bytes([0, 1, 2, 200]), 8)  # index 200 >> palette
+    out.append(len(comp))
+    out += comp
+    out += b"\x00\x3B"
+    with pytest.raises(ValueError, match="exceeds color table"):
+        gif_decode(bytes(out))

@@ -231,3 +231,34 @@ def test_adpcm_rejects_out_of_range_step_index():
     wav = wav_encode_adpcm(0, 89, pack_nibbles([1, 2]), 2, 8000)
     with pytest.raises(ValueError, match="step index"):
         wav_decode_samples(wav)
+
+
+def test_adpcm_rejects_fmt_without_extension():
+    """fmt tag 0x11 with a plain 16-byte fmt chunk is structural
+    corruption — the parser must raise, not read the next chunk's bytes
+    as wSamplesPerBlock (code-review r8 finding)."""
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, 6, 4)  # no cbSize
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 6) + b"\x00" * 6
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="cbSize"):
+        wav_parse_meta(wav)
+
+
+def test_adpcm_rejects_zero_block_align_and_spb_overflow():
+    from dcosb_cassandra_spark.sources.multimodal import (
+        pack_nibbles,
+        wav_encode_adpcm,
+    )
+
+    good = bytearray(wav_encode_adpcm(0, 0, pack_nibbles([1, 2]), 2, 8000))
+    fmt_at = good.index(b"fmt ") + 8
+    # nBlockAlign lives at fmt+12 (after tag/ch/rate/brate)
+    struct.pack_into("<H", good, fmt_at + 12, 0)
+    with pytest.raises(ValueError, match="block align"):
+        wav_parse_meta(bytes(good))
+    good2 = bytearray(wav_encode_adpcm(0, 0, pack_nibbles([1, 2]), 2, 8000))
+    # wSamplesPerBlock at fmt+18 — claim more samples than the block holds
+    struct.pack_into("<H", good2, fmt_at + 18, 1000)
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        wav_parse_meta(bytes(good2))
