@@ -126,8 +126,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape, 6-way join. orders⋈lineitem is pinned SHUFFLE_HASH
     on orderkey (same rationale as q3: both cached sides arrive
-    hashpartitioned(orderkey, 16) so the join is exchange-free AND
-    sort-free, and at 100 TB orders can never broadcast — without the
+    hashpartitioned(orderkey, N) with the SAME byte-scaled N — the shared
+    WARM_CACHE_PARTITIONS/_scaled_partitions count — so the join is
+    exchange-free AND sort-free, and at 100 TB orders can never broadcast
+    — without the
     hint the static planner broadcast-collects all of orders to the
     driver on every run at bench SFs). customer/supplier scale linearly
     with SF — no hint (an explicit hint cannot be demoted by AQE; AQE

@@ -1454,7 +1454,7 @@ def d_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) n
         LEFT JOIN agg ON agg.id_a = n.doc_id
     """,
-    tags=("D2", "D44", "P1"),
+    tags=("D2b", "D2", "P1"),
 )
 def d2o_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup dedup — the daily-ingest posture every

@@ -98,61 +98,74 @@ _OPERATOR_MODULES = (
 #: tools/graded_history.json now records name → last-graded round;
 #: tests/test_entry.py enforces that no window regrade is fresher than
 #: any left-out name.
+#: Eighth rotation (r9): graded_history REGENERATED first (judge r8 task
+#: #1 — the file had no r8 entries; tools/update_graded_history.py now
+#: rebuilds it from every CORRECTNESS_r*.json). Post-regen staleness:
+#: 11 names last graded r1 (the LWT/MV/JSON/time/blob/arith CQL rows +
+#: the B25–B28 scalar-function packs, displaced by r8's 16 first-
+#: gradings) and 50 last graded r3. The window takes ALL 11 r1-vintage
+#: names plus the stalest-equal r3 fill; the round's NEW queries
+#: (never-graded) take the freshest slots first, each evicting one r3
+#: name (which stays pytest-oracle-guarded at sf0.01 every run). The
+#: left-out r3 names are the heavy dedup/pipeline suite — equally stale,
+#: so the guard is indifferent; keeping the driver window cheap leaves
+#: headroom for first-gradings.
 _DRIVER_WINDOW = (
-    # r8 first-gradings (new this round) — never-graded names take the
-    # freshest slots per the r7 eviction policy.
-    "d7h_jpeg_decode",
-    "d7i_jpeg_color_decode",
-    "d5u_bigram_lm_quality",
-    "c10d_full_outer_interval_replay",
-    "d7j_mjpeg_frame_decode",
-    "d7k_mulaw_audio_decode",
-    "d5v_gopher_repetition",
-    "d8f_sq8_calibrated_dot",
-    "d7l_adpcm_audio_decode",
-    "d7m_gif_lzw_decode",
-    "d7n_audio_frame_features",
-    "d8g_ivfpq_search",
-    "d5w_bpe_merge_rounds",
-    "d7o_format_quarantine",
-    "d2o_incremental_dedup",
-    "d7p_png_hand_inflate",
-    # headline suite (r1-vintage regrades)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "window_top2_per_cust",
-    "distinct_users_per_type",
-    "tumbling_window_events",
-    "json_extract_props",
-    "antijoin_custs_no_orders",
-    "cube_rollup",
-    "text_token_counts",
-    "knn_top10_vs_query",
-    "exact_dedup_docs",
-    # A-row CQL core (r1-vintage)
-    "a01_full_table_scan",
-    "a02_point_read_pk",
-    "a03_clustering_slice",
-    "a04_in_partition_keys",
-    "a06_limit_paging",
-    "a07_per_partition_limit",
-    "a08_select_distinct_pk",
-    "a09_projection_alias",
-    "a11_filter_contains",
-    "a12_like_patterns",
-    "a13_allow_filtering",
-    "a14_secondary_index_eq",
-    "a15_global_aggregates",
-    "a16_group_by_key_prefix",
-    "a17_order_by_clustering",
-    "a18_upsert_lww",
-    "a19_delete_tombstones",
-    "a19b_range_tombstones",
-    "a20_ttl_expiry",
-    "a21_writetime_readback",
-    "a22_counter_updates",
-    "a24_batch_write",
+    # r9 first-gradings (new this round) — never-graded names take the
+    # freshest slots per the r7 eviction policy. (Filled as each lands;
+    # r3-vintage names hold the slots until then.)
+    "d5x_bpe_encode_corpus",
+    "d5d_fingerprint_dedup",
+    # r1-vintage regrades (stalest — last graded round 1)
+    "a25_lwt_insert_if_not_exists",
+    "a26_materialized_view",
+    "a27_select_json",
+    "a28_from_json_typed",
+    "a29_time_functions",
+    "a31_blob_conversions",
+    "a32_arithmetic_ops",
+    "b25_string_functions",
+    "b26_date_functions",
+    "b27_math_functions",
+    "b28_conditional_functions",
+    # r3-vintage regrades (next-stalest — last graded round 3)
+    "a05_token_range_scan",
+    "a10_cast_types",
+    "a23_collection_mutations",
+    "a30_uuid_generation",
+    "a33_pandas_udf_scalar",
+    "a34_uda_geometric_mean",
+    "b03_left_outer_join",
+    "b03b_full_outer_join",
+    "b05_range_band_join",
+    "b06_asof_join",
+    "b07_cross_join",
+    "b08_self_join",
+    "b13_ranking_suite",
+    "b14_lag_lead",
+    "b14b_nth_value",
+    "b15_frame_windows",
+    "b20_intersect_except",
+    "b22_explode_tokens",
+    "b29_array_functions",
+    "b30_map_functions",
+    "c2_sliding_window",
+    "c3_session_window",
+    "c4_watermark_filter",
+    "c5_stream_dedup",
+    "d1_exact_dedup_keep_min",
+    "d3b_batch_knn_per_label",
+    "d4b_centroid_assignment",
+    "d5_quality_scores",
+    "d5b_langid_heuristic",
+    "d5c_token_count_bpe",
+    "d7_multimodal_metadata",
+    "d8_vector_normalize",
+    "d8b_int8_quantization",
+    "t01_duration_arithmetic",
+    "t02_varint_decimal",
+    "t03_inet_functions",
+    "t04_udt_struct_navigation",
 )
 
 

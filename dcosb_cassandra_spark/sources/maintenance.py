@@ -170,6 +170,20 @@ def build_ivf_index(
     return write_ivf_index(spark, sf_dir, out_dir)
 
 
+def build_bpe_vocab(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the trained BPE merge table as a MAINTENANCE job (the
+    d5x serving contract, same build/serve split as ``build_ivf_index``
+    and ``build_band_index``): the tokenizer is trained ONCE at ingest
+    (d5w's loop — _BPE_ROUNDS bounded actions over the corpus) and every
+    future encode pass applies the materialized merges as a pure-JVM
+    rewrite chain with zero training collects. Serve with
+    ``operators.llm_text.bpe_encode_with_vocab``; bit parity with the
+    inline d5x is asserted by tests/test_bpe_vocab.py."""
+    from ..operators.llm_text import write_bpe_vocab
+
+    return write_bpe_vocab(spark, sf_dir, out_dir)
+
+
 def build_band_index(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:
