@@ -813,3 +813,66 @@ def c6c_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.n_events").alias("n_events"),
                 F.col("w.total_value").alias("total_value"))
     )
+
+
+@query(
+    "c6d_state_ttl_replay",
+    oracle="""
+        -- first-principles TTL sessions: gaps-and-islands with a
+        -- STRICT > 2h idle gap starting a new session (the eviction
+        -- boundary), aggregated per (user, session)
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+               count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("C6", "C3", "C8", "P1"),
+)
+def c6d_state_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key state TTL eviction run as the ACTUAL stream (r9, judge r8
+    task #6 — transformWithState's headline semantic while that API stays
+    env-blocked): applyInPandasWithState with EventTimeTimeout evicts a
+    key's state once it idles past 2h of event time, and the key's next
+    event re-emerges as a FRESH session. The replay uses the c10c/c10d
+    machinery — event-time-ordered chunks so nothing is late, trailing
+    watermark sentinels so every real key's timeout FIRES inside the
+    bounded run (state timeouts at last+2h are always below the first
+    sentinel's +4h watermark push) — and each session is emitted exactly
+    once (in-batch gap closure or state-store timeout), so the sink holds
+    precisely the session set; sentinels strip BATCH-side (user_id >= 0,
+    the filter-pushdown-freezes-watermark lesson). Graded against the
+    batch gaps-and-islands derivation. State: one 4-field struct per
+    LIVE key — eviction is what bounds a 100 TB/day stream's store to
+    active keys rather than ever-seen keys."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import (
+        c6d_ttl_sessions,
+        c8_write_stream,
+        read_events_stream,
+    )
+
+    ensure_engine_conf(spark)
+    ev = read_events_stream(spark, _stage_ordered_events_dir(spark, sf_dir))
+    name = _sink_name("c6d_sink")
+    q = c8_write_stream(c6d_ttl_sessions(ev), name, output_mode="update")
+    q.awaitTermination(240)
+    t = spark.table(name).filter(F.col("user_id") >= 0)
+    return t.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("session_last_us")).alias("session_last"),
+        "n_events",
+        "total_value",
+    )

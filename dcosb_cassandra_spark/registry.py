@@ -115,7 +115,7 @@ _DRIVER_WINDOW = (
     # freshest slots per the r7 eviction policy. (Filled as each lands;
     # r3-vintage names hold the slots until then.)
     "d5x_bpe_encode_corpus",
-    "d5d_fingerprint_dedup",
+    "c6d_state_ttl_replay",
     # r1-vintage regrades (stalest — last graded round 1)
     "a25_lwt_insert_if_not_exists",
     "a26_materialized_view",

@@ -67,6 +67,8 @@ REPRESENTATIVE = [
     "d8f_sq8_calibrated_dot",    # r8: 1-row calibration-grid broadcast across JVMs
     "d8g_ivfpq_search",          # r8: codebook-closure Arrow UDF + index probe
     "d7p_png_hand_inflate",      # r8: hand-rolled DEFLATE module pickling
+    "c6d_state_ttl_replay",      # r9: EventTimeTimeout state eviction across JVMs
+    "d5x_bpe_encode_corpus",     # r9: trained-merge rewrite chain + memoized train
 ]
 
 

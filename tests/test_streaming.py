@@ -443,3 +443,33 @@ def test_c12b_state_store_respects_state_dir_env(spark, tmp_path, monkeypatch):
         e.startswith("c12b_keyed_state_") and not e.endswith("_compacted")
         for e in entries
     ), entries
+
+
+def test_c6d_ttl_eviction_emits_fresh_sessions(spark):
+    """The state-TTL semantics (r9): a key idle past the TTL has its state
+    EVICTED (state.remove() on EventTimeTimeout) and re-emerges as a fresh
+    session. The graded c6d replay already proves exact parity with the
+    batch gaps-and-islands oracle at 3 SFs; this asserts the eviction
+    behaviors directly: (a) some user produced MULTIPLE sessions (state
+    was dropped and re-created, not accumulated), (b) session boundaries
+    respect the strict >2h gap, (c) every event is in exactly one session
+    (nothing double-emitted by closure + timeout)."""
+    from dcosb_cassandra_spark.catalog import table
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    out = REGISTRY["c6d_state_ttl_replay"].fn(spark, sf_dir)
+    rows = out.collect()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert any(len(v) > 1 for v in per_user.values()), "no key was ever evicted"
+    ttl_us = 2 * 3600 * 1_000_000
+    for sessions in per_user.values():
+        sessions.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sessions, sessions[1:]):
+            gap = (b["session_start"] - a["session_last"]).total_seconds() * 1e6
+            assert gap > ttl_us, "two sessions closer than the TTL boundary"
+    n_events_total = sum(r["n_events"] for r in rows)
+    assert n_events_total == table(spark, sf_dir, "events").count()
