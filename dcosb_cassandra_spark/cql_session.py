@@ -195,6 +195,58 @@ _ALTER_KEYSPACE = re.compile(
     r"^\s*ALTER\s+KEYSPACE\s+(?P<name>\w+)\s+WITH\s+.*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: CQL triggers [PK `cql3/statements/CreateTriggerStatement.java`,
+#: `DropTriggerStatement.java`]
+_CREATE_TRIGGER = re.compile(
+    r"^\s*CREATE\s+TRIGGER\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s+ON\s+(?P<table>\w+)\s+USING\s+'(?P<cls>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TRIGGER = re.compile(
+    r"^\s*DROP\s+TRIGGER\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s+ON\s+(?P<table>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: Trigger "classes" resolvable by CREATE TRIGGER ... USING '<name>'
+#: [PK `triggers/TriggerExecutor.java` — Cassandra loads an ITrigger
+#: implementation by class name from a server-side jar; the Spark twin
+#: resolves from this process-level registry]. A trigger is a callable
+#: ``fn(session, table, op, data)`` invoked once per mutation statement
+#: (op in {"INSERT", "UPDATE", "DELETE"}; data = the written row / SET
+#: map / deleted key). Statements the trigger itself executes never
+#: re-fire triggers, matching TriggerExecutor's augmented-mutation rule.
+TRIGGER_CLASSES: dict = {}
+
+
+def register_trigger_class(name: str):
+    """Register a trigger implementation under a resolvable class name."""
+
+    def deco(fn):
+        TRIGGER_CLASSES[name] = fn
+        return fn
+
+    return deco
+
+
+@register_trigger_class("dcosb.AuditTrigger")
+def _audit_trigger(sess, tbl: str, op: str, data: dict) -> None:
+    """The canonical trigger example (Cassandra ships InvertedIndex; the
+    equally classic audit-log shape is used here): every mutation on the
+    subject table appends one row to the ``trigger_audit`` side table —
+    sequence id, subject table, operation, and the mutation payload as
+    JSON. The side table is created on first fire."""
+    if "trigger_audit" not in sess._created:
+        sess.execute(
+            "CREATE TABLE trigger_audit (seq bigint PRIMARY KEY, "
+            "tbl text, op text, data text)"
+        )
+    sess._trigger_seq += 1
+    payload = json.dumps(data, default=str, sort_keys=True).replace("'", "''")
+    sess.execute(
+        f"INSERT INTO trigger_audit (seq, tbl, op, data) VALUES "
+        f"({sess._trigger_seq}, '{tbl}', '{op}', '{payload}')"
+    )
 #: role-auth DDL [PK `auth/CassandraRoleManager.java`,
 #: `cql3/statements/*RoleStatement.java`, `*PermissionsStatement.java`]
 _CREATE_ROLE = re.compile(
@@ -399,6 +451,18 @@ class CqlSession:
         self._grants: set[tuple[str, str, str]] = set()
         #: the authenticated role this session executes as
         self._principal: str = "cassandra"
+        #: CQL triggers [PK `triggers/TriggerExecutor.java`]: table →
+        #: {trigger_name: class_name}; class names resolve against the
+        #: process-level TRIGGER_CLASSES registry (the Spark twin of
+        #: Cassandra loading an ITrigger implementation from a jar).
+        self._triggers: dict[str, dict[str, str]] = {}
+        #: True while trigger-issued statements execute: augmented
+        #: mutations never re-fire triggers (Cassandra applies them
+        #: internally) and bypass client authorization
+        self._in_trigger: bool = False
+        #: monotonic id for trigger-maintained side-table rows (the batch
+        #: pinned-writetime makes _next_writetime non-unique inside BATCH)
+        self._trigger_seq: int = 0
         #: non-None while executing a BEGIN BATCH: the shared writetime
         self._pinned_wt: int | None = None
         #: table -> writetime of its last TRUNCATE: every cell (incl. the
@@ -513,6 +577,26 @@ class CqlSession:
         for c, v in row.items():
             if c not in key:
                 self._emit(tbl, key, c, v, wt, ttl, False)
+        self._fire_triggers(tbl, "INSERT", row)
+
+    def _fire_triggers(self, tbl: str, op: str, data: dict) -> None:
+        """Invoke every trigger registered on ``tbl`` with this mutation
+        [PK `triggers/TriggerExecutor.java`]: fired once per mutation
+        statement (BATCH sub-statements each fire — they route through
+        execute), in trigger-name order. Statements a trigger itself
+        executes run with ``_in_trigger`` set, so augmented mutations
+        never re-fire triggers (TriggerExecutor's rule) and are applied
+        internally, bypassing client authorization — exactly how
+        Cassandra applies trigger-produced mutations server-side."""
+        trig = self._triggers.get(tbl)
+        if not trig or self._in_trigger:
+            return
+        self._in_trigger = True
+        try:
+            for name in sorted(trig):
+                TRIGGER_CLASSES[trig[name]](self, tbl, op, dict(data))
+        finally:
+            self._in_trigger = False
 
     def _row_exists(self, tbl: str, key: dict) -> bool:
         df = self.snapshot(tbl)
@@ -618,6 +702,8 @@ class CqlSession:
         BATCH authorizes MODIFY on EVERY table it touches, and a SELECT
         authorizes EVERY ``FROM`` reference (r8 — closes the judge's
         first-table-only and qualified-name under-check gaps)."""
+        if self._in_trigger:  # trigger-augmented mutations apply internally
+            return
         s = self._blank_literals(s)
         targets: list[tuple[str, str]] = []  # (perm, possibly-qualified table)
         if re.match(r"^BEGIN\s+(?:UNLOGGED\s+|COUNTER\s+)?BATCH\b", s, re.IGNORECASE):
@@ -663,9 +749,15 @@ class CqlSession:
         - superusers bypass everything. The default ``cassandra``
           principal is a superuser, so un-authenticated embedded use is
           unaffected."""
-        if self._is_super():
+        if self._is_super() or self._in_trigger:
             return
         s = self._blank_literals(s)
+        # trigger DDL is superuser-only in Cassandra (a trigger runs
+        # arbitrary server-side code, so no verb grant can authorize it)
+        if re.match(r"^\s*(?:CREATE|DROP)\s+TRIGGER\b", s, re.IGNORECASE):
+            raise Unauthorized(
+                f"role {self._principal} must be a superuser to manage triggers"
+            )
         m = _GRANT_ROLE.match(s)
         if m:
             granted = m.group("granted").upper()
@@ -929,6 +1021,32 @@ class CqlSession:
                 self._pinned_wt = None
             return None
 
+        m = _CREATE_TRIGGER.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            self._keys(tbl)  # unknown table raises
+            cls = m.group("cls")
+            if cls not in TRIGGER_CLASSES:
+                raise InvalidRequest(
+                    f"trigger class '{cls}' not found (register it via "
+                    "register_trigger_class)"
+                )
+            name = m.group("name").lower()
+            if name in self._triggers.get(tbl, {}) and not m.group("ine"):
+                raise InvalidRequest(f"trigger {name} already exists on {tbl}")
+            self._triggers.setdefault(tbl, {})[name] = cls
+            return None
+        m = _DROP_TRIGGER.match(s)
+        if m:
+            tbl = m.group("table").lower()
+            name = m.group("name").lower()
+            if name not in self._triggers.get(tbl, {}):
+                if m.group("ine"):
+                    return None
+                raise InvalidRequest(f"unknown trigger {name} on {tbl}")
+            del self._triggers[tbl][name]
+            return None
+
         m = _CREATE_MV.match(s)
         if m:
             return self._create_mv(m)
@@ -993,6 +1111,7 @@ class CqlSession:
                 del self._created[tbl]
                 self._cells.pop(tbl, None)
                 self._indexed.pop(tbl, None)
+                self._triggers.pop(tbl, None)  # triggers drop with the table
                 return None
             if tbl in TABLE_KEYS:
                 raise InvalidRequest(f"cannot drop catalog table {tbl}")
@@ -1133,6 +1252,7 @@ class CqlSession:
                 raise InvalidRequest(f"unknown table {tbl}")
             key = self._key_of(tbl, m.group("where"))
             wt = wts if wts is not None else self._next_writetime()
+            written = dict(key)
             for part in _split_top_level(m.group("sets")):
                 sm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
                 if not sm:
@@ -1163,6 +1283,8 @@ class CqlSession:
                     value = _literal(rhs)
                 # UPDATE writes cells only — deliberately NO row marker
                 self._emit(tbl, key, col, value, wt, ttl, False)
+                written[col] = value
+            self._fire_triggers(tbl, "UPDATE", written)
             return None
         m = _DELETE.match(s)
         if m:
@@ -1180,6 +1302,7 @@ class CqlSession:
                     self._emit(tbl, key, c, None, wt, None, True)
             else:  # row tombstone
                 self._emit(tbl, key, ROW_TOMBSTONE, None, wt, None, True)
+            self._fire_triggers(tbl, "DELETE", key)
             return None
 
         out = self._auth_ddl(s)
@@ -1621,6 +1744,7 @@ class CqlSession:
         "aggregates": (("keyspace_name",), ("aggregate_name",)),
         "local": (("key",), ()),
         "peers": (("peer",), ()),
+        "triggers": (("keyspace_name",), ("table_name", "trigger_name")),
     }
 
     def _all_tables(self) -> dict[str, list[tuple[str, str, tuple, tuple]]]:
@@ -1678,6 +1802,18 @@ class CqlSession:
             return self.spark.createDataFrame(
                 rows,
                 "keyspace_name STRING, view_name STRING, base_table_name STRING",
+            )
+        if which == "triggers":
+            # Cassandra's layout: options is a frozen map carrying 'class'
+            rows = [
+                (ks, tbl, name, {"class": cls})
+                for tbl, trig in sorted(self._triggers.items())
+                for name, cls in sorted(trig.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, table_name STRING, "
+                "trigger_name STRING, options MAP<STRING, STRING>",
             )
         if which == "types":
             rows = [

@@ -1860,14 +1860,17 @@ def _bpe_encode_oracle() -> str:
 
 
 def _bpe_char_seq(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, seq): each document's cleaned 80-char prefix as a
-    character array — the shared tokenizer input for training (d5w) and
-    encoding (d5x)."""
+    """(doc_id, source, lang, seq): each document's cleaned 80-char prefix
+    as a character array — the shared tokenizer input for training (d5w),
+    encoding (d5x) and token-budget packing (d13f). Catalyst prunes the
+    id columns a consumer doesn't read, so training pays nothing for
+    them."""
     clean = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), 1, 80
     )
-    return docs.select("doc_id", "lang", clean.alias("s")).select(
+    return docs.select("doc_id", "source", "lang", clean.alias("s")).select(
         "doc_id",
+        "source",
         "lang",
         F.expr(
             "CASE WHEN length(s) >= 1 THEN "
@@ -1875,6 +1878,14 @@ def _bpe_char_seq(docs: DataFrame) -> DataFrame:
             "ELSE CAST(array() AS array<string>) END"
         ).alias("seq"),
     )
+
+
+def _bpe_apply_merges(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Chain the trained merges over ``df.seq`` in training order — one
+    pure-JVM expression tree, zero Python, zero shuffle."""
+    for left, right in merges:
+        df = df.withColumn("seq", F.expr(_bpe_merge_expr(left, right)))
+    return df
 
 
 def _bpe_merge_expr(left: str, right: str) -> str:
@@ -1983,11 +1994,12 @@ def _bpe_encode_report(
 ) -> DataFrame:
     """Apply ``merges`` in training order to the corpus and report the
     per-language artifact: doc/char/token counts and compression ppm."""
-    df = _bpe_char_seq(table(spark, sf_dir, "documents")).withColumn(
-        "n_ch", F.size("seq")
+    df = _bpe_apply_merges(
+        _bpe_char_seq(table(spark, sf_dir, "documents")).withColumn(
+            "n_ch", F.size("seq")
+        ),
+        merges,
     )
-    for left, right in merges:
-        df = df.withColumn("seq", F.expr(_bpe_merge_expr(left, right)))
     return (
         df.groupBy("lang")
         .agg(

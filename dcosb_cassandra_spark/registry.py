@@ -116,6 +116,7 @@ _DRIVER_WINDOW = (
     # r3-vintage names hold the slots until then.)
     "d5x_bpe_encode_corpus",
     "c6d_state_ttl_replay",
+    "d13f_bpe_budget_packing",
     # r1-vintage regrades (stalest — last graded round 1)
     "a25_lwt_insert_if_not_exists",
     "a26_materialized_view",
@@ -153,7 +154,6 @@ _DRIVER_WINDOW = (
     "c3_session_window",
     "c4_watermark_filter",
     "c5_stream_dedup",
-    "d1_exact_dedup_keep_min",
     "d3b_batch_knn_per_label",
     "d4b_centroid_assignment",
     "d5_quality_scores",
