@@ -103,6 +103,10 @@ ROWS = [
     ("D48", "Split leakage repair (added r5)"),
     ("D49", "Embedding drift monitor (added r5)"),
     ("D50", "Quality drift monitor (added r5)"),
+    ("D2b", "Incremental near-dup dedup — daily-ingest posture (added r8)"),
+    ("D20b", "BPE tokenizer training loop (added r8)"),
+    ("D20c", "Tokenizer encode pass — vocab build/serve split (added r9)"),
+    ("D38b", "IVF-PQ serving capstone (added r8)"),
     ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
     ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
     ("V3", "Dynamic data masking (C* 5.0)"),

@@ -65,6 +65,15 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else ".tmp/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # --perturb-docs: suffix every documents token with the copy index, so
+    # copies are NOT near-duplicates of each other and the corpus-wide dup
+    # RATE stays the 1x corpus's natural rate as N grows — the regime a
+    # real crawl replays and the one where dedup scaling is corpus-linear.
+    # Without it, every doc gains N-1 exact copies: the dedup candidate
+    # stream grows ~N per probe doc (~N² total), a 100%-duplication stress
+    # test, not a scale test (measured r9: d2o at the plain 100x replica
+    # ran >25 min where the perturbed one is corpus-linear).
+    perturb_docs = "--perturb-docs" in sys.argv
     spark = get_spark("scale-replica")
     os.makedirs(dst, exist_ok=True)
     strides = {
@@ -82,6 +91,10 @@ def main() -> None:
                     c = c.withColumn(
                         k,
                         (F.col(k) + F.lit(i * strides[space])).cast(dict(df.dtypes)[k]),
+                    )
+                if perturb_docs and t == "documents" and i > 0:
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
                     )
                 copies.append(c)
             out = copies[0]

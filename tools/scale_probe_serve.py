@@ -27,7 +27,11 @@ from dcosb_cassandra_spark.registry import REGISTRY, load_all
 from dcosb_cassandra_spark.session import get_spark
 
 
-def timed(fn, runs: int = 3) -> float:
+RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))
+ONLY = os.environ.get("SCALE_PROBE_ONLY", "")  # "scaled" skips the 1x side
+
+
+def timed(fn, runs: int = RUNS) -> float:
     fn()  # warm-up
     ts = []
     for _ in range(runs):
@@ -47,8 +51,11 @@ def main() -> None:
     from dcosb_cassandra_spark.operators.llm_similarity import ivf_index_dir
     from dcosb_cassandra_spark.sources.maintenance import build_band_index
 
-    for sf_dir, tag in ((base, "1x"), (scaled, os.path.basename(scaled))):
-        print(f"== {tag}: {sf_dir}")
+    targets = [(base, "1x"), (scaled, os.path.basename(scaled))]
+    if ONLY == "scaled":
+        targets = targets[1:]
+    for sf_dir, tag in targets:
+        print(f"== {tag}: {sf_dir}", flush=True)
         # -- index builds (ingest-time, one-shot; testdata is read-only,
         # so indexes land under .tmp) --
         t0 = time.perf_counter()
@@ -57,12 +64,12 @@ def main() -> None:
         t0 = time.perf_counter()
         ivf_dir = ivf_index_dir(spark, sf_dir)
         t_ivf = time.perf_counter() - t0
-        print(f"build: band_index {t_band:.2f}s  ivf_index {t_ivf:.2f}s")
+        print(f"build: band_index {t_band:.2f}s  ivf_index {t_ivf:.2f}s", flush=True)
 
         # -- serve probes (median-of-3 warm) --
         d2o = timed(lambda: incremental_dedup_probe(spark, sf_dir, band_dir).toPandas())
         d8g = timed(lambda: REGISTRY["d8g_ivfpq_search"].fn(spark, sf_dir).toPandas())
-        print(f"serve: d2o_probe {d2o}s  d8g_ivfpq {d8g}s")
+        print(f"serve: d2o_probe {d2o}s  d8g_ivfpq {d8g}s", flush=True)
 
         # -- 2-wide concurrent serve wall --
         def conc() -> None:
@@ -81,7 +88,7 @@ def main() -> None:
                     )
                 )
 
-        print(f"concurrent serve wall: {timed(conc)}s")
+        print(f"concurrent serve wall: {timed(conc)}s", flush=True)
     spark.stop()
 
 
