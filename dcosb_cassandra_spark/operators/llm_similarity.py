@@ -1933,3 +1933,102 @@ def d8g_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "nbr_id", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+@query(
+    "d8h_binary_hamming_knn",
+    oracle="""
+        -- independent derivation of 1-bit (sign) embedding quantization
+        -- + Hamming kNN: each 64-dim vector packs to two 32-bit words
+        -- (strict > 0 sign test — raw float comparison, no arithmetic,
+        -- so cross-engine exact); distance = popcount(xor) summed over
+        -- the words; rank() ASC keeps ties on both engines.
+        WITH ve AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 33), i ->
+                       CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                            ELSE 0 END)) AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(range(33, 65), i ->
+                       CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                            ELSE 0 END)) AS BIGINT) AS hi
+            FROM embeddings
+        ),
+        s AS (
+            SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                   CAST(bit_count(xor(q.lo, c.lo))
+                        + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+            FROM ve q CROSS JOIN ve c
+            WHERE q.vec_id < 5 AND c.vec_id >= 5
+        )
+        SELECT qid, vec_id, hamming, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT qid, vec_id, hamming,
+                   rank() OVER (PARTITION BY qid ORDER BY hamming ASC) AS rk
+            FROM s
+        ) WHERE rk <= 3
+    """,
+    tags=("D8", "D4", "P1"),
+)
+def d8h_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT binary embedding quantization + Hamming kNN (the hyperplane-
+    LSH / binary-embedding serving shape, Charikar 2002 [public] — the
+    extreme point of the d8b→d8f→d38 compression family): each vector
+    keeps only its coordinate SIGNS, packed into two 32-bit words (8
+    bytes per 64-dim vector, a 32× cut vs float32), and kNN scores with
+    popcount(xor) — for unit-normalized embeddings Hamming distance is a
+    monotone proxy for angular distance.
+
+    Scale shape: packing is a narrow whole-stage-codegen projection (two
+    bitwise folds, corpus never shuffles); the 5-query batch broadcasts
+    (key-bounded); the distance is TWO JVM popcounts per pair — no
+    arrays survive past the pack, so the serving working set is 16
+    bytes/vector + ids. Ranking uses the two-phase recipe (a plain
+    PARTITION BY qid window would funnel the corpus through 5 tasks).
+    Two 32-bit halves rather than one 64-bit word keep every packed
+    value positive — no sign-bit/overflow divergence between engines
+    (Spark ANSI vs DuckDB HUGEINT)."""
+    from .windows import two_phase_ranking
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+
+    def pack(lo_bit: int, hi_bit: int, base: int) -> str:
+        return (
+            f"aggregate(sequence({lo_bit}, {hi_bit}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc | IF(element_at(ve, i) > 0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i - {base}), CAST(0 AS BIGINT)))"
+        )
+
+    packed = e.select(
+        "vec_id",
+        F.expr(pack(1, 32, 1)).alias("lo"),
+        F.expr(pack(33, 64, 33)).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    c = packed.filter(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        # sim = matching bits: rank DESC on sim == rank ASC on hamming
+        (
+            F.lit(64) - F.expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")
+        ).cast("long").alias("sim"),
+    )
+    ranked = two_phase_ranking(
+        scored,
+        part_col="qid",
+        val_col="sim",
+        id_col="vec_id",
+        bucket=F.floor(F.col("sim") / F.lit(8)),
+        ntile_k=4,
+    )
+    top = ranked.filter(F.col("rk") <= 3).select("qid", "vec_id", "rk")
+    return top.join(scored, ["qid", "vec_id"]).select(
+        "qid",
+        "vec_id",
+        (F.lit(64) - F.col("sim")).cast("long").alias("hamming"),
+        F.col("rk").cast("long").alias("rk"),
+    )

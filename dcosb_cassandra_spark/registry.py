@@ -117,6 +117,7 @@ _DRIVER_WINDOW = (
     "d5x_bpe_encode_corpus",
     "c6d_state_ttl_replay",
     "d13f_bpe_budget_packing",
+    "d8h_binary_hamming_knn",
     # r1-vintage regrades (stalest — last graded round 1)
     "a25_lwt_insert_if_not_exists",
     "a26_materialized_view",
@@ -140,7 +141,6 @@ _DRIVER_WINDOW = (
     "b03b_full_outer_join",
     "b05_range_band_join",
     "b06_asof_join",
-    "b07_cross_join",
     "b08_self_join",
     "b13_ranking_suite",
     "b14_lag_lead",
