@@ -2074,3 +2074,72 @@ def d5x_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal merge list baked into the expression tree."""
     merges = [(l, r) for (_, l, r, _, _) in _train_bpe(spark, sf_dir)]
     return _bpe_encode_report(spark, sf_dir, merges)
+
+
+def _vocab_coverage_oracle() -> str:
+    n = _BPE_ROUNDS + 1
+    return f"""
+        {_bpe_layer_ctes()},
+        m AS (
+            SELECT doc_id, count(*) AS n_tok,
+                   sum(CASE WHEN length(sym) > 1 THEN 1 ELSE 0 END) AS n_mrg
+            FROM tok{n} GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.source, coalesce(m.n_tok, 0) AS n_tok,
+                   coalesce(m.n_mrg, 0) AS n_mrg
+            FROM documents d LEFT JOIN m USING (doc_id)
+        )
+        SELECT source,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_mrg) AS BIGINT) AS n_merged,
+               CAST(CASE WHEN sum(n_tok) > 0
+                         THEN 1000000 * sum(n_mrg) // sum(n_tok)
+                         ELSE 0 END AS BIGINT) AS merged_ppm
+        FROM j GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "d5y_vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    tags=("D20c", "D5", "P1"),
+)
+def d5y_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer VOCAB-COVERAGE evaluation (r9, completing the d5w→d5x
+    serve chain): per source domain, how much of the encoded corpus the
+    trained merges actually cover — total tokens, tokens that are MERGED
+    (multi-char) vocab entries, and the merged share in ppm. The eval a
+    tokenizer team reads before shipping a vocab: a domain with a low
+    merged share is under-served by the training corpus (its token
+    budgets inflate, d13f packs fewer docs per sequence).
+
+    Scale shape: no explode anywhere — per-doc token and merged counts
+    are pure-JVM `size`/`filter` over the rewritten array, then a
+    4-group hash aggregate; the only shuffle is the source rollup.
+    Training amortizes to zero (memoized / materialized vocab)."""
+    merges = [(l, r) for (_, l, r, _, _) in _train_bpe(spark, sf_dir)]
+    enc = _bpe_apply_merges(
+        _bpe_char_seq(table(spark, sf_dir, "documents")), merges
+    ).select(
+        "source",
+        F.size("seq").alias("n_tok"),
+        F.expr("size(filter(seq, x -> length(x) > 1))").alias("n_mrg"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_mrg").alias("n_merged"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_merged",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN 1000000 * n_merged div n_tokens "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("merged_ppm"),
+        )
+        .orderBy("source")
+    )
