@@ -1533,3 +1533,91 @@ def d7p_png_hand_inflate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sq long, first_px int, last_px int"
         ),
     )
+
+
+@query(
+    "d7q_bmp_decode",
+    oracle="""
+        -- independent derivation of the BMP decode: pixel p of each
+        -- doc's 16-wide image is BUILT as (digest_byte(p%16) + 41*row)
+        -- % 256, so the oracle reads the expected luminance straight
+        -- from the digest while the graded path must round-trip those
+        -- pixels through a REAL 8-bit palettized BMP — bottom-up row
+        -- order, 4-byte row padding, BGRA palette. A decoder that skips
+        -- the flip, miscounts the pad or reads RGB order mismatches on
+        -- the positional probes.
+        WITH px AS (
+          SELECT doc_id, h, p,
+                 (CAST(('0x' || substr(hh, (p % 16) * 2 + 1, 2))
+                       AS INTEGER) + (p // 16) * 41) % 256 AS x
+          FROM (SELECT doc_id, 5 + len(text) % 6 AS h, md5(text) AS hh,
+                       unnest(range(0, 16 * (5 + len(text) % 6))) AS p
+                FROM documents)
+        )
+        SELECT doc_id,
+               CAST(16 AS INT) AS width,
+               CAST(max(h) AS INT) AS height,
+               CAST(sum(x) AS BIGINT) AS sum_lum,
+               CAST(sum(x * x) AS BIGINT) AS sum_sq,
+               CAST(max(x) AS INT) AS peak,
+               CAST(arg_min(x, p) AS INT) AS first_px,
+               CAST(arg_max(x, p) AS INT) AS last_px
+        FROM px GROUP BY doc_id
+    """,
+    tags=("D7", "A33", "P2"),
+)
+def d7q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP (Windows DIB) image decode, graded end-to-end (r9 — the sixth
+    real container in the codec library): each document renders as an
+    8-bit palettized BMP (digest-derived grayscale, 16xH) and the graded
+    path must validate both headers, walk the BGRA palette, strip the
+    4-byte row padding and RE-FLIP the bottom-up rows. The positional
+    probes (first/last pixel) are what catch a missing flip — sum/peak
+    are row-order-blind, first_px is not.
+
+    Scale shape: ONE fused mapInPandas (the d7m r9 shape — encoded bytes
+    never cross Arrow between stages), zero shuffles, per-doc
+    aggregation inside the stage."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import bmp_decode, bmp_encode_gray, multimodal_frame
+
+    def render_decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for batch in frames:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "sum_lum": [],
+                "sum_sq": [], "peak": [], "first_px": [], "last_px": [],
+            }
+            for doc_id, b in zip(batch["doc_id"], batch["payload"]):
+                n = len(b.decode("utf-8"))
+                bh = 5 + n % 6
+                dg = np.frombuffer(hashlib.md5(b).digest(), dtype=np.uint8)
+                px = (
+                    dg[None, :] + (41 * np.arange(bh, dtype=np.uint8))[:, None]
+                ).tobytes()
+                bmp = bmp_encode_gray(px, 16, bh)
+                w, h, rgb = bmp_decode(bmp)
+                tri = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                assert (tri == tri[:, :1]).all(), "grayscale palette violated"
+                lum = tri[:, 0].astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_lum"].append(int(lum.sum()))
+                rows["sum_sq"].append(int((lum * lum).sum()))
+                rows["peak"].append(int(lum.max()))
+                rows["first_px"].append(int(lum[0]))
+                rows["last_px"].append(int(lum[-1]))
+            yield pd.DataFrame(rows)
+
+    return multimodal_frame(spark, sf_dir).mapInPandas(
+        render_decode,
+        schema=(
+            "doc_id long, width int, height int, sum_lum long, "
+            "sum_sq long, peak int, first_px int, last_px int"
+        ),
+    )

@@ -119,6 +119,7 @@ _DRIVER_WINDOW = (
     "d13f_bpe_budget_packing",
     "d8h_binary_hamming_knn",
     "d5y_vocab_coverage",
+    "d7q_bmp_decode",
     # r1-vintage regrades (stalest — last graded round 1)
     "a25_lwt_insert_if_not_exists",
     "a26_materialized_view",
@@ -141,7 +142,6 @@ _DRIVER_WINDOW = (
     "b03_left_outer_join",
     "b03b_full_outer_join",
     "b05_range_band_join",
-    "b06_asof_join",
     "b13_ranking_suite",
     "b14_lag_lead",
     "b14b_nth_value",

@@ -2138,3 +2138,90 @@ def inflate(data: bytes) -> bytes:
     if _z.adler32(bytes(out)) & 0xFFFFFFFF != want:
         raise ValueError("Adler-32 mismatch")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB, 8-bit palettized [PK: the public BITMAPFILEHEADER/
+# BITMAPINFOHEADER layout]): the simplest mainstream raster container —
+# no compression layer, but three classic decoder traps: rows are stored
+# BOTTOM-UP, every row pads to a 4-byte boundary, and the palette is
+# BGRA (blue first, trailing reserved byte). An encoder/decoder pair
+# that gets any of the three wrong produces plausibly-sized garbage.
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER_BYTES = 14 + 40 + 256 * 4  # file header + BITMAPINFOHEADER + palette
+
+
+def bmp_encode_gray(pixels, width: int, height: int) -> bytes:
+    """Valid 8-bit palettized BMP: BITMAPFILEHEADER, BITMAPINFOHEADER,
+    256-entry grayscale BGRA palette, bottom-up rows padded to 4 bytes.
+    ``pixels`` is row-major TOP-DOWN bytes (index == luminance)."""
+    import struct
+
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    stride = (width + 3) & ~3
+    img_size = stride * height
+    out = bytearray()
+    out += struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_BYTES + img_size, 0, 0, _BMP_HEADER_BYTES
+    )
+    # biHeight > 0 declares bottom-up storage (the near-universal form)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, img_size, 2835, 2835, 256, 0
+    )
+    for i in range(256):  # BGRA grayscale ramp
+        out += bytes((i, i, i, 0))
+    pad = b"\x00" * (stride - width)
+    for r in range(height - 1, -1, -1):  # bottom-up
+        out += px[r * width : (r + 1) * width] + pad
+    return bytes(out)
+
+
+def bmp_decode(data: bytes):
+    """REAL BMP decode: validates the 'BM' magic and both header sizes,
+    walks the palette, un-pads and re-flips the bottom-up rows (top-down
+    negative biHeight also handled), maps indices through the BGRA
+    palette. Only the 8-bit uncompressed form is implemented — anything
+    else raises ValueError (the d7o quarantine posture). Returns
+    (width, height, rgb bytes row-major top-down)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    if len(data) < 54:
+        raise ValueError("BMP headers truncated")
+    _magic, fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+    bi_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bi_size < 40:
+        raise ValueError(f"unsupported DIB header size {bi_size}")
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if bpp != 8 or comp != 0:
+        raise ValueError(f"only 8-bit uncompressed BMP supported (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("BMP dimensions invalid")
+    n_colors = struct.unpack_from("<I", data, 14 + 32)[0] or 256
+    pal_off = 14 + bi_size
+    pal_end = pal_off + 4 * n_colors
+    if pal_end > len(data) or off < pal_end:
+        raise ValueError("BMP palette truncated or overlaps pixel data")
+    pal = np.frombuffer(data[pal_off:pal_end], dtype=np.uint8).reshape(-1, 4)
+    stride = (w + 3) & ~3
+    if off + stride * h > len(data):
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(data[off : off + stride * h], dtype=np.uint8).reshape(
+        h, stride
+    )[:, :w]
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up: flip to top-down
+    if int(rows.max(initial=0)) >= len(pal):
+        raise ValueError("BMP pixel index exceeds palette")
+    # palette is BGRA: reorder to RGB on the way out
+    rgb = pal[rows.reshape(-1)][:, [2, 1, 0]].tobytes()
+    return w, h, rgb

@@ -100,6 +100,8 @@ def test_adpcm_encode_decode_agree_on_state_walk(pcm, idx0):
 # ---------------------------------------------------------------------------
 
 from dcosb_cassandra_spark.sources.multimodal import (  # noqa: E402
+    bmp_decode,
+    bmp_encode_gray,
     gif_decode,
     gif_encode_gray,
     jpeg_decode_pixels,
@@ -114,7 +116,7 @@ from dcosb_cassandra_spark.sources.multimodal import (  # noqa: E402
 )
 
 _PARSERS = (png_decode, jpeg_decode_pixels, gif_decode,
-            wav_decode_samples, mp4_parse_meta)
+            wav_decode_samples, mp4_parse_meta, bmp_decode)
 
 
 def _real_files():
@@ -125,6 +127,7 @@ def _real_files():
         gif_encode_gray(px, 8, 6),
         wav_encode_mulaw(mulaw_encode(np.arange(-20, 28, dtype=np.int16)), 8000),
         mp4_encode_container(90, 30, 64, 48, [10, 20, 30]),
+        bmp_encode_gray(px, 8, 6),
     ]
 
 
@@ -140,7 +143,7 @@ def test_parsers_total_on_garbage(data):
 
 @settings(max_examples=150, deadline=None)
 @given(
-    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=5),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=255),
 )
@@ -157,7 +160,7 @@ def test_parsers_total_on_bit_flipped_real_files(which, pos, xor):
 
 @settings(max_examples=150, deadline=None)
 @given(
-    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=5),
     st.integers(min_value=0, max_value=10_000),
 )
 def test_parsers_total_on_truncations(which, cut):
@@ -208,3 +211,40 @@ def test_inflate_rejects_corruption():
         inflate(b"\x78\x00" + blob[2:])  # FCHECK broken
     with pytest.raises(ValueError, match="not a DEFLATE"):
         inflate(b"\x42\x42" + blob[2:])
+
+
+# ---------------------------------------------------------------------------
+# BMP (8-bit palettized DIB): round-trip across widths that exercise the
+# 4-byte row padding (w%4 in 0..3) plus explicit bottom-up/flip and
+# rejection paths.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_all_paddings(w, h, seed):
+    import random as _random
+
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    w2, h2, rgb = bmp_decode(bmp_encode_gray(px, w, h))
+    assert (w2, h2) == (w, h)
+    assert bytes(rgb[3 * i] for i in range(w * h)) == px
+    assert all(rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2] for i in range(w * h))
+
+
+def test_bmp_rejections():
+    good = bmp_encode_gray(bytes(range(48)), 8, 6)
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode(good[:-5])
+    # 24-bit / compressed forms are quarantined, not crashed
+    bad = bytearray(good)
+    bad[28] = 24  # biBitCount
+    with pytest.raises(ValueError, match="only 8-bit"):
+        bmp_decode(bytes(bad))
