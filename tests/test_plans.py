@@ -86,6 +86,11 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "<=5 rows at any SF (the d4d posture); the codebook is a "
         "collected k-row literal, not a broadcast join",
     ),
+    "d8h_binary_hamming_knn": (
+        {"embeddings", "bounded:embeddings"},
+        "broadcast side is the key-bounded query batch (vec_id < 5 — "
+        "<=5 rows of two packed 64-bit words at any SF, the d8f posture)",
+    ),
     "d8f_sq8_calibrated_dot": (
         {"embeddings", "bounded:embeddings"},
         "broadcast sides are the SQ8 calibration grid (global min/max "
