@@ -1434,3 +1434,11 @@ def test_trigger_fires_for_non_superuser_writer(sess):
     sess.execute("INSERT INTO logs2 (id, msg) VALUES (1, 'hello')")
     sess.login("cassandra")
     assert sess.execute("SELECT * FROM trigger_audit").count() == 1
+
+
+def test_triggers_drop_with_table(sess):
+    sess.execute("CREATE TABLE t_trig (id int PRIMARY KEY, v int)")
+    sess.execute("CREATE TRIGGER audit ON t_trig USING 'dcosb.AuditTrigger'")
+    assert sess.execute("SELECT * FROM system_schema.triggers").count() == 1
+    sess.execute("DROP TABLE t_trig")
+    assert sess.execute("SELECT * FROM system_schema.triggers").count() == 0
