@@ -1602,3 +1602,95 @@ def incremental_dedup_probe(
     )
     ts = spark.read.parquet(f"{index_dir}/toks").unionByName(_inc_token_sets(d))
     return _incremental_verdicts(cand, ts, d.select("doc_id"))
+
+
+@query(
+    "d2r_boilerplate_chunks",
+    oracle="""
+        -- independent derivation of chunk-level boilerplate detection:
+        -- non-overlapping 8-token chunks, a chunk is boilerplate when it
+        -- appears VERBATIM in >= 2 distinct documents; per-doc share in
+        -- ppm (integer floor division keeps the hash exact)
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, k * 8 + 1, k * 8 + 8), ' ')
+                       AS chunk
+            FROM (SELECT doc_id, ts, unnest(range(0, len(ts) // 8)) AS k
+                  FROM toks)
+        ),
+        freq AS (
+            SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+        ),
+        per AS (
+            SELECT c.doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS boiler_chunks
+            FROM chunks c JOIN freq f USING (chunk) GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(coalesce(p.boiler_chunks, 0) AS BIGINT) AS boiler_chunks,
+               CAST(CASE WHEN coalesce(p.n_chunks, 0) > 0
+                         THEN 1000000 * p.boiler_chunks // p.n_chunks
+                         ELSE 0 END AS BIGINT) AS boiler_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    tags=("D2c", "D2", "D16", "D27", "P1"),
+)
+def d2r_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level exact boilerplate detection (r9 — the curation stage
+    between d16's substring digests and d2b's doc-level near-dup: the
+    RefinedWeb/CCNet line-dedup shape at chunk granularity): split every
+    document into non-overlapping 8-token chunks; a chunk repeated
+    VERBATIM across >= 2 distinct documents is boilerplate (headers,
+    navigation, license blurbs); report each doc's boilerplate share.
+    Downstream, high-ppm docs are rewritten or dropped before training.
+
+    Scale shape: chunking is a guarded pure-JVM transform (the
+    sequence(0, n-1) DESCENDS when n == 0 — the empty-doc guard matters);
+    the frequency pass is ONE chunk-keyed shuffle with map-side partial
+    aggregation (count DISTINCT docs per chunk), and the join back to
+    chunk occurrences reuses that exchange (same key); the per-doc
+    rollup is doc-keyed. Chunk TEXT is the shuffle payload — at 100 TB
+    swap the chunk string for its 128-bit digest (the d16 trick) and the
+    plan is unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 8 THEN "
+                "transform(sequence(0, size(ts) div 8 - 1), "
+                "k -> array_join(slice(ts, k * 8 + 1, 8), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per = (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("boiler_chunks"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("boiler_chunks", F.lit(0)).cast("long").alias("boiler_chunks"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_chunks, 0) > 0 "
+                "THEN 1000000 * boiler_chunks div n_chunks "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("boiler_ppm"),
+        )
+    )

@@ -120,6 +120,7 @@ _DRIVER_WINDOW = (
     "d8h_binary_hamming_knn",
     "d5y_vocab_coverage",
     "d7q_bmp_decode",
+    "d2r_boilerplate_chunks",
     # r1-vintage regrades (stalest — last graded round 1)
     "a25_lwt_insert_if_not_exists",
     "a26_materialized_view",
@@ -150,7 +151,6 @@ _DRIVER_WINDOW = (
     "b22_explode_tokens",
     "b29_array_functions",
     "b30_map_functions",
-    "c2_sliding_window",
     "c3_session_window",
     "c4_watermark_filter",
     "c5_stream_dedup",

@@ -104,6 +104,7 @@ ROWS = [
     ("D49", "Embedding drift monitor (added r5)"),
     ("D50", "Quality drift monitor (added r5)"),
     ("D2b", "Incremental near-dup dedup — daily-ingest posture (added r8)"),
+    ("D2c", "Chunk-level boilerplate detection (added r9)"),
     ("D20b", "BPE tokenizer training loop (added r8)"),
     ("D20c", "Tokenizer encode pass — vocab build/serve split (added r9)"),
     ("D38b", "IVF-PQ serving capstone (added r8)"),
