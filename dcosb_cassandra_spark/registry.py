@@ -110,62 +110,71 @@ _OPERATOR_MODULES = (
 #: left-out r3 names are the heavy dedup/pipeline suite — equally stale,
 #: so the guard is indifferent; keeping the driver window cheap leaves
 #: headroom for first-gradings.
+#: Ninth rotation (r10): graded_history folded with r9's record (judge
+#: r9 task #1). Post-fold staleness: 18 names last graded r3 (the heavy
+#: dedup suite d2*/d1/d4/d5d-f/d6/d7b/d_pipeline + b06-b08/c2 — their
+#: FIRST driver regrade since round 3), 25 last graded r4 (the core
+#: join/agg/set-op pack), 50 last graded r5. The window takes all 18
+#: r3-vintage + all 25 r4-vintage names; the remaining 7 slots go to
+#: the round's NEW queries (never-graded, freshest-slots-first policy)
+#: with r5-vintage names holding any slot until a new query lands.
 _DRIVER_WINDOW = (
-    # r9 first-gradings (new this round) — never-graded names take the
-    # freshest slots per the r7 eviction policy. (Filled as each lands;
-    # r3-vintage names hold the slots until then.)
-    "d5x_bpe_encode_corpus",
-    "c6d_state_ttl_replay",
-    "d13f_bpe_budget_packing",
-    "d8h_binary_hamming_knn",
-    "d5y_vocab_coverage",
-    "d7q_bmp_decode",
-    "d2r_boilerplate_chunks",
-    # r1-vintage regrades (stalest — last graded round 1)
-    "a25_lwt_insert_if_not_exists",
-    "a26_materialized_view",
-    "a27_select_json",
-    "a28_from_json_typed",
-    "a29_time_functions",
-    "a31_blob_conversions",
-    "a32_arithmetic_ops",
-    "b25_string_functions",
-    "b26_date_functions",
-    "b27_math_functions",
-    "b28_conditional_functions",
-    # r3-vintage regrades (next-stalest — last graded round 3)
-    "a05_token_range_scan",
-    "a10_cast_types",
-    "a23_collection_mutations",
-    "a30_uuid_generation",
-    "a33_pandas_udf_scalar",
-    "a34_uda_geometric_mean",
-    "b03_left_outer_join",
-    "b03b_full_outer_join",
-    "b05_range_band_join",
-    "b13_ranking_suite",
-    "b14_lag_lead",
-    "b14b_nth_value",
-    "b15_frame_windows",
-    "b20_intersect_except",
-    "b22_explode_tokens",
-    "b29_array_functions",
-    "b30_map_functions",
-    "c3_session_window",
-    "c4_watermark_filter",
-    "c5_stream_dedup",
-    "d3b_batch_knn_per_label",
-    "d4b_centroid_assignment",
-    "d5_quality_scores",
-    "d5b_langid_heuristic",
-    "d5c_token_count_bpe",
-    "d7_multimodal_metadata",
-    "d8_vector_normalize",
-    "d8b_int8_quantization",
-    "t01_duration_arithmetic",
-    "t02_varint_decimal",
-    "t03_inet_functions",
-    "t04_udt_struct_navigation",
+    # r10 first-gradings (new this round) — never-graded names take the
+    # freshest slots per the r7 eviction policy; r5-vintage names hold
+    # the slots until each lands.
+    "d13_sequence_packing",
+    "d16_substring_dedup",
+    "d17_kmeans_lloyd",
+    "d1b_incremental_dedup",
+    "d2h_semdedup",
+    "d4d_ivf_probe_knn",
+    "v01_similarity_functions",
+    # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first
+    # driver evidence since round 3)
+    "b06_asof_join",
+    "b07_cross_join",
+    "b08_self_join",
+    "c2_sliding_window",
+    "d1_exact_dedup_keep_min",
+    "d2_minhash_signatures",
+    "d2b_minhash_lsh_pairs",
+    "d2c_blocked_jaccard_pairs",
+    "d2d_simhash_fingerprints",
+    "d2e_embedding_near_dup",
+    "d2f_dup_clusters",
+    "d4_knn_lsh_bucketed",
+    "d5d_fingerprint_dedup",
+    "d5e_tfidf_top_terms",
+    "d5f_document_chunking",
+    "d6_sentiment_lexicon",
+    "d7b_decode_pipeline",
+    "d_pipeline_end_to_end",
+    # r4-vintage regrades (next-stalest — core joins/aggs/set ops)
+    "b01_broadcast_join_dims",
+    "b02_shuffle_join_facts",
+    "b02b_salted_join",
+    "b04_semi_join",
+    "b09b_salted_aggregate",
+    "b09c_having",
+    "b09d_count_histogram",
+    "b11_approx_count_distinct",
+    "b12b_cube",
+    "b12c_grouping_sets",
+    "b16_multi_col_sort",
+    "b16b_null_ordering",
+    "b19_union_ops",
+    "b20b_multiset_ops",
+    "b21_correlated_subquery",
+    "b21b_scalar_subquery",
+    "b22b_posexplode",
+    "b23_pivot",
+    "b23b_unpivot",
+    "b24_sampling",
+    "b_arg_extremes",
+    "b_column_profile",
+    "b_moments",
+    "b_percentiles",
+    "b_string_agg",
 )
 
 
