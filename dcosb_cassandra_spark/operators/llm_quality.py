@@ -1,0 +1,272 @@
+"""Learned quality classifier (SURVEY.md §2 D5z — the FineWeb-Edu-shape
+stand-in): hashed char-trigram + lexical features, fixed-round full-batch
+gradient descent on a logistic-style objective, trained ON the corpus in
+the d17/d5w bounded-actions posture (weights = one (NF+2)-value collect per
+round), inference as pure-JVM expressions with the trained weights inlined
+as literals. The classifier score then drives d26-style md5-threshold
+subsampling, so the learned artifact flows downstream exactly like the BPE
+vocab does into d13f.
+
+Everything is FIXED-POINT integer arithmetic (the d5u recipe): features in
+ppm, weights in micro-units, and the sigmoid replaced by the rational
+squashing p = 1/2 + z/(2·(1+|z|)) evaluated as
+``500000 + z*500000 div (1e6 + abs(z))`` — integer-only (+, *, abs,
+truncating div, which Spark ``div`` and DuckDB ``//`` both implement as
+round-toward-zero, verified on negatives), so the whole 4-round training
+trajectory and every inference score is bit-identical across engines and
+summation orders by construction. p is monotone increasing in z, so the
+(p − y)·x gradient is the exact gradient of a convex surrogate loss
+∫(p(z) − y)dz, and full-batch GD at the pinned rate decreases it — the
+property test asserts the measured loss is monotone non-increasing.
+
+Scale shape: training touches only the bounded labeled subset
+(doc_id < _QC_TRAIN_MAX_ID — a production classifier trains on a small
+annotated sample) with one scan + one global (NF+2)-value aggregate per
+round; the model is NF+1 integers, memoized per corpus generation (the
+``_bigram_model``/``_codebook`` pattern) and inlined as literals, so
+inference over 100 TB is a map-only whole-stage-codegen pass with zero
+joins and zero Python — followed by one partial-aggregatable groupBy on
+the k-row source key. [public: Joulin et al. 2016 (fastText); Penedo et
+al. 2024 (FineWeb-Edu classifier-scored curation)]
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_QC_B = 8  # hashed char-trigram feature buckets
+_QC_NF = _QC_B + 3  # + distinct-trigram ppm, mean-token-len, bias
+_QC_ROUNDS = 4
+_QC_LR_DIV = 500_000  # step = -grad_sum div (n_train * _QC_LR_DIV)
+_QC_TRAIN_MAX_ID = 200  # bounded labeled subset (fixed size at every SF)
+_QC_THRESH = 500_000  # label: distinct-token ratio (ppm) >= this
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the shared semantics of
+    Spark ``div`` and DuckDB ``//`` (Python ``//`` floors, so it cannot
+    be used directly on negative gradients)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _qc_features(d: DataFrame) -> DataFrame:
+    """(doc_id, source, x: array<long>[_QC_NF] ppm features, y: long label).
+
+    Doc-local lambda expressions only (the d5v shape) — no explode, no
+    shuffle: trigram buckets hash via the first md5 byte (the d26/d14b
+    engine-stable idiom), counts via one transform + _QC_B filter passes
+    over the small int array (md5 runs ONCE per trigram)."""
+    ngs = "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    step1 = d.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(ngs).alias("ngs"),
+        F.expr("split(text, ' ')").alias("toks"),
+        (F.length("text") - 2).cast("long").alias("nng"),
+    )
+    step2 = step1.select(
+        "doc_id",
+        "source",
+        "text",
+        "ngs",
+        "toks",
+        "nng",
+        F.expr(
+            f"transform(ngs, g -> cast(conv(substring(md5(g), 1, 2), 16, 10) as int)"
+            f" % {_QC_B})"
+        ).alias("bks"),
+    )
+    feats = [
+        f"1000000L * size(filter(bks, b -> b = {j})) div nng" for j in range(_QC_B)
+    ]
+    feats.append("1000000L * size(array_distinct(ngs)) div nng")
+    feats.append("1000000L * length(text) div size(toks) div 10")
+    feats.append("1000000L")
+    return step2.select(
+        "doc_id",
+        "source",
+        F.expr("array(" + ", ".join(feats) + ")").alias("x"),
+        F.expr(
+            "case when 1000000L * size(array_distinct(toks)) div size(toks)"
+            f" >= {_QC_THRESH} then 1L else 0L end"
+        ).alias("y"),
+    )
+
+
+def _z_expr(w: list[int]) -> str:
+    """z (micro-units) from literal weights: one codegen'd dot product."""
+    terms = " + ".join(f"{w[j]}L * element_at(x, {j + 1})" for j in range(_QC_NF))
+    return f"({terms}) div 1000000L"
+
+
+#: (documents path, mtime) -> (weights list[int], per-round losses list[int])
+_QC_CACHE: dict[tuple, tuple[list, list]] = {}
+
+
+def _train_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[int]]:
+    """Fixed-round full-batch GD, memoized per corpus generation. Each
+    round is ONE bounded action: a global aggregate collecting the NF
+    gradient sums + n + the surrogate loss (NF+2 values). The update
+    w_j -= grad_j div (n * LR_DIV) runs driver-side in exact Python ints
+    with truncating division, mirroring the oracle's ``//``."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (path, os.stat(path).st_mtime_ns)
+    if key not in _QC_CACHE:
+        feats = _qc_features(table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") < _QC_TRAIN_MAX_ID
+        )
+        w = [0] * _QC_NF
+        losses: list[int] = []
+        for _ in range(_QC_ROUNDS):
+            scored = feats.select(
+                "x", "y", F.expr(_z_expr(w)).alias("z")
+            ).select(
+                "x",
+                F.expr(
+                    "500000L + z * 500000L div (1000000L + abs(z)) - 1000000L * y"
+                ).alias("err"),
+            )
+            aggs = [
+                F.expr(f"sum(err * element_at(x, {j + 1}))").alias(f"g{j}")
+                for j in range(_QC_NF)
+            ]
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            aggs.append(F.expr("sum(err * err)").alias("loss"))
+            row = scored.agg(*aggs).collect()[0]
+            losses.append(row["loss"])
+            w = [
+                w[j] - _tdiv(row[f"g{j}"], row["n"] * _QC_LR_DIV)
+                for j in range(_QC_NF)
+            ]
+        _QC_CACHE[key] = (w, losses)
+    return _QC_CACHE[key]
+
+
+def _qc_md5_byte_sql(arg: str) -> str:
+    """DuckDB: first md5 byte of ``arg`` as 0..255 (the d14b idiom)."""
+    return (
+        f"(instr('0123456789abcdef', substr(md5({arg}), 1, 1)) * 16"
+        f" + instr('0123456789abcdef', substr(md5({arg}), 2, 1)) - 17)"
+    )
+
+
+def _qc_oracle() -> str:
+    """Round-unrolled CTE chain (the d17/d5w recipe): the SAME fixed-point
+    trajectory — features, 4 GD rounds, inference, sampling — in pure SQL,
+    weights carried as a 1-row list between rounds."""
+    idx = range(1, _QC_NF + 1)
+    bucket_feats = ",\n              ".join(
+        f"1000000::BIGINT * len(list_filter(bks, b -> b = {j})) // nng"
+        for j in range(_QC_B)
+    )
+    rounds = []
+    for r in range(1, _QC_ROUNDS + 1):
+        grads = ", ".join(f"sum(err * x[{j}]) AS g{j}" for j in idx)
+        newx = ", ".join(f"w.w[{j}] - g.g{j} // (g.n * {_QC_LR_DIV})" for j in idx)
+        rounds.append(
+            f"""
+        e{r} AS (
+            SELECT y, x,
+                   500000 + (z * 500000) // (1000000 + abs(z)) - 1000000 * y AS err
+            FROM (SELECT y, x,
+                         list_sum(list_transform(range(1, {_QC_NF + 1}),
+                             j -> w.w[j] * x[j])) // 1000000 AS z
+                  FROM feat, w{r - 1} w WHERE doc_id < {_QC_TRAIN_MAX_ID})
+        ),
+        g{r} AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, {grads} FROM e{r}
+        ),
+        w{r} AS (SELECT list_value({newx}) AS w FROM w{r - 1} w, g{r} g)"""
+        )
+    zeros = ", ".join("0::BIGINT" for _ in idx)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   list_transform(range(1, length(text) - 1),
+                                  i -> substr(text, CAST(i AS INT), 3)) AS ngs,
+                   string_split(text, ' ') AS toks,
+                   CAST(length(text) - 2 AS BIGINT) AS nng
+            FROM documents WHERE length(text) >= 3
+        ),
+        feat AS (
+            SELECT doc_id, source,
+              list_value(
+              {bucket_feats},
+              1000000::BIGINT * len(list_distinct(ngs)) // nng,
+              1000000::BIGINT * length(text) // len(toks) // 10,
+              1000000::BIGINT) AS x,
+              CASE WHEN 1000000::BIGINT * len(list_distinct(toks)) // len(toks)
+                        >= {_QC_THRESH} THEN 1 ELSE 0 END AS y
+            FROM (SELECT doc_id, source, text, toks, nng, ngs,
+                         list_transform(ngs,
+                             g -> {_qc_md5_byte_sql('g')} % {_QC_B}) AS bks
+                  FROM base)
+        ),
+        w0 AS (SELECT list_value({zeros}) AS w),
+        {",".join(rounds)},
+        scored AS (
+            SELECT doc_id, source, y,
+                   500000 + (z * 500000) // (1000000 + abs(z)) AS p,
+                   {_qc_md5_byte_sql("CAST(doc_id AS VARCHAR)")} AS hb
+            FROM (SELECT doc_id, source, y,
+                         list_sum(list_transform(range(1, {_QC_NF + 1}),
+                             j -> w.w[j] * x[j])) // 1000000 AS z
+                  FROM feat, w{_QC_ROUNDS} w)
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (WHERE hb < (256 * p) // 1000000)
+                    AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE (p >= 500000) = (y = 1))
+                    AS BIGINT) AS n_correct,
+               CAST(sum(p) // count(*) AS BIGINT) AS mean_score_ppm
+        FROM scored GROUP BY source
+    """
+
+
+@query("d5z_quality_classifier", oracle=_qc_oracle(), tags=("D5z", "D5", "D26", "P1"))
+def d5z_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier end-to-end: train (4 GD rounds on the
+    bounded labeled subset, memoized), score EVERY document with the
+    trained weights as inlined literals (map-only, zero shuffle), then
+    subsample with the d26 md5-byte threshold driven by the LEARNED score
+    (keep iff first-md5-byte(doc_id) < 256·p). Reported per source:
+    label prevalence, kept counts, classifier accuracy against the label
+    rule, and the mean score — all exact integers, so the full
+    train→infer→sample chain is hash-checked, not rows-only.
+
+    The oracle replays the identical trajectory as a round-unrolled CTE
+    chain (the d17/d5w recipe) — the iterative training itself is graded,
+    not just the final artifact."""
+    w, _ = _train_quality_classifier(spark, sf_dir)
+    feats = _qc_features(table(spark, sf_dir, "documents"))
+    scored = feats.select(
+        "doc_id", "source", "y", F.expr(_z_expr(w)).alias("z")
+    ).select(
+        "source",
+        "y",
+        F.expr("500000L + z * 500000L div (1000000L + abs(z))").alias("p"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("hb"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_pos"),
+        F.count(F.when(F.col("hb") < F.expr("(256 * p) div 1000000"), 1)).alias(
+            "n_kept"
+        ),
+        F.count(F.when(F.expr("(p >= 500000) = (y = 1)"), 1)).alias("n_correct"),
+        F.expr("sum(p) div count(1)").alias("mean_score_ppm"),
+    )

@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "dcosb_cassandra_spark.operators.llm_text",
     "dcosb_cassandra_spark.operators.llm_multimodal",
     "dcosb_cassandra_spark.operators.llm_packing",
+    "dcosb_cassandra_spark.operators.llm_quality",
     "dcosb_cassandra_spark.operators.llm_corpus",
     "dcosb_cassandra_spark.operators.extras",
     "dcosb_cassandra_spark.operators.stats",
@@ -122,7 +123,7 @@ _DRIVER_WINDOW = (
     # r10 first-gradings (new this round) — never-graded names take the
     # freshest slots per the r7 eviction policy; r5-vintage names hold
     # the slots until each lands.
-    "d13_sequence_packing",
+    "d5z_quality_classifier",
     "d16_substring_dedup",
     "d17_kmeans_lloyd",
     "d1b_incremental_dedup",
