@@ -1621,3 +1621,196 @@ def d7q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sq long, peak int, first_px int, last_px int"
         ),
     )
+
+
+#: joint-budget units for interleaved record assembly: one text token =
+#: 1 unit; one image = _MM_IMG_UNITS (the patch-token cost a multimodal
+#: trainer charges per image slot); one record holds _MM_REC_BUDGET units.
+_MM_IMG_UNITS = 32
+_MM_REC_BUDGET = 256
+
+_MM_MD5_BYTE_SQL = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16"
+    " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 17)"
+)
+
+
+def _mm_interleave_oracle() -> str:
+    """Round-for-round CTE twin of the d7r fold: deterministic media
+    attachment, doc-local segment manifests, then the recursive next-fit
+    state machine (the d13d recipe) and per-record rollups."""
+    u, b = _MM_IMG_UNITS, _MM_REC_BUDGET
+    return f"""
+        WITH RECURSIVE segs AS (
+            SELECT source, lang, doc_id, m, n,
+                   least(n + m * {u}, {b}) AS units,
+                   CASE m
+                     WHEN 0 THEN 't:' || n
+                     WHEN 1 THEN 't:' || (n // 2)
+                          || '|i:' || md5(CAST(doc_id AS VARCHAR) || ':1')
+                          || '|t:' || (n - n // 2)
+                     ELSE 't:' || (n // 3)
+                          || '|i:' || md5(CAST(doc_id AS VARCHAR) || ':1')
+                          || '|t:' || (2 * n // 3 - n // 3)
+                          || '|i:' || md5(CAST(doc_id AS VARCHAR) || ':2')
+                          || '|t:' || (n - 2 * n // 3)
+                   END AS seg_str,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY doc_id) AS rn
+            FROM (SELECT source, lang, doc_id,
+                         {_MM_MD5_BYTE_SQL} % 3 AS m,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                  FROM documents)
+        ),
+        state(source, lang, rn, rec_id, rem, off) AS (
+            SELECT source, lang, rn, 1, {b} - units, 0 FROM segs WHERE rn = 1
+            UNION ALL
+            SELECT t.source, t.lang, t.rn,
+                   CASE WHEN t.units <= s.rem THEN s.rec_id ELSE s.rec_id + 1 END,
+                   CASE WHEN t.units <= s.rem THEN s.rem - t.units
+                        ELSE {b} - t.units END,
+                   CASE WHEN t.units <= s.rem THEN {b} - s.rem ELSE 0 END
+            FROM state s JOIN segs t ON t.source = s.source AND t.lang = s.lang
+                                    AND t.rn = s.rn + 1
+        ),
+        assigned AS (
+            SELECT g.source, g.lang, g.m, g.n, g.units, g.doc_id,
+                   st.rec_id,
+                   CAST(g.doc_id AS VARCHAR) || '@' || st.off || '!' || g.seg_str
+                       AS part
+            FROM segs g JOIN state st ON st.source = g.source
+                                     AND st.lang = g.lang AND st.rn = g.rn
+        )
+        SELECT source, lang, CAST(rec_id AS BIGINT) AS rec_id,
+               count(*) AS n_docs,
+               CAST(sum(m) AS BIGINT) AS n_images,
+               CAST(sum(n) AS BIGINT) AS text_tokens,
+               CAST(sum(units) AS BIGINT) AS units_used,
+               CAST({b} - sum(units) AS BIGINT) AS pad_units,
+               CAST(1000000::BIGINT * sum(units) // {b} AS BIGINT) AS fill_ppm,
+               md5(string_agg(part, '|' ORDER BY doc_id)) AS manifest_md5
+        FROM assigned GROUP BY source, lang, rec_id
+    """
+
+
+@query(
+    "d7r_interleaved_multimodal",
+    oracle=_mm_interleave_oracle(),
+    tags=("D7r", "D7", "D13", "D32", "P1"),
+)
+def d7r_interleaved_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal training-record assembly — the MMC4/OBELICS
+    shape [public: Zhu et al. 2023 (MMC4); Laurencon et al. 2023
+    (OBELICS)]: each document is joined to its media attachments
+    (deterministically derived here: first-md5-byte(doc_id) % 3 images,
+    digest md5(doc_id:k), inserted at evenly spaced token positions —
+    the stand-in for a media-table join, same convention as the d7
+    payload family), laid out as an ordered (text-chunk | image-ref)*
+    segment sequence, then packed into fixed-size training records under
+    a JOINT budget (text token = 1 unit, image = _MM_IMG_UNITS units,
+    record = _MM_REC_BUDGET units) with d13d boundary rules: no document
+    spans two records, over-budget documents truncate. Each record emits
+    a manifest — doc offsets within the record plus the per-doc segment
+    layout with media digests — hashed to one md5, so segment ordering,
+    insertion positions, offsets AND packing assignments are all
+    hash-checked against the recursive-CTE oracle.
+
+    Scale: segment construction is doc-local JVM expressions (zero
+    Python, zero shuffle); packing is the d13d sequential fold — ONE
+    shard-keyed shuffle into applyInPandas over the (source, lang) grid,
+    which emits finished per-record rows, so no second shuffle follows
+    (records never span shards; at 100 TB sub-shard by a bounded ingest
+    key like d13b and offset rec_ids per sub-shard)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10)"
+            " as int) % 3"
+        ).alias("m"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    ).select(
+        "source",
+        "lang",
+        "doc_id",
+        "m",
+        "n",
+        F.expr(f"least(n + m * {_MM_IMG_UNITS}, {_MM_REC_BUDGET})").alias("units"),
+        F.expr(
+            """case m
+                 when 0 then concat('t:', n)
+                 when 1 then concat('t:', n div 2,
+                      '|i:', md5(concat(cast(doc_id as string), ':1')),
+                      '|t:', n - n div 2)
+                 else concat('t:', n div 3,
+                      '|i:', md5(concat(cast(doc_id as string), ':1')),
+                      '|t:', 2 * n div 3 - n div 3,
+                      '|i:', md5(concat(cast(doc_id as string), ':2')),
+                      '|t:', n - 2 * n div 3)
+               end"""
+        ).alias("seg_str"),
+    )
+
+    budget = _MM_REC_BUDGET
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out = {
+            "source": [], "lang": [], "rec_id": [], "n_docs": [],
+            "n_images": [], "text_tokens": [], "units_used": [],
+            "manifest_str": [],
+        }
+        rec_id, rem = 0, 0
+        docs = imgs = toks = used = 0
+        parts: list[str] = []
+
+        def flush() -> None:
+            if rec_id:
+                out["source"].append(key[0])
+                out["lang"].append(key[1])
+                out["rec_id"].append(rec_id)
+                out["n_docs"].append(docs)
+                out["n_images"].append(imgs)
+                out["text_tokens"].append(toks)
+                out["units_used"].append(used)
+                out["manifest_str"].append("|".join(parts))
+
+        for row in pdf.itertuples():
+            u = int(row.units)
+            if rec_id == 0 or u > rem:
+                flush()
+                rec_id += 1
+                rem = budget - u
+                off = 0
+                docs = imgs = toks = used = 0
+                parts = []
+            else:
+                off = budget - rem
+                rem -= u
+            docs += 1
+            imgs += int(row.m)
+            toks += int(row.n)
+            used += u
+            parts.append(f"{row.doc_id}@{off}!{row.seg_str}")
+        flush()
+        return pd.DataFrame(out)
+
+    packed = base.groupBy("source", "lang").applyInPandas(
+        pack,
+        "source string, lang string, rec_id long, n_docs long, n_images long, "
+        "text_tokens long, units_used long, manifest_str string",
+    )
+    return packed.select(
+        "source",
+        "lang",
+        "rec_id",
+        "n_docs",
+        "n_images",
+        "text_tokens",
+        "units_used",
+        (F.lit(budget) - F.col("units_used")).alias("pad_units"),
+        F.expr(f"1000000L * units_used div {budget}").alias("fill_ppm"),
+        F.md5("manifest_str").alias("manifest_md5"),
+    )

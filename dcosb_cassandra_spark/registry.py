@@ -124,7 +124,7 @@ _DRIVER_WINDOW = (
     # freshest slots per the r7 eviction policy; r5-vintage names hold
     # the slots until each lands.
     "d5z_quality_classifier",
-    "d16_substring_dedup",
+    "d7r_interleaved_multimodal",
     "d17_kmeans_lloyd",
     "d1b_incremental_dedup",
     "d2h_semdedup",
