@@ -876,3 +876,119 @@ def c6d_state_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+_CHUNK_DIRS: dict = {}
+
+
+def _stage_base_docs_chunks_dir(sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the BASE corpus (doc_id % 4 != 0 — the d2o convention) as
+    ``n_chunks`` doc_id-ordered parquet files, one per micro-batch: the
+    bounded replay of a daily-ingest document stream. Cached per
+    (sf_dir, n_chunks)."""
+    import tempfile
+
+    import duckdb
+
+    key = (sf_dir, n_chunks)
+    if key not in _CHUNK_DIRS:
+        d = tempfile.mkdtemp(prefix="stream_docchunks_")
+        con = duckdb.connect()
+        src = f"{sf_dir}/documents.parquet"
+        for i in range(n_chunks):
+            con.execute(
+                f"""COPY (
+                      SELECT doc_id, text, lang, source, n_chars
+                      FROM (SELECT *, ntile({n_chunks}) OVER (ORDER BY doc_id) AS nt
+                            FROM read_parquet('{src}') WHERE doc_id % 4 <> 0)
+                      WHERE nt = {i + 1} ORDER BY doc_id
+                    ) TO '{d}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+            )
+        con.close()
+        _CHUNK_DIRS[key] = d
+    return _CHUNK_DIRS[key]
+
+
+def _c14_oracle() -> str:
+    from ..functions.minhash import minhash_oracle_sql
+
+    return """
+        -- independent derivation of the STREAMED band index's content:
+        -- MinHash band rows over the base corpus (doc_id % 4 <> 0),
+        -- summarized per band as row/bucket/collision-bucket counts plus
+        -- the doc_id checksum. The engine must build this index
+        -- incrementally (foreachBatch appends per micro-batch) and end
+        -- with exactly the one-shot build's rows.
+        WITH sigs AS ({MINHASH_SQL}),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   CASE b.band_idx
+                        WHEN 0 THEN md5(mh0 || '|' || mh1)
+                        WHEN 1 THEN md5(mh2 || '|' || mh3)
+                        WHEN 2 THEN md5(mh4 || '|' || mh5)
+                        ELSE        md5(mh6 || '|' || mh7)
+                   END AS band_hash
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+            WHERE doc_id % 4 <> 0
+        ),
+        bb AS (
+            SELECT band_idx, band_hash, count(*) AS c, sum(doc_id) AS sdoc
+            FROM bands GROUP BY band_idx, band_hash
+        )
+        SELECT band_idx,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               count(*) AS n_buckets,
+               CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT)
+                   AS n_multi_buckets,
+               CAST(sum(sdoc) AS BIGINT) AS sum_doc_id
+        FROM bb GROUP BY band_idx
+    """.replace("{MINHASH_SQL}", minhash_oracle_sql())
+
+
+@query(
+    "c14_index_maintenance_replay",
+    oracle=_c14_oracle(),
+    tags=("C14", "C9", "D2b", "P1"),
+)
+def c14_index_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance, graded end to end (r10): the base
+    corpus arrives as a bounded document stream (4 doc_id-ordered
+    micro-batches through the parquet file source), and a foreachBatch
+    sink (``maintenance.stream_band_index``) signs each batch and APPENDS
+    its LSH band rows + verification token sets to the durable dedup
+    index — the c9 materialized-view recipe applied to d2o's serving
+    artifact. The graded result summarizes the STREAMED index per band
+    (row count, bucket count, >=2-doc collision buckets, doc_id
+    checksum); the oracle derives the same summary from the raw corpus,
+    so the replay must end content-identical to a one-shot batch build
+    (exact row-set parity vs ``build_band_index`` is separately asserted
+    by tests/test_incremental_index.py).
+
+    Scale: per-batch cost is |batch| signing + one append — the index
+    grows monotonically and the base is never re-read; compaction of the
+    accumulating small files is ``compact_small_files``'s job, same as
+    any LSM. The summary aggregate groups 16-byte hashes, never bodies."""
+    import os
+    import tempfile
+
+    from ..session import ensure_engine_conf
+    from ..sources.maintenance import stream_band_index
+
+    ensure_engine_conf(spark)
+    idx_dir = tempfile.mkdtemp(prefix="c14_idx_")
+    stream_band_index(
+        spark,
+        _stage_base_docs_chunks_dir(sf_dir),
+        idx_dir,
+        _DOCS_SCHEMA_FULL,
+    )
+    bands = spark.read.parquet(os.path.join(idx_dir, "bands"))
+    bb = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("doc_id").alias("sdoc")
+    )
+    return bb.groupBy("band_idx").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.when(F.col("c") >= 2, 1)).alias("n_multi_buckets"),
+        F.sum("sdoc").alias("sum_doc_id"),
+    )

@@ -125,7 +125,7 @@ _DRIVER_WINDOW = (
     # the slots until each lands.
     "d5z_quality_classifier",
     "d7r_interleaved_multimodal",
-    "d17_kmeans_lloyd",
+    "c14_index_maintenance_replay",
     "d1b_incremental_dedup",
     "d2h_semdedup",
     "d4d_ivf_probe_knn",

@@ -184,6 +184,52 @@ def build_bpe_vocab(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     return write_bpe_vocab(spark, sf_dir, out_dir)
 
 
+def stream_band_index(
+    spark: SparkSession, stream_src_dir: str, out_dir: str, schema: str
+) -> str:
+    """Maintain the d2o band index on a LIVE ingest stream (SURVEY §2 C14):
+    a foreachBatch sink signs each arriving micro-batch of BASE documents
+    (MinHash → band rows + verification token sets) and APPENDS the new
+    rows to the durable index — the c9 MV-maintenance recipe applied to
+    the dedup serving artifact. Because every index row derives from
+    exactly one document, per-batch append commutes: the streamed index
+    holds exactly the rows a one-shot ``build_band_index`` produces
+    (row-set parity asserted by tests/test_incremental_index.py), so a
+    pipeline can bootstrap in batch and keep maintaining on the stream
+    with the same code. Per-batch cost scales with |batch| only — the
+    base is never re-read or re-signed. Returns ``out_dir``."""
+    from ..operators.llm_dedup import _inc_token_sets
+    from ..functions.minhash import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
+        lsh_bands_keyed,
+        minhash_signature,
+    )
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signature(batch_df, "doc_id", "text", DEFAULT_NUM_HASHES)
+        lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "bands"))
+        _inc_token_sets(batch_df).write.mode("append").parquet(
+            os.path.join(out_dir, "toks")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out_dir
+
+
 def build_band_index(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:

@@ -48,3 +48,55 @@ def test_index_layout(spark, index_dir):
     assert bands.filter("doc_id % 4 = 0").count() == 0
     toks = spark.read.parquet(f"{index_dir}/toks")
     assert toks.filter("doc_id % 4 = 0").count() == 0
+
+
+def test_streamed_index_matches_batch_build(spark, index_dir, tmp_path_factory):
+    """C14 row-set parity: maintaining the index on a 4-micro-batch
+    document stream (foreachBatch appends) must end with EXACTLY the
+    rows of the one-shot batch build — bands and token sets both. This
+    is the bootstrap-in-batch / maintain-on-stream contract."""
+    from dcosb_cassandra_spark.operators.streaming_batch import (
+        _DOCS_SCHEMA_FULL,
+        _stage_base_docs_chunks_dir,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import stream_band_index
+
+    out = str(tmp_path_factory.mktemp("band_index_streamed"))
+    stream_band_index(
+        spark, _stage_base_docs_chunks_dir(SF_DIR), out, _DOCS_SCHEMA_FULL
+    )
+    for part in ("bands", "toks"):
+        batch_rows = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in spark.read.parquet(f"{index_dir}/{part}").collect()
+        )
+        stream_rows = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in spark.read.parquet(f"{out}/{part}").collect()
+        )
+        assert stream_rows == batch_rows, f"{part} diverged"
+        assert len(stream_rows) > 0
+
+
+def test_streamed_index_serves_probe(spark, tmp_path_factory):
+    """The streamed index is a drop-in serving artifact: the incremental
+    probe against it produces the same verdicts as against the batch
+    build (and therefore as inline d2o)."""
+    from dcosb_cassandra_spark.operators.streaming_batch import (
+        _DOCS_SCHEMA_FULL,
+        _stage_base_docs_chunks_dir,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import stream_band_index
+
+    load_all()
+    out = str(tmp_path_factory.mktemp("band_index_streamed2"))
+    stream_band_index(
+        spark, _stage_base_docs_chunks_dir(SF_DIR), out, _DOCS_SCHEMA_FULL
+    )
+    inline = sorted(
+        tuple(r) for r in REGISTRY["d2o_incremental_dedup"].fn(spark, SF_DIR).collect()
+    )
+    probed = sorted(
+        tuple(r) for r in incremental_dedup_probe(spark, SF_DIR, out).collect()
+    )
+    assert probed == inline
