@@ -312,11 +312,19 @@ def test_c11_training_ingest_stream_matches_batch(spark, docs_dir):
 
 
 def _protobuf_ok() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """Native google.protobuf, else the host's vendored pure-Python copy
+    through the alias (vendor/protobuf_alias.py; workers get it via the
+    sitecustomize shim conftest puts on PYTHONPATH before the JVM starts)."""
+    from dcosb_cassandra_spark.vendor import protobuf_alias
 
+    if not protobuf_alias.enable():
+        return False
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2
+
+        StateMessage_pb2.StateRequest().SerializeToString()
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
