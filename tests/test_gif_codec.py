@@ -141,3 +141,93 @@ def test_gif_rejects_pixel_index_past_local_palette():
     out += b"\x00\x3B"
     with pytest.raises(ValueError, match="exceeds color table"):
         gif_decode(bytes(out))
+
+
+# -- vectorized batch decoder (r10): bit parity with the scalar walk --------
+
+
+def test_batch_decode_parity_fuzz():
+    """The table-gather batch decoder must be BIT-IDENTICAL to the scalar
+    decoder on every well-formed stream — fuzzed across alphabet sizes
+    (KwKwK-heavy small alphabets included) and lengths spanning the
+    fast-path/fallback boundary (width bumps force the fallback)."""
+    import random
+
+    from dcosb_cassandra_spark.sources.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        _lzw_decompress_batch,
+    )
+
+    rng = random.Random(42)
+    cases = [b"", bytes([250]), bytes([5]) * 50, b"ab" * 400,
+             bytes([0]) * 5000, bytes([1, 1, 2, 1, 1, 2, 1, 1, 1, 2]) * 3]
+    for _ in range(200):
+        n = rng.randrange(0, 1200)
+        alpha = rng.choice([2, 3, 17, 256])
+        cases.append(bytes(rng.randrange(alpha) for _ in range(n)))
+    comps = [_lzw_compress(px, 8) for px in cases]
+    got = _lzw_decompress_batch(comps, 8)
+    for px, comp, out in zip(cases, comps, got):
+        assert out == px == _lzw_decompress(comp, 8)
+
+
+def test_batch_decode_fallback_on_width_bump():
+    """A stream long enough to bump past the initial code width fails the
+    batch fast-path validation and must transparently take the scalar
+    fallback — same bytes out."""
+    import random
+
+    from dcosb_cassandra_spark.sources import multimodal as mm
+
+    rng = random.Random(1)
+    big = bytes(rng.randrange(256) for _ in range(3000))  # >254 codes
+    comp = mm._lzw_compress(big, 8)
+    calls = []
+    orig = mm._lzw_decompress
+
+    def spy(data, mcs=8):
+        calls.append(len(data))
+        return orig(data, mcs)
+
+    mm._lzw_decompress = spy
+    try:
+        out = mm._lzw_decompress_batch([comp], 8)
+    finally:
+        mm._lzw_decompress = orig
+    assert out == [big]
+    assert calls, "width-bumped stream must take the scalar fallback"
+
+
+def test_gif_decode_batch_matches_scalar():
+    from dcosb_cassandra_spark.sources.multimodal import (
+        gif_decode,
+        gif_decode_batch,
+        gif_encode_gray,
+    )
+
+    gifs = [
+        gif_encode_gray(bytes((i * 7 + j) % 256 for j in range(16 * h)), 16, h)
+        for i, h in enumerate([4, 7, 10, 1, 5])
+    ]
+    assert gif_decode_batch(gifs) == [gif_decode(g) for g in gifs]
+
+
+def test_d7m_store_serve_parity(spark):
+    """Build/serve split for media payloads (r10): d7m served from the
+    rendered-GIF store must match the fused inline render+decode pass
+    row for row."""
+    from dcosb_cassandra_spark.operators.llm_multimodal import d7m_render_inline
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    from .conftest import SMOKE_SF_DIR
+
+    load_all()
+    served = sorted(
+        tuple(r)
+        for r in REGISTRY["d7m_gif_lzw_decode"].fn(spark, SMOKE_SF_DIR).collect()
+    )
+    inline = sorted(
+        tuple(r) for r in d7m_render_inline(spark, SMOKE_SF_DIR).collect()
+    )
+    assert served == inline and len(served) > 0
