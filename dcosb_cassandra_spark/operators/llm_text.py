@@ -1556,12 +1556,16 @@ def d5u_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and summation orders by construction; no log-ulp or
     float-tie risk (driver-contract lesson, see d2l).
 
-    Scale shape: one explode pass builds the bigram stream; the MODEL
-    tables are charset-bounded (|V|² bigrams max — KBs even for CJK
-    corpora) and explicitly broadcast, so scoring is a map-side join over
-    the per-doc bigram aggregate: train-once, broadcast, score-everywhere
-    — the exact deployment shape of a fastText/KenLM quality filter at
-    100 TB. The only shuffles are the model groupBys (vocab-sized) and
+    Scale shape: one explode pass builds the bigram stream; the MODEL is
+    charset-bounded (|V|² bigrams max — KBs even for CJK corpora) and,
+    when small enough, FOLDS INTO CODEGEN as a literal lookup map (the
+    d17 weights-as-literals convention, r10): the scorer is then a pure
+    projection over the per-doc bigram aggregate — no model-side scan,
+    no join, and in particular no Python-RDD local-relation scan (the
+    old createDataFrame model cost one Python task per core per run —
+    measured 0.34 s of d5u's 0.62 s exec). Above the literal-map bound
+    (huge CJK charsets) it degrades to the broadcast-join shape. The
+    only shuffles are the model groupBys at train time (vocab-sized) and
     the per-doc aggregate (doc-count-sized)."""
     d = table(spark, sf_dir, "documents")
     model = _bigram_model(spark, sf_dir)
@@ -1572,9 +1576,16 @@ def d5u_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    scored = docbg.join(F.broadcast(model), "bg").select(
-        "doc_id", "cnt", "q"
-    )
+    if len(model) <= 10_000:
+        args: list = []
+        for bg, q in model:
+            args += [F.lit(bg), F.lit(q)]
+        scored = docbg.withColumn(
+            "q", F.element_at(F.create_map(*args), F.col("bg"))
+        ).filter(F.col("q").isNotNull())  # inner-join semantics preserved
+    else:
+        mdf = spark.createDataFrame(model, "bg STRING, q LONG")
+        scored = docbg.join(F.broadcast(mdf), "bg")
     return scored.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_bigrams"),
         F.expr("sum(q * cnt) div sum(cnt)").alias("lm_fp_avg"),
@@ -1598,7 +1609,7 @@ def _doc_bigrams(src: DataFrame) -> DataFrame:
 _BIGRAM_MODEL_CACHE: dict[tuple, list] = {}
 
 
-def _bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bigram_model(spark: SparkSession, sf_dir: str) -> list:
     """TRAIN the bigram LM once per corpus generation and hold the model
     driver-side (memoized per (path, mtime), the `_codebook` pattern from
     llm_similarity): one corpus explode builds bigram counts; prefix
@@ -1606,9 +1617,10 @@ def _bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p+V) all derive from that |V|²-row table in Python. The collect is
     BOUNDED BY DESIGN — charset², independent of corpus size — and is
     exactly the artifact a production quality filter ships to scorers
-    (train-once, broadcast-model). Without this, Catalyst's per-consumer
+    (train-once, serve-everywhere). Without this, Catalyst's per-consumer
     column pruning de-canonicalizes the three model subtrees and the
-    corpus explode executes three times per query (measured 3×)."""
+    corpus explode executes three times per query (measured 3×). Returns
+    the [(bg, q)] rows — the scorer folds them into its plan."""
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -1637,7 +1649,7 @@ def _bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["bg"], (r["c"] + 1) * 1_000_000 // (pc[r["bg"][:1]] + v))
             for r in bc
         ]
-    return spark.createDataFrame(_BIGRAM_MODEL_CACHE[key], "bg STRING, q LONG")
+    return _BIGRAM_MODEL_CACHE[key]
 
 
 @query(

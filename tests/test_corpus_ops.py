@@ -157,4 +157,4 @@ def test_bigram_model_collects_are_charset_bounded(spark, tmp_path, monkeypatch)
     # (bigram table ≤ 4² rows; charset probe ≤ 4 rows), never corpus-sized
     assert sizes, "training issued no collects?"
     assert max(sizes) <= 16, f"driver-side collect scaled with corpus: {sizes}"
-    assert model.count() > 0
+    assert len(model) > 0
