@@ -1894,9 +1894,15 @@ def _bpe_char_seq(docs: DataFrame) -> DataFrame:
 
 def _bpe_apply_merges(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Chain the trained merges over ``df.seq`` in training order — one
-    pure-JVM expression tree, zero Python, zero shuffle."""
-    for left, right in merges:
+    pure-JVM expression tree, zero Python, zero shuffle. Past
+    _BPE_CHAIN_BATCH merges the lineage is truncated per batch
+    (localCheckpoint) so analysis+codegen cost stays linear in the merge
+    count — the measured Catalyst knee (SCALE.md); the graded
+    _BPE_ROUNDS-deep chains stay one unbroken expression tree."""
+    for j, (left, right) in enumerate(merges, start=1):
         df = df.withColumn("seq", F.expr(_bpe_merge_expr(left, right)))
+        if j % _BPE_CHAIN_BATCH == 0 and j < len(merges):
+            df = df.localCheckpoint(eager=True)
     return df
 
 
@@ -1926,13 +1932,27 @@ def _bpe_merge_expr(left: str, right: str) -> str:
 _BPE_TRAIN_CACHE: dict[tuple, list] = {}
 
 
-def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
+#: truncate the chained-rewrite lineage every this many training rounds:
+#: without it each round re-analyzes a plan carrying EVERY prior merge
+#: expression, so round cost grows superlinearly past ~2 chain-batches
+#: (the measured Catalyst knee — SCALE.md "BPE rounds-vs-time curve").
+#: localCheckpoint materializes the current seq column and restarts the
+#: plan from it: per-round analysis cost becomes O(_BPE_CHAIN_BATCH),
+#: constant in the round number.
+_BPE_CHAIN_BATCH = 16
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int | None = None) -> list:
     """Run the BPE training loop (see d5w for semantics and scale shape)
-    and memoize the merge rows per corpus generation."""
+    and memoize the merge rows per (corpus generation, rounds). The
+    graded queries train _BPE_ROUNDS (oracle-unrollable); the scale test
+    trains 64+ (tests/test_bpe_scale.py, parity vs a pure-Python greedy
+    reference)."""
     import os
 
+    rounds = _BPE_ROUNDS if rounds is None else rounds
     path = os.path.join(sf_dir, "documents.parquet")
-    key = (path, os.stat(path).st_mtime_ns)
+    key = (path, os.stat(path).st_mtime_ns, rounds)
     if key in _BPE_TRAIN_CACHE:
         return _BPE_TRAIN_CACHE[key]
     df = _bpe_char_seq(table(spark, sf_dir, "documents"))
@@ -1943,7 +1963,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
         "p -> p.l <> p.r2 AND p.l <> ' ' AND p.r2 <> ' ')"
     )
     rows = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         top_rows = (
             df.select(F.explode(F.expr(pairs_expr)).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r2").alias("r2"))
@@ -1959,6 +1979,8 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
         total -= c  # every merge removes exactly one token
         rows.append((r, left, right, c, int(total)))
         df = df.withColumn("seq", F.expr(_bpe_merge_expr(left, right)))
+        if r % _BPE_CHAIN_BATCH == 0:
+            df = df.localCheckpoint(eager=True)
     _BPE_TRAIN_CACHE[key] = rows
     return rows
 
