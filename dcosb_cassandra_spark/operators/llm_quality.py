@@ -160,10 +160,13 @@ def _qc_md5_byte_sql(arg: str) -> str:
     )
 
 
-def _qc_oracle() -> str:
-    """Round-unrolled CTE chain (the d17/d5w recipe): the SAME fixed-point
-    trajectory — features, 4 GD rounds, inference, sampling — in pure SQL,
-    weights carried as a 1-row list between rounds."""
+def _qc_scored_ctes() -> str:
+    """Shared oracle prefix (the ``_bpe_layer_ctes`` convention): the full
+    fixed-point trajectory — features, GD rounds, inference — ending at
+    the ``scored`` CTE (doc_id, source, y, p, hb). d5z's sampling rollup,
+    d26b's threshold curve and d13g's curriculum packing all append their
+    own final SELECT to this one chain, so every downstream consumer of
+    the classifier re-derives the identical training."""
     idx = range(1, _QC_NF + 1)
     bucket_feats = ",\n              ".join(
         f"1000000::BIGINT * len(list_filter(bks, b -> b = {j})) // nng"
@@ -223,6 +226,14 @@ def _qc_oracle() -> str:
                              j -> w.w[j] * x[j])) // 1000000 AS z
                   FROM feat, w{_QC_ROUNDS} w)
         )
+    """
+
+
+def _qc_oracle() -> str:
+    """d5z: the shared chain + the per-source sampling/accuracy rollup."""
+    return (
+        _qc_scored_ctes()
+        + """
         SELECT source,
                count(*) AS n_docs,
                CAST(sum(y) AS BIGINT) AS n_pos,
@@ -233,6 +244,26 @@ def _qc_oracle() -> str:
                CAST(sum(p) // count(*) AS BIGINT) AS mean_score_ppm
         FROM scored GROUP BY source
     """
+    )
+
+
+def _qc_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark twin of the ``scored`` CTE: (doc_id, source, y,
+    p ppm, hb) with the trained weights inlined as literals — map-only,
+    zero shuffle; every downstream classifier consumer starts here."""
+    w, _ = _train_quality_classifier(spark, sf_dir)
+    feats = _qc_features(table(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id", "source", "y", F.expr(_z_expr(w)).alias("z")
+    ).select(
+        "doc_id",
+        "source",
+        "y",
+        F.expr("500000L + z * 500000L div (1000000L + abs(z))").alias("p"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("hb"),
+    )
 
 
 @query("d5z_quality_classifier", oracle=_qc_oracle(), tags=("D5z", "D5", "D26", "P1"))
@@ -249,19 +280,7 @@ def d5z_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical trajectory as a round-unrolled CTE
     chain (the d17/d5w recipe) — the iterative training itself is graded,
     not just the final artifact."""
-    w, _ = _train_quality_classifier(spark, sf_dir)
-    feats = _qc_features(table(spark, sf_dir, "documents"))
-    scored = feats.select(
-        "doc_id", "source", "y", F.expr(_z_expr(w)).alias("z")
-    ).select(
-        "source",
-        "y",
-        F.expr("500000L + z * 500000L div (1000000L + abs(z))").alias("p"),
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("bigint")
-        .alias("hb"),
-    )
-    return scored.groupBy("source").agg(
+    return _qc_scored_df(spark, sf_dir).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("y").alias("n_pos"),
         F.count(F.when(F.col("hb") < F.expr("(256 * p) div 1000000"), 1)).alias(
@@ -269,4 +288,152 @@ def d5z_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.expr("(p >= 500000) = (y = 1)"), 1)).alias("n_correct"),
         F.expr("sum(p) div count(1)").alias("mean_score_ppm"),
+    )
+
+
+_QC_CURVE_THRESHOLDS = (300_000, 400_000, 500_000, 600_000, 700_000)
+
+
+def _d26b_oracle() -> str:
+    vals = ", ".join(f"({t})" for t in _QC_CURVE_THRESHOLDS)
+    return (
+        _qc_scored_ctes()
+        + f""",
+        grid AS (SELECT * FROM (VALUES {vals}) AS g(thr)),
+        tot AS (SELECT count(*) AS n_all, sum(y) AS n_pos FROM scored)
+        SELECT CAST(thr AS BIGINT) AS thr,
+               CAST(count(*) FILTER (WHERE p >= thr) AS BIGINT) AS n_kept,
+               CAST(1000000::BIGINT * count(*) FILTER (WHERE p >= thr)
+                    // max(tot.n_all) AS BIGINT) AS kept_ppm,
+               CAST(count(*) FILTER (WHERE p >= thr AND y = 1) AS BIGINT)
+                   AS n_true_kept,
+               CAST(CASE WHEN count(*) FILTER (WHERE p >= thr) > 0
+                    THEN 1000000::BIGINT
+                         * count(*) FILTER (WHERE p >= thr AND y = 1)
+                         // count(*) FILTER (WHERE p >= thr)
+                    ELSE 0 END AS BIGINT) AS precision_ppm,
+               CAST(1000000::BIGINT * count(*) FILTER (WHERE p >= thr AND y = 1)
+                    // max(tot.n_pos) AS BIGINT) AS recall_ppm
+        FROM scored CROSS JOIN grid CROSS JOIN tot
+        GROUP BY thr
+    """
+    )
+
+
+@query(
+    "d26b_classifier_threshold_curve",
+    oracle=_d26b_oracle(),
+    tags=("D26", "D5z", "D25", "P1"),
+)
+def d26b_classifier_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-threshold curation curve — how a FineWeb-Edu-style
+    cutoff is actually CHOSEN [public: Penedo et al. 2024 ablate
+    score>=3]: for each candidate keep-threshold over the d5z learned
+    score, the kept-mass (kept_ppm) and the classifier's precision/recall
+    against the label rule — the keep-more-data vs keep-cleaner-data
+    frontier. The d2n/d4k threshold-grid recipe applied to quality
+    filtering; all counts and ratios are exact integers.
+
+    Scale: one map-only scoring pass (trained weights inlined as
+    literals) crossed with the k-row threshold grid — a bounded
+    broadcast — then one partial-aggregatable groupBy on thr. The corpus
+    streams once regardless of grid size."""
+    scored = _qc_scored_df(spark, sf_dir)
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("n_pos")
+    )
+    grid = spark.range(len(_QC_CURVE_THRESHOLDS)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _QC_CURVE_THRESHOLDS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("thr")
+    )
+    kept = F.count(F.when(F.col("p") >= F.col("thr"), 1))
+    true_kept = F.count(F.when((F.col("p") >= F.col("thr")) & (F.col("y") == 1), 1))
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thr")
+        .agg(
+            kept.alias("n_kept"),
+            F.expr("1000000L * count(if(p >= thr, 1, null)) div max(n_all)").alias(
+                "kept_ppm"
+            ),
+            true_kept.alias("n_true_kept"),
+            F.expr(
+                "cast(case when count(if(p >= thr, 1, null)) > 0 then "
+                "1000000L * count(if(p >= thr and y = 1, 1, null)) "
+                "div count(if(p >= thr, 1, null)) else 0 end as bigint)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "1000000L * count(if(p >= thr and y = 1, 1, null)) div max(n_pos)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+#: curriculum batching: fixed difficulty bands over the learned score
+#: (competence-based curriculum), BATCH_DOCS docs per batch within each
+#: (source, phase) shard in easy->hard order
+_QC_PHASE_UNIT = 250_000  # phase = min(p div unit, 3): 4 fixed bands
+_QC_BATCH_DOCS = 32
+
+
+def _d13g_oracle() -> str:
+    return (
+        _qc_scored_ctes()
+        + f""",
+        phased AS (
+            SELECT source, doc_id, p,
+                   least(p // {_QC_PHASE_UNIT}, 3) AS phase,
+                   row_number() OVER (PARTITION BY source,
+                                      least(p // {_QC_PHASE_UNIT}, 3)
+                                      ORDER BY p, doc_id) AS rnk
+            FROM scored
+        )
+        SELECT source, CAST(phase AS BIGINT) AS phase,
+               CAST((rnk - 1) // {_QC_BATCH_DOCS} AS BIGINT) AS batch_id,
+               count(*) AS n_docs,
+               CAST(min(p) AS BIGINT) AS min_p,
+               CAST(max(p) AS BIGINT) AS max_p,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM phased GROUP BY source, phase, batch_id
+    """
+    )
+
+
+@query(
+    "d13g_curriculum_order",
+    oracle=_d13g_oracle(),
+    tags=("D13", "D5z", "D26", "P1"),
+)
+def d13g_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum batch assembly [public: Bengio et al. 2009; competence-
+    based curricula, Platanios et al. 2019]: documents are banded into 4
+    fixed difficulty phases by the d5z LEARNED quality score (low score =
+    hard/noisy, trained last), then packed into _QC_BATCH_DOCS-doc
+    training batches within each (source, phase) shard in easy→hard
+    (score, id) order. Per-batch min/max score + id checksum hash-check
+    the ORDER — a swapped pair moves a doc across a batch boundary.
+
+    Scale: scoring is map-only (literal weights); ranks use a window
+    partitioned by the (source, phase) SHARD GRID — never a single
+    low-cardinality corpus window (the d13b sub-shard recipe; at 100 TB
+    sub-shard by an ingest key and offset batch ids per sub-shard).
+    One shuffle, partial-aggregated rollup."""
+    from pyspark.sql import Window
+
+    scored = _qc_scored_df(spark, sf_dir).select(
+        "source", "doc_id", "p",
+        F.expr(f"least(p div {_QC_PHASE_UNIT}, 3L)").alias("phase"),
+    )
+    w = Window.partitionBy("source", "phase").orderBy(F.asc("p"), F.asc("doc_id"))
+    phased = scored.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / _QC_BATCH_DOCS).cast("long")
+    )
+    return phased.groupBy("source", "phase", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("p").alias("min_p"),
+        F.max("p").alias("max_p"),
+        F.sum("doc_id").alias("sum_doc_id"),
     )

@@ -126,8 +126,8 @@ _DRIVER_WINDOW = (
     "d5z_quality_classifier",
     "d7r_interleaved_multimodal",
     "c14_index_maintenance_replay",
-    "d1b_incremental_dedup",
-    "d2h_semdedup",
+    "d26b_classifier_threshold_curve",
+    "d13g_curriculum_order",
     "d4d_ivf_probe_knn",
     "v01_similarity_functions",
     # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first

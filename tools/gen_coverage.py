@@ -108,6 +108,9 @@ ROWS = [
     ("D20b", "BPE tokenizer training loop (added r8)"),
     ("D20c", "Tokenizer encode pass — vocab build/serve split (added r9)"),
     ("D38b", "IVF-PQ serving capstone (added r8)"),
+    ("D5z", "LEARNED quality classifier — fixed-point GD (added r10)"),
+    ("D7r", "Interleaved multimodal record assembly — MMC4 shape (added r10)"),
+    ("C14", "Streaming index maintenance — foreachBatch band-index upkeep (added r10)"),
     ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
     ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
     ("V3", "Dynamic data masking (C* 5.0)"),
