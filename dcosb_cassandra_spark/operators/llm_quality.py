@@ -143,6 +143,8 @@ def _train_quality_classifier(
             aggs.append(F.count(F.lit(1)).alias("n"))
             aggs.append(F.expr("sum(err * err)").alias("loss"))
             row = scored.agg(*aggs).collect()[0]
+            if not row["n"]:  # empty/degenerate corpus: nothing to fit
+                break
             losses.append(row["loss"])
             w = [
                 w[j] - _tdiv(row[f"g{j}"], row["n"] * _QC_LR_DIV)
