@@ -878,6 +878,108 @@ def c6d_state_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tws_runnable() -> bool:
+    """Cheap registration gate for the transformWithState replay: the
+    container ships no installed google.protobuf, so the row only exists
+    where the host's vendored pure-Python copy is on disk (the
+    protobuf_alias source). A missing SDK means the row is simply not
+    registered — an environment boundary, never a red driver row."""
+    import os
+
+    from ..vendor import protobuf_alias
+
+    return os.path.isdir(
+        os.path.join(protobuf_alias._THIRD_PARTY, "cloudsdk", "google", "protobuf")
+    )
+
+
+def _bootstrap_tws(spark: SparkSession) -> None:
+    """Query-time bootstrap for transformWithState under a DRIVER-OWNED
+    session (the JVM gateway is already up, so the conftest trick of
+    putting the sitecustomize shim on PYTHONPATH before launch is not
+    available): (1) enable the google.protobuf alias driver-side — the
+    plan build imports StateMessage_pb2; (2) prepend the vendor dir to
+    ``sc.environment["PYTHONPATH"]`` — _wrap_function captures
+    sc.environment into the PythonFunction's envVars, PythonWorkerFactory
+    merges envVars["PYTHONPATH"] into the worker daemon's PYTHONPATH and
+    keys daemons by envVars, so a FRESH daemon starts whose interpreter
+    imports vendor/sitecustomize.py at startup (the site mechanism) and
+    every forked worker sees google.protobuf; (3) RocksDB state store —
+    transformWithState does not run on the HDFS-backed default. Verified
+    end-to-end against a cold driver-like session (no inherited
+    PYTHONPATH) before registration."""
+    import os
+
+    from ..vendor import protobuf_alias
+
+    if not protobuf_alias.enable():  # pragma: no cover - registration-gated
+        raise RuntimeError("vendored protobuf unavailable")
+    vendor_dir = os.path.dirname(protobuf_alias.__file__)
+    sc = spark.sparkContext
+    prev = sc.environment.get("PYTHONPATH", "")
+    if vendor_dir not in prev.split(":"):
+        sc.environment["PYTHONPATH"] = vendor_dir + ((":" + prev) if prev else "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+
+if _tws_runnable():
+
+    @query(
+        "c6e_tws_replay",
+        oracle="""
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        tags=("C6", "C8", "P1"),
+    )
+    def c6e_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C6 on Spark 4's transformWithState API run as the ACTUAL stream
+        and driver-graded (r10, closing the last r9 'missing' item): the
+        typed-state StatefulProcessor (ValueState handle, RocksDB store)
+        keeping running (count, sum) per key, replayed availableNow into an
+        update-mode memory sink, final state per key via the monotone
+        max(struct(...)) trick, graded against the plain batch aggregate —
+        the same oracle as c6c, so the two state APIs are cross-validated
+        by the driver itself. The protobuf runtime comes from the host's
+        vendored pure-Python copy via _bootstrap_tws (see its docstring for
+        the post-gateway worker-injection mechanics). State is O(live
+        keys) in RocksDB — the store the 100 TB deployment would run,
+        with changelog checkpointing and memory bounded off-heap.
+
+        [PK anchor: Spark 4 transformWithStateInPandas,
+        SPARK-49560; RocksDBStateStoreProvider.]"""
+        from ..session import ensure_engine_conf
+        from ..streaming.streams import (
+            c6b_stateful_running_counts_tws,
+            c8_write_stream,
+            read_events_stream,
+        )
+
+        ensure_engine_conf(spark)
+        _bootstrap_tws(spark)
+        ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+        name = _sink_name("c6e_sink")
+        q = c8_write_stream(
+            c6b_stateful_running_counts_tws(ev), name, output_mode="update"
+        )
+        q.awaitTermination(240)
+        t = spark.table(name)
+        return (
+            t.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("w"))
+            .select(
+                "user_id",
+                F.col("w.n_events").alias("n_events"),
+                F.col("w.total_value").alias("total_value"),
+            )
+        )
+
+
 _CHUNK_DIRS: dict = {}
 
 

@@ -69,7 +69,16 @@ REPRESENTATIVE = [
     "d7p_png_hand_inflate",      # r8: hand-rolled DEFLATE module pickling
     "c6d_state_ttl_replay",      # r9: EventTimeTimeout state eviction across JVMs
     "d5x_bpe_encode_corpus",     # r9: trained-merge rewrite chain + memoized train
+    "d15b_global_shuffle_manifest",  # r10: bit_xor membership digest across JVMs
 ]
+
+# r10: transformWithState across real worker JVMs — proves the post-gateway
+# sc.environment PYTHONPATH injection reaches executor-spawned Python
+# workers, not just local-mode daemons. Gated like the c6e registration.
+from dcosb_cassandra_spark.operators.streaming_batch import _tws_runnable  # noqa: E402
+
+if _tws_runnable():
+    REPRESENTATIVE.append("c6e_tws_replay")
 
 
 def _digest(df) -> tuple[int, str]:

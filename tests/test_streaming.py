@@ -481,3 +481,28 @@ def test_c6d_ttl_eviction_emits_fresh_sessions(spark):
             assert gap > ttl_us, "two sessions closer than the TTL boundary"
     n_events_total = sum(r["n_events"] for r in rows)
     assert n_events_total == table(spark, sf_dir, "events").count()
+
+
+def test_c6e_tws_replay_matches_batch(spark):
+    """The driver-graded transformWithState row (r10, closing the last r9
+    'missing' item): the registered c6e replay must equal the plain batch
+    aggregate exactly. The registration itself is gated on the vendored
+    protobuf being on disk; where it is absent the row does not exist and
+    this test skips — environment boundary, not a failure."""
+    from dcosb_cassandra_spark.catalog import table
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    load_all()
+    if "c6e_tws_replay" not in REGISTRY:
+        pytest.skip("vendored protobuf absent: c6e not registered")
+    sf_dir = "/root/testdata/sf0.001"
+    out = REGISTRY["c6e_tws_replay"].fn(spark, sf_dir)
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    e = table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
