@@ -841,3 +841,84 @@ def d13f_bpe_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.sum("tok"), F.lit(BPE_SEQ_BUDGET)) / float(BPE_SEQ_BUDGET), 6
         ).alias("fill_ratio"),
     )
+
+
+#: deterministic global shuffle: seed folded into the content-stable hash
+#: so re-sharding for a new training run = new seed, same plan
+_SHUF_SEED = "r10s1"
+_N_SHARDS = 16
+
+
+def _d15b_oracle() -> str:
+    byte0 = (
+        f"(instr('0123456789abcdef', substr(mh, 1, 1)) * 16"
+        f" + instr('0123456789abcdef', substr(mh, 2, 1)) - 17)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS mh,
+                   CAST({_WS_TOKENS_SQL} AS BIGINT) AS tok
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, mh, tok,
+                   CAST({byte0} % {_N_SHARDS} AS BIGINT) AS shard_id
+            FROM hashed
+        )
+        SELECT shard_id,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               min(mh) AS first_key,
+               max(mh) AS last_key,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(bit_xor(doc_id * 2654435761) AS BIGINT) AS member_digest
+        FROM sharded GROUP BY shard_id
+    """
+
+
+@query(
+    "d15b_global_shuffle_manifest",
+    oracle=_d15b_oracle(),
+    tags=("D51", "D13", "D15", "P1"),
+)
+def d15b_global_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle + shard manifest — the
+    step between curation and the dataloader: every document gets a
+    content-stable position key md5(seed:doc_id) (new epoch/run = new
+    seed, nothing else changes), shards are the key's first byte mod
+    N_SHARDS, and the manifest rows (per shard: doc count, token mass,
+    first/last position key, membership checksums) are what the trainer
+    validates before consuming the shards. The Knuth-multiplier bit_xor
+    digest detects any membership drift engine-to-engine; within-shard
+    order is (mh, doc_id) — implied by the deterministic key, so the
+    manifest pins the full layout without materializing it here.
+
+    Scale shape: hashing and token counts are map-only codegen on the
+    scan; the manifest is ONE partial-aggregatable groupBy over
+    N_SHARDS keys. The 100 TB write path this manifests for is
+    ``repartition(N, 'shard_id').sortWithinPartitions('mh', 'doc_id')``
+    — an md5-keyed hash shuffle whose reducers each stream one shard to
+    parquet in position order; uniform md5 bytes mean shard skew is
+    binomial-tight (±0.3% at 1e9 docs), no salting needed. bit_xor and
+    sum commute, so the manifest computed on the written shards equals
+    this one — the validation a trainer actually runs."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string"))).alias(
+            "mh"
+        ),
+        _ws_tokens(F.col("text")).cast("long").alias("tok"),
+    )
+    sharded = hashed.withColumn(
+        "shard_id",
+        (F.conv(F.substring("mh", 1, 2), 16, 10).cast("bigint") % _N_SHARDS),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.min("mh").alias("first_key"),
+        F.max("mh").alias("last_key"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.expr("bit_xor(doc_id * 2654435761)").cast("long").alias("member_digest"),
+    )

@@ -439,3 +439,101 @@ def d13g_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p").alias("max_p"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+def _d26c_oracle() -> str:
+    return (
+        _qc_scored_ctes()
+        + """,
+        byp AS (
+            SELECT source, p, count(*) AS n_at,
+                   CAST(sum(y) AS BIGINT) AS npos_at
+            FROM scored GROUP BY source, p
+        ),
+        rk AS (
+            SELECT source, n_at, npos_at,
+                   CAST(sum(n_at) OVER (PARTITION BY source ORDER BY p
+                                        ROWS UNBOUNDED PRECEDING) - n_at
+                        AS BIGINT) AS n_below
+            FROM byp
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(sum(npos_at) AS BIGINT) AS n_pos,
+                   CAST(sum(n_at - npos_at) AS BIGINT) AS n_neg,
+                   CAST(sum(npos_at * (2 * n_below + n_at + 1)) AS BIGINT)
+                       AS sum2r
+            FROM rk GROUP BY source
+        )
+        SELECT source, n_pos, n_neg,
+               CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000
+                    ELSE (1000000 * (sum2r - n_pos * (n_pos + 1)))
+                         // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm,
+               CAST(2 * (CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000
+                    ELSE (1000000 * (sum2r - n_pos * (n_pos + 1)))
+                         // (2 * n_pos * n_neg) END) - 1000000
+                    AS BIGINT) AS gini_ppm
+        FROM agg
+    """
+    )
+
+
+@query(
+    "d26c_classifier_auc",
+    oracle=_d26c_oracle(),
+    tags=("D26", "D5z", "P1"),
+)
+def d26c_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier ROC-AUC per source — the rank statistic a curation team
+    reports alongside the d26b threshold curve [public: Hanley & McNeil
+    1982; AUC == Mann-Whitney U / (n_pos*n_neg)]: tie-corrected via
+    average ranks over the d5z learned score, kept EXACT in integers by
+    working in doubled rank units (2*avg_rank of a tie group = 2*n_below
+    + n_at + 1, all bigint — no .5 fractions), so the ppm result is
+    bit-identical across engines and summation orders.
+
+    Scale shape: the corpus streams ONCE into a partial-aggregatable
+    groupBy (source, p) — at most |sources| * 1e6 distinct ppm scores
+    come out regardless of corpus size — and the rank window runs over
+    that AGGREGATE-BOUNDED table (the audit's corpus-window probe sees
+    the Aggregate below the Window), so no corpus-scale rows ever funnel
+    through a low-cardinality window partition. Sources with a single
+    class report the 500000 (undefined-AUC) convention instead of
+    dividing by zero."""
+    from pyspark.sql import Window
+
+    scored = _qc_scored_df(spark, sf_dir)
+    byp = scored.groupBy("source", "p").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("y").cast("long").alias("npos_at"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = byp.select(
+        "source",
+        "n_at",
+        "npos_at",
+        (F.sum("n_at").over(w) - F.col("n_at")).alias("n_below"),
+    )
+    agg = rk.groupBy("source").agg(
+        F.sum("npos_at").alias("n_pos"),
+        F.sum(F.col("n_at") - F.col("npos_at")).alias("n_neg"),
+        F.sum(
+            F.col("npos_at") * (2 * F.col("n_below") + F.col("n_at") + 1)
+        ).alias("sum2r"),
+    )
+    auc = F.expr(
+        "case when n_pos = 0 or n_neg = 0 then 500000L "
+        "else (1000000L * (sum2r - n_pos * (n_pos + 1))) "
+        "div (2 * n_pos * n_neg) end"
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        auc.alias("auc_ppm"),
+        (2 * auc - 1000000).cast("long").alias("gini_ppm"),
+    )

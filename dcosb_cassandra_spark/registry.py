@@ -128,8 +128,9 @@ _DRIVER_WINDOW = (
     "c14_index_maintenance_replay",
     "d26b_classifier_threshold_curve",
     "d13g_curriculum_order",
-    "d4d_ivf_probe_knn",
-    "v01_similarity_functions",
+    "c6e_tws_replay",
+    "d26c_classifier_auc",
+    "d15b_global_shuffle_manifest",
     # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first
     # driver evidence since round 3)
     "b06_asof_join",
@@ -170,7 +171,6 @@ _DRIVER_WINDOW = (
     "b22b_posexplode",
     "b23_pivot",
     "b23b_unpivot",
-    "b24_sampling",
     "b_arg_extremes",
     "b_column_profile",
     "b_moments",
