@@ -202,6 +202,12 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast side is agg(count(*)) over the bigram stream: exactly 1 "
         "row at any SF (the charset²-bounded model table is NOT hinted)",
     ),
+    "d26b_classifier_threshold_curve": (
+        {"bounded:documents", "literal"},
+        "broadcast sides are the threshold grid (a Range literal, "
+        "len(_QC_CURVE_THRESHOLDS) rows) and the corpus totals "
+        "agg(count, sum(y)): exactly 1 row at any SF",
+    ),
     "d14_domain_mixing": (
         {"bounded:documents", "bounded:local_rows"},
         "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible-total "
