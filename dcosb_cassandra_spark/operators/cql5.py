@@ -133,3 +133,48 @@ def v03_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.mask_hash(F.col("c_name")).alias("name_hash"),
         M.mask_null(F.col("c_acctbal")).alias("balance_null"),
     )
+
+
+@query(
+    "v02b_filtered_ann",
+    oracle=f"""
+        WITH q AS (SELECT {_QVEC_SQL}::DOUBLE[] AS qv),
+        s AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e, qv
+            FROM embeddings, q WHERE label = 7
+        ),
+        scored AS (
+            SELECT vec_id, label, {_E_DOT_Q} / ({_E_NORM} * {_Q_NORM}) AS cos
+            FROM s
+        )
+        SELECT vec_id, label, round((1 + cos) / 2, 6) AS score
+        FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    tags=("V2", "V1", "D3", "P1"),
+)
+def v02b_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) vector search — Cassandra 5.0's
+    ``WHERE label = 7 ORDER BY embedding ANN OF [...] LIMIT k`` shape,
+    where the predicate column carries an SAI index (passed here as the
+    session-created index the user's CREATE CUSTOM INDEX ... USING 'sai'
+    would register; without it the front-end correctly demands ALLOW
+    FILTERING, same as a live cluster). The compile order is the correct
+    hybrid semantics: filter first, THEN exact top-k over survivors — a
+    post-filtered ANN never returns fewer-than-k rows because of the
+    predicate the way pre-filter-then-ANN does.
+
+    Plan shape: the equality predicate pushes into the parquet scan
+    (PushedFilters), and the ANN ordering compiles to
+    TakeOrderedAndProject — per-partition top-k map-side, k rows per
+    partition to the single merge, no global sort. At 100 TB with a
+    selective predicate this exact path IS the serving plan (scan cost =
+    the filtered stripe only); for broad predicates the IVF route (d4d)
+    takes over with the filter applied inside the probed buckets."""
+    stmt = (
+        f"SELECT vec_id, label, similarity_cosine(embedding, {_QVEC_SQL}) AS score "
+        f"FROM embeddings WHERE label = 7 "
+        f"ORDER BY embedding ANN OF {_QVEC_SQL} LIMIT 10"
+    )
+    return cql(
+        spark, sf_dir, stmt, extra_indexed={"embeddings": ("label",)}
+    ).select("vec_id", "label", F.round("score", 6).alias("score"))

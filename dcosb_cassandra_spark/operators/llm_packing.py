@@ -922,3 +922,139 @@ def d15b_global_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.expr("bit_xor(doc_id * 2654435761)").cast("long").alias("member_digest"),
     )
+
+
+#: multi-epoch plan: trainer token budget as a multiple of the corpus —
+#: data-constrained regime (budget > corpus, domains repeat)
+_EPOCH_BUDGET_X = 3
+
+
+def _d14e_oracle() -> str:
+    return f"""
+        -- Data-constrained mixing: the token budget T = {_EPOCH_BUDGET_X}x
+        -- the corpus forces domains to REPEAT; each domain runs
+        -- floor(T*p) div tok_s full epochs plus an md5-shuffled-prefix
+        -- remainder, so the plan is exact in tokens and content-stable.
+        WITH w AS (SELECT source, CAST(p AS DOUBLE) AS p
+                   FROM (VALUES {_MIX_VALUES}) AS v(source, p)),
+        toks AS (
+            SELECT d.source, p, doc_id, {_WS_TOKENS_SQL} AS tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS mh
+            FROM documents d JOIN w ON d.source = w.source
+        ),
+        s AS (SELECT source, p, CAST(sum(tok) AS BIGINT) AS s_tok
+              FROM toks GROUP BY source, p),
+        tt AS (SELECT CAST({_EPOCH_BUDGET_X} * sum(s_tok) AS BIGINT) AS t FROM s),
+        plan AS (
+            SELECT source, p, s_tok,
+                   CAST(floor(t * p) AS BIGINT) AS target_tokens,
+                   CAST(CAST(floor(t * p) AS BIGINT) // s_tok AS BIGINT) AS epochs,
+                   CAST(CAST(floor(t * p) AS BIGINT) % s_tok AS BIGINT) AS rem_tok
+            FROM s, tt
+        ),
+        c AS (
+            SELECT source, tok,
+                   sum(tok) OVER (PARTITION BY source ORDER BY mh, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS ctok
+            FROM toks
+        ),
+        kept AS (
+            SELECT c.source, count(*) AS rdocs, CAST(sum(c.tok) AS BIGINT) AS rtok
+            FROM c JOIN plan USING (source) WHERE ctok <= rem_tok
+            GROUP BY c.source
+        )
+        SELECT plan.source, p AS target_share, epochs, target_tokens,
+               s_tok AS epoch_tokens,
+               coalesce(rdocs, 0) AS remainder_docs,
+               coalesce(rtok, 0) AS remainder_tokens,
+               CAST(epochs * s_tok + coalesce(rtok, 0) AS BIGINT)
+                   AS effective_tokens
+        FROM plan LEFT JOIN kept ON plan.source = kept.source
+    """
+
+
+@query(
+    "d14e_multi_epoch_plan",
+    oracle=_d14e_oracle(),
+    tags=("D52", "D14", "D23", "P1"),
+)
+def d14e_multi_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixing plan for the data-constrained regime [public:
+    Muennighoff et al. 2023, data-constrained scaling — budgets past ~1
+    epoch repeat data rather than dropping domain weights]: the trainer's
+    token budget T = 3x the corpus, each domain owes floor(T*p_s) tokens,
+    pays them as (full epochs = target div tok_s) whole passes plus a
+    content-stable md5-shuffled-prefix remainder (the d14d selection, so
+    re-planning with a different budget moves ONLY the prefix cut). The
+    emitted plan (epochs, remainder docs/tokens, effective total per
+    domain) is the dataloader's repeat schedule — exact in tokens.
+
+    Scale: domain totals and the budget are k-row aggregates; the
+    remainder cut reuses the d13b/d14 TWO-PHASE cumsum ((source,
+    md5-prefix bucket) windows + broadcast offset grid — no single
+    low-cardinality corpus window); everything after is k-row joins.
+    The corpus streams twice (totals, remainder scan) and nothing
+    corpus-scale shuffles except the bounded bucket-window sort."""
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), schema="source string, p double"
+    )
+    docs = (
+        d.join(F.broadcast(w), "source")
+        .select(
+            "source",
+            "p",
+            "doc_id",
+            _ws_tokens(F.col("text")).cast("bigint").alias("tok"),
+            F.md5(F.col("doc_id").cast("string")).alias("mh"),
+        )
+        .withColumn("bkt", F.substring("mh", 1, 2))
+    )
+    in_bucket = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("mh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = docs.withColumn("ctok_b", F.sum("tok").over(in_bucket))
+    bsums = docs.groupBy("source", "p", "bkt").agg(F.sum("tok").alias("btok"))
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.withColumn("off", F.coalesce(F.sum("btok").over(off_w), F.lit(0)))
+    totals = bsums.groupBy("source", "p").agg(F.sum("btok").alias("s_tok"))
+    tt = totals.agg(
+        (F.lit(_EPOCH_BUDGET_X) * F.sum("s_tok")).cast("bigint").alias("t")
+    )
+    plan = (
+        totals.crossJoin(F.broadcast(tt))
+        .withColumn("target_tokens", F.floor(F.col("t") * F.col("p")).cast("bigint"))
+        .withColumn("epochs", F.expr("target_tokens div s_tok"))
+        .withColumn("rem_tok", F.col("target_tokens") % F.col("s_tok"))
+    )
+    kept = (
+        ranked.join(F.broadcast(offsets.select("source", "bkt", "off")), ["source", "bkt"])
+        .join(F.broadcast(plan.select("source", "rem_tok")), "source")
+        .filter((F.col("off") + F.col("ctok_b")) <= F.col("rem_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("rdocs"),
+            F.sum("tok").cast("bigint").alias("rtok"),
+        )
+    )
+    return (
+        plan.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            F.col("p").alias("target_share"),
+            "epochs",
+            "target_tokens",
+            F.col("s_tok").alias("epoch_tokens"),
+            F.coalesce("rdocs", F.lit(0)).cast("long").alias("remainder_docs"),
+            F.coalesce("rtok", F.lit(0)).cast("long").alias("remainder_tokens"),
+            (F.col("epochs") * F.col("s_tok") + F.coalesce("rtok", F.lit(0)))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+    )

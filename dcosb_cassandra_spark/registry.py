@@ -116,9 +116,11 @@ _OPERATOR_MODULES = (
 #: dedup suite d2*/d1/d4/d5d-f/d6/d7b/d_pipeline + b06-b08/c2 — their
 #: FIRST driver regrade since round 3), 25 last graded r4 (the core
 #: join/agg/set-op pack), 50 last graded r5. The window takes all 18
-#: r3-vintage + all 25 r4-vintage names; the remaining 7 slots go to
-#: the round's NEW queries (never-graded, freshest-slots-first policy)
-#: with r5-vintage names holding any slot until a new query lands.
+#: r3-vintage + most r4-vintage names; the remaining slots go to the
+#: round's NEW queries (never-graded, freshest-slots-first policy) —
+#: ten landed (d5z/d26b/d13g classifier suite, d7r, c14, c6e, d26c,
+#: d15b, v02b, d14e), each eviction taking the freshest remaining
+#: regrade (r5-vintage d4d/v01 first, then the r4 pack's tail).
 _DRIVER_WINDOW = (
     # r10 first-gradings (new this round) — never-graded names take the
     # freshest slots per the r7 eviction policy; r5-vintage names hold
@@ -131,6 +133,8 @@ _DRIVER_WINDOW = (
     "c6e_tws_replay",
     "d26c_classifier_auc",
     "d15b_global_shuffle_manifest",
+    "v02b_filtered_ann",
+    "d14e_multi_epoch_plan",
     # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first
     # driver evidence since round 3)
     "b06_asof_join",
@@ -170,12 +174,10 @@ _DRIVER_WINDOW = (
     "b21b_scalar_subquery",
     "b22b_posexplode",
     "b23_pivot",
-    "b23b_unpivot",
     "b_arg_extremes",
     "b_column_profile",
     "b_moments",
     "b_percentiles",
-    "b_string_agg",
 )
 
 

@@ -213,6 +213,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible-total "
         "scalar (1 row), and per-(domain,bucket) offsets: ≤ |domains|×256 rows",
     ),
+    "d14e_multi_epoch_plan": (
+        {"bounded:documents", "bounded:local_rows"},
+        "broadcast sides are the 4-row MIX_WEIGHTS literal, the 1-row "
+        "budget total, the per-domain epoch/remainder plan (|domains| "
+        "rows, aggregate-bounded) and the (source, md5-prefix bucket) "
+        "token-offset grid: <= |domains|x256 rows at any SF",
+    ),
     "d14d_token_budget_mixing": (
         {"bounded:documents", "bounded:local_rows"},
         "broadcast sides are the 4-row MIX_WEIGHTS literal, the feasible "
