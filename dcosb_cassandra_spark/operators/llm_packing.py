@@ -901,8 +901,16 @@ def d15b_global_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet in position order; uniform md5 bytes mean shard skew is
     binomial-tight (±0.3% at 1e9 docs), no salting needed. bit_xor and
     sum commute, so the manifest computed on the written shards equals
-    this one — the validation a trainer actually runs."""
-    docs = table(spark, sf_dir, "documents")
+    this one — the validation a trainer actually runs (and c15 grades
+    exactly that merge law on a live ingest stream)."""
+    return shard_manifest(table(spark, sf_dir, "documents"))
+
+
+def shard_manifest(docs: DataFrame) -> DataFrame:
+    """The d15b manifest over any (doc_id, text) frame — shared by the
+    batch query and c15's per-micro-batch partials: every field merges
+    commutatively (sum/min/max/xor), so partial manifests re-aggregated
+    by ``merge_manifests`` equal the one-shot result bit for bit."""
     hashed = docs.select(
         "doc_id",
         F.md5(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string"))).alias(
@@ -921,6 +929,22 @@ def d15b_global_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mh").alias("last_key"),
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.expr("bit_xor(doc_id * 2654435761)").cast("long").alias("member_digest"),
+    )
+
+
+def merge_manifests(partials: DataFrame) -> DataFrame:
+    """Re-aggregate per-batch partial manifests into the corpus manifest:
+    counts/sums add, key range combines by min/max, xor folds — the merge
+    is associative and commutative, so ANY batching of the corpus
+    (micro-batches, per-shard recomputation, backfill + increment) lands
+    on the identical manifest."""
+    return partials.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("first_key").alias("first_key"),
+        F.max("last_key").alias("last_key"),
+        F.sum("sum_doc_id").cast("long").alias("sum_doc_id"),
+        F.expr("bit_xor(member_digest)").cast("long").alias("member_digest"),
     )
 
 

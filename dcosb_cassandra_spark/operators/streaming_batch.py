@@ -1094,3 +1094,77 @@ def c14_index_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c") >= 2, 1)).alias("n_multi_buckets"),
         F.sum("sdoc").alias("sum_doc_id"),
     )
+
+def _stage_all_docs_chunks_dir(sf_dir: str, n_chunks: int = 4) -> str:
+    """The FULL corpus staged as ``n_chunks`` doc_id-ordered parquet
+    files (c15's ingest replay — unlike the base stager, no d2o base/
+    increment split). Cached per (sf_dir, n_chunks)."""
+    import tempfile
+
+    import duckdb
+
+    key = ("all", sf_dir, n_chunks)
+    if key not in _CHUNK_DIRS:
+        d = tempfile.mkdtemp(prefix="stream_alldocchunks_")
+        con = duckdb.connect()
+        src = f"{sf_dir}/documents.parquet"
+        for i in range(n_chunks):
+            con.execute(
+                f"""COPY (
+                      SELECT doc_id, text, lang, source, n_chars
+                      FROM (SELECT *, ntile({n_chunks}) OVER (ORDER BY doc_id) AS nt
+                            FROM read_parquet('{src}'))
+                      WHERE nt = {i + 1} ORDER BY doc_id
+                    ) TO '{d}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+            )
+        con.close()
+        _CHUNK_DIRS[key] = d
+    return _CHUNK_DIRS[key]
+
+
+def _c15_oracle() -> str:
+    from .llm_packing import _d15b_oracle
+
+    return _d15b_oracle()
+
+
+@query(
+    "c15_manifest_maintenance_replay",
+    oracle=_c15_oracle(),
+    tags=("C15", "C9", "D51", "P1"),
+)
+def c15_manifest_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d15b shard manifest maintained on a LIVE ingest stream and
+    graded against the BATCH oracle (r10): documents arrive as 4
+    doc_id-ordered micro-batches, a foreachBatch sink computes each
+    batch's PARTIAL manifest (same ``shard_manifest`` code as the batch
+    query) and appends it to a manifest store; the graded result is
+    ``merge_manifests`` over the partials. Every manifest field merges
+    commutatively (counts/sums add, key ranges min/max, digests xor), so
+    the streamed manifest must equal the one-shot batch manifest bit for
+    bit — the same merge law that lets a trainer validate shards written
+    by any mix of backfill and incremental ingest.
+
+    Scale: per-batch cost is |batch| hashing + one N_SHARDS-row append;
+    the store grows by N_SHARDS rows per batch and the final merge reads
+    only manifest rows, never documents. At 100 TB this is the metadata
+    path of the d15b write job, priced at manifest size."""
+    import tempfile
+
+    from ..session import ensure_engine_conf
+    from .llm_packing import merge_manifests, shard_manifest
+
+    ensure_engine_conf(spark)
+    part_dir = tempfile.mkdtemp(prefix="c15_manifest_")
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA_FULL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_all_docs_chunks_dir(sf_dir))
+    )
+
+    def upkeep(batch_df: DataFrame, batch_id: int) -> None:
+        shard_manifest(batch_df).write.mode("append").parquet(part_dir)
+
+    q = raw.writeStream.foreachBatch(upkeep).trigger(availableNow=True).start()
+    q.awaitTermination(240)
+    return merge_manifests(spark.read.parquet(part_dir))

@@ -118,8 +118,8 @@ _OPERATOR_MODULES = (
 #: join/agg/set-op pack), 50 last graded r5. The window takes all 18
 #: r3-vintage + most r4-vintage names; the remaining slots go to the
 #: round's NEW queries (never-graded, freshest-slots-first policy) —
-#: ten landed (d5z/d26b/d13g classifier suite, d7r, c14, c6e, d26c,
-#: d15b, v02b, d14e), each eviction taking the freshest remaining
+#: eleven landed (d5z/d26b/d13g classifier suite, d7r, c14, c6e, d26c,
+#: d15b, v02b, d14e, c15), each eviction taking the freshest remaining
 #: regrade (r5-vintage d4d/v01 first, then the r4 pack's tail).
 _DRIVER_WINDOW = (
     # r10 first-gradings (new this round) — never-graded names take the
@@ -135,6 +135,7 @@ _DRIVER_WINDOW = (
     "d15b_global_shuffle_manifest",
     "v02b_filtered_ann",
     "d14e_multi_epoch_plan",
+    "c15_manifest_maintenance_replay",
     # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first
     # driver evidence since round 3)
     "b06_asof_join",
@@ -173,7 +174,6 @@ _DRIVER_WINDOW = (
     "b21_correlated_subquery",
     "b21b_scalar_subquery",
     "b22b_posexplode",
-    "b23_pivot",
     "b_arg_extremes",
     "b_column_profile",
     "b_moments",
