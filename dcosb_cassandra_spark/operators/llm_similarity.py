@@ -427,7 +427,7 @@ _IVF_INDEX_LOCK = __import__("threading").Lock()
 
 _IVF_INDEX_SCHEMA = (
     "vec_id bigint, ve array<double>, nrm double, code array<integer>, "
-    "bucket bigint"
+    "label int, bucket bigint"
 )
 
 #: size threshold for the FUSED single-task Gram physical strategy (d2h):
@@ -475,12 +475,15 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     (
         _with_pq_codes(
             _with_centroid_bucket(
-                emb.select("vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm")),
+                emb.select(
+                    "vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm"), "label"
+                ),
                 _codebook(spark, sf_dir),
             ),
             _codebook(spark, sf_dir),
         )
         .withColumn("bucket", F.col("bucket").cast("long"))
+        .select("vec_id", "ve", "nrm", "code", "label", "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(out_dir)
@@ -512,7 +515,10 @@ def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
                 tag = os.path.basename(os.path.normpath(sf_dir))
                 # v2: the index schema grew PQ codes (r8) — the version
                 # bump keeps durable pre-codes indexes from being reused
-                out = os.path.join(root, f"ivf2_{tag}_{mtime}")
+                # v3: the schema grew the indexed metadata column (r10,
+                # label — the SAI posture d4l filters on); the bump keeps
+                # durable pre-metadata indexes from being reused
+                out = os.path.join(root, f"ivf3_{tag}_{mtime}")
                 if not os.path.exists(os.path.join(out, "_SUCCESS")):
                     # Cross-process atomicity (judge r8 advice): build into
                     # a pid-suffixed sibling and rename into place. POSIX
@@ -735,12 +741,17 @@ def d4d_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe(spark, sf_dir, nprobe=1)
 
 
-def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """Shared IVF probe (d4d nprobe=1, d4j nprobe=2): each query scores the
-    corpus vectors in its ``nprobe`` nearest centroid buckets. One JVM
-    plan as documented on d4d; multi-probe only widens the probed-bucket
-    set / explodes the broadcast query batch — the plan shape is
-    unchanged, which is exactly the IVF recall knob."""
+def _ivf_probe(
+    spark: SparkSession, sf_dir: str, nprobe: int, cand_filter=None
+) -> DataFrame:
+    """Shared IVF probe (d4d nprobe=1, d4j nprobe=2, d4l filtered): each
+    query scores the corpus vectors in its ``nprobe`` nearest centroid
+    buckets. One JVM plan as documented on d4d; multi-probe only widens
+    the probed-bucket set / explodes the broadcast query batch — the plan
+    shape is unchanged, which is exactly the IVF recall knob.
+    ``cand_filter`` restricts candidates by metadata STORED IN THE INDEX
+    (the SAI posture): the predicate applies inside the probed buckets'
+    partition-pruned scan, before any scoring."""
     qid, qvecs, qnrms, ranks = _query_batch(spark, sf_dir)
     out_schema = "query_id long, nbr_id long, sim double"
     if not qid:
@@ -752,6 +763,8 @@ def _ivf_probe(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("vec_id") >= 5)
         .filter(F.col("bucket").isin(all_buckets) if all_buckets else F.lit(False))
     )
+    if cand_filter is not None:
+        c = c.filter(cand_filter)
     q = _query_batch_df(spark, sf_dir, nprobe)
     c = c.select(
         F.col("vec_id").alias("nbr_id"), F.col("ve").alias("ce"), "nrm", "bucket"
@@ -2040,3 +2053,48 @@ def d8h_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) - F.col("sim")).cast("long").alias("hamming"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+@query(
+    "d4l_filtered_ivf_knn",
+    oracle=f"""
+        WITH {_CENT_SQL},
+        q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, a.bucket
+              FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id < 5),
+        cc AS (SELECT e.vec_id AS nbr_id, e.embedding::DOUBLE[] AS ce, a.bucket
+               FROM embeddings e JOIN assign a USING (vec_id)
+               WHERE e.vec_id >= 5 AND e.label % 2 = 1),
+        scored AS (
+            SELECT q.query_id, cc.nbr_id,
+                   list_sum(list_transform(range(1, 65), i -> q.qe[i] * cc.ce[i]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cc.ce, x -> x * x)))) AS sim
+            FROM q JOIN cc ON q.bucket = cc.bucket
+        )
+        SELECT query_id, nbr_id, round(sim, 6) AS sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, nbr_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("D4", "V2", "D11", "P1"),
+)
+def d4l_filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN at the IVF layer — the BROAD-predicate half of hybrid
+    vector search (v02b's exact path wins when the predicate is
+    selective; when it keeps a large fraction of the corpus, pre-filter +
+    exact scan re-reads almost everything, and the right plan is the IVF
+    probe with the predicate applied INSIDE the probed buckets): the
+    metadata column (`label`) is STORED IN THE MATERIALIZED INDEX — the
+    Cassandra 5 SAI posture, where the index carries the indexed column —
+    so the filter evaluates on the bucket-pruned index scan with zero
+    joins back to the base table, and scoring sees only surviving
+    candidates. Same one-JVM-plan shape as d4d: broadcast query batch,
+    bucket equi-join, per-query window top-3.
+
+    Post-filtering inside probed buckets trades recall when the filter is
+    very selective (probed buckets may hold <k survivors — the known
+    IVF-hybrid failure mode; production raises nprobe with filter
+    selectivity, same knob as d4j). Index schema v3 (`label` added) —
+    the version bump invalidates durable pre-metadata indexes."""
+    return _ivf_probe(spark, sf_dir, nprobe=1, cand_filter=F.col("label") % 2 == 1)
