@@ -237,3 +237,123 @@ def d17_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines and the whole iterative algorithm is hash-checked — not
     rows-only."""
     return kmeans_report(spark, sf_dir, LLOYD_ROUNDS)
+
+
+@query(
+    "d16b_substring_removal_plan",
+    oracle=f"""
+        -- Exact-substring dedup REMOVAL (window granularity): every
+        -- duplicated k-window keeps its canonical occurrence (global min
+        -- (doc_id, pos)) and every other occurrence's span is cut; a
+        -- token goes when >=1 cut span covers it. Per-source removal
+        -- accounting + a position-weighted checksum so the exact cut
+        -- decisions are hash-checked, not just counts.
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= {WINDOW_K}
+        ),
+        wins AS (
+            SELECT doc_id, source, i AS pos,
+                   md5(array_to_string(toks[i:i+{WINDOW_K - 1}], ' ')) AS whash
+            FROM t, unnest(generate_series(1, len(toks) - {WINDOW_K} + 1)) AS u(i)
+        ),
+        marked AS (
+            SELECT doc_id, source, pos FROM (
+                SELECT doc_id, source, pos,
+                       count(DISTINCT doc_id) OVER (PARTITION BY whash) AS nd,
+                       min(doc_id * 1000000 + pos) OVER (PARTITION BY whash)
+                           AS canon
+                FROM wins
+            ) WHERE nd >= 2 AND doc_id * 1000000 + pos <> canon
+        ),
+        cut AS (
+            SELECT DISTINCT doc_id, source, pos + o AS tokpos
+            FROM marked, unnest(generate_series(0, {WINDOW_K - 1})) AS g(o)
+        ),
+        per_doc AS (
+            SELECT doc_id, source, count(*) AS cut_toks, sum(tokpos) AS poschk
+            FROM cut GROUP BY doc_id, source
+        ),
+        tot AS (
+            SELECT source, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+            FROM t GROUP BY source
+        )
+        SELECT tot.source,
+               CAST(coalesce(count(per_doc.doc_id), 0) AS BIGINT) AS docs_cut,
+               CAST(coalesce(sum(cut_toks), 0) AS BIGINT) AS tokens_removed,
+               total_tokens,
+               CAST(coalesce(sum(doc_id * poschk), 0) AS BIGINT) AS cut_checksum
+        FROM tot LEFT JOIN per_doc ON tot.source = per_doc.source
+        GROUP BY tot.source, total_tokens
+    """,
+    tags=("D16", "D1", "D2c", "P1"),
+)
+def d16b_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL plan [public: Lee et al. 2021 —
+    ExactSubstr deduplication removes all-but-one occurrence of repeated
+    spans]: d16 detects, this op decides the cuts. Each duplicated
+    k-token window keeps one canonical occurrence (the global min
+    (doc_id, pos), encoded as one comparable int so min() is the argmin —
+    no struct column in the shuffle) and every other occurrence marks its
+    span; a token is cut when any marked span covers it (overlapping
+    spans coalesce through the DISTINCT). The output is the per-source
+    removal ledger (docs touched, tokens removed / total) plus a
+    position-weighted checksum, so the driver hash-checks WHICH tokens
+    get cut, not just how many.
+
+    Scale: ONE whash-keyed shuffle carries both the dup flag and the
+    canonical argmin (two window aggregates over the same partition —
+    one exchange, the d16 lesson); the span explode is bounded by
+    k x dup-window count; the DISTINCT coalesce + per-doc rollup is a
+    doc-keyed shuffle of cut positions only. The actual text rewrite at
+    100 TB is a map-only pass joining each doc to its (tiny) cut-position
+    list — the ledger here is the expensive, verifiable half."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WINDOW_K
+    )
+    wins = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {WINDOW_K} + 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {WINDOW_K}))))"
+            )
+        ).alias("p0", "whash"),
+    ).select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "whash")
+    wh = Window.partitionBy("whash")
+    occ = F.col("doc_id") * 1000000 + F.col("pos")
+    marked = (
+        wins.withColumn("nd", F.size(F.collect_set("doc_id").over(wh)))
+        .withColumn("canon", F.min(occ).over(wh))
+        .filter((F.col("nd") >= 2) & (occ != F.col("canon")))
+        .select("doc_id", "source", "pos")
+    )
+    cut = marked.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (WINDOW_K - 1))).alias(
+            "tokpos"
+        ),
+    ).distinct()
+    per_doc = cut.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cut_toks"), F.sum("tokpos").alias("poschk")
+    )
+    tot = d.groupBy("source").agg(F.sum(F.size("toks")).alias("total_tokens"))
+    return (
+        tot.join(per_doc, "source", "left")
+        .groupBy("source", "total_tokens")
+        .agg(
+            F.count("doc_id").cast("long").alias("docs_cut"),
+            F.coalesce(F.sum("cut_toks"), F.lit(0)).cast("long").alias(
+                "tokens_removed"
+            ),
+            F.coalesce(F.sum(F.col("doc_id") * F.col("poschk")), F.lit(0))
+            .cast("long")
+            .alias("cut_checksum"),
+        )
+        .select(
+            "source", "docs_cut", "tokens_removed", "total_tokens", "cut_checksum"
+        )
+    )
