@@ -2177,3 +2177,76 @@ def d5y_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _fertility_oracle() -> str:
+    n = _BPE_ROUNDS + 1
+    return f"""
+        {_bpe_layer_ctes()},
+        enc AS (SELECT doc_id, count(*) AS n_tok FROM tok{n} GROUP BY doc_id),
+        base AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(
+                       substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                              1, 80), ' '), x -> x <> '')) AS n_words
+            FROM documents
+        )
+        SELECT lang,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN sum(n_words) > 0
+                         THEN 1000000 * coalesce(sum(n_tok), 0) // sum(n_words)
+                         ELSE 0 END AS BIGINT) AS fertility_ppm
+        FROM base LEFT JOIN enc USING (doc_id)
+        GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "d5ab_tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    tags=("D20c", "D29", "D5", "P1"),
+)
+def d5ab_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens per word, THE
+    cross-lingual tokenizer-design number [public: e.g. Rust et al. 2021,
+    "How Good is Your Tokenizer?" — fertility disparities directly price
+    context-window and compute per language]: encode the corpus with the
+    d5w-trained merges, count words as the non-empty space-splits of the
+    SAME cleaned prefix the tokenizer consumes (so numerator and
+    denominator see one text), report 1e6*tokens div words per lang.
+
+    Scale: identical to d5x — the encode is the chained pure-JVM rewrite
+    (zero Python/shuffle), the word count is one more map-side expression
+    over the same scan, and the only shuffle is the 26-group lang
+    aggregate with map-side partials. Languages whose docs all clean to
+    empty report fertility 0 rather than dividing by zero."""
+    merges = [(l, r) for (_, l, r, _, _) in _train_bpe(spark, sf_dir)]
+    enc = _bpe_apply_merges(
+        _bpe_char_seq(table(spark, sf_dir, "documents")), merges
+    ).select(
+        "lang",
+        F.size("seq").alias("n_tok"),
+        F.size(
+            F.filter(
+                F.split(F.array_join("seq", ""), " "), lambda x: x != ""
+            )
+        ).alias("n_words"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_words > 0 THEN 1000000 * n_tokens div n_words "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
