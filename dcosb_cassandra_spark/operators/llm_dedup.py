@@ -1694,3 +1694,81 @@ def d2r_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_ppm"),
         )
     )
+
+
+@query(
+    "d2s_containment_pairs",
+    oracle="""
+        -- Broder CONTAINMENT (asymmetric near-dup): |A∩B|/|A| catches a
+        -- short doc swallowed by a long one — a quote, a excerpt, a
+        -- template expansion — that symmetric Jaccard dilutes below any
+        -- usable threshold. Same inverted-index block join as d2c.
+        WITH tok AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        pair AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS both_n
+            FROM tok a JOIN tok b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(both_n * 1.0 / sa.n, 6) AS contain_ab,
+               round(both_n * 1.0 / sb.n, 6) AS contain_ba
+        FROM pair
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE both_n * 2 >= least(sa.n, sb.n)
+    """,
+    tags=("D2", "D31", "P1"),
+)
+def d2s_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs [public: Broder 1997 — containment
+    |A∩B|/|A| alongside resemblance]: the ASYMMETRIC metric that finds a
+    short document swallowed by a long one (quotes, excerpts, template
+    expansions) where symmetric Jaccard dilutes below threshold — e.g. a
+    20-token quote inside a 500-token article scores J≈0.04 but
+    containment 1.0. Emits both directions per candidate pair; kept where
+    the intersection covers half the SMALLER side (equivalent to
+    max-containment >= 0.5, stated integer-exactly as 2*both >= min(n)
+    so the THRESHOLD decision is engine-exact — only the reported ratios
+    round).
+
+    Scale: identical posture to d2c — the inverted-index join inside
+    (lang, source) blocks materializes pairs only for docs sharing a
+    token; sizes are a partial-agg groupBy joined back on the bounded
+    pair set. At 100 TB the block join rides the d2b band index instead
+    of raw tokens; containment then evaluates on candidate pairs only."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(F.col("both_n") * 2 >= F.least(F.col("sa.n"), F.col("sb.n")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("both_n") / F.col("sa.n"), 6).alias("contain_ab"),
+            F.round(F.col("both_n") / F.col("sb.n"), 6).alias("contain_ba"),
+        )
+    )
