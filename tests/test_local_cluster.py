@@ -70,6 +70,7 @@ REPRESENTATIVE = [
     "c6d_state_ttl_replay",      # r9: EventTimeTimeout state eviction across JVMs
     "d5x_bpe_encode_corpus",     # r9: trained-merge rewrite chain + memoized train
     "d15b_global_shuffle_manifest",  # r10: bit_xor membership digest across JVMs
+    "d16b_substring_removal_plan",   # r10: dual window agg on one exchange + span explode
 ]
 
 # r10: transformWithState across real worker JVMs — proves the post-gateway
