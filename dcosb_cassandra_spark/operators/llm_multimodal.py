@@ -1910,3 +1910,100 @@ def d7r_interleaved_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"1000000L * units_used div {budget}").alias("fill_ppm"),
         F.md5("manifest_str").alias("manifest_md5"),
     )
+
+
+@query(
+    "d7s_image_pixel_dedup",
+    oracle="""
+        -- independent derivation of the pixel-dedup groups: the rendered
+        -- thumbnail's pixel array IS the 40-char-prefix digest tiled 8x
+        -- (16x8 gray), so its canonical lowercase-hex digest equals
+        -- md5(repeat(md5(prefix), 8)) — computable without any codec.
+        -- A group spanning both parities proves the match happened on
+        -- DECODED pixels (PNG and BMP container bytes can never collide).
+        SELECT pixel_digest, n_docs, n_formats, min_doc_id, sum_doc_id
+        FROM (
+            SELECT md5(repeat(md5(substr(text, 1, 40)), 8)) AS pixel_digest,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_formats,
+                   min(doc_id) AS min_doc_id,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents GROUP BY 1
+        ) WHERE n_docs >= 2
+    """,
+    tags=("D53", "D7", "D1", "P1"),
+)
+def d7s_image_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT-BLIND exact image dedup [public: LAION/DataComp pipelines
+    dedup images by decoded-content hash, not file bytes — the same
+    picture re-encoded (format, encoder settings) changes every container
+    byte]: each document's 40-char-prefix thumbnail renders as a real PNG
+    (even doc_id) or a real BMP (odd doc_id) — identical pixel content,
+    disjoint byte representations — and the graded path must SNIFF the
+    container, run the matching hand-rolled decoder (PNG: CRC/inflate/
+    unfilter; BMP: palette walk + bottom-up re-flip), canonicalize to the
+    gray pixel array, and group by its digest. Byte-keyed dedup scores
+    ZERO across formats here; the oracle's n_formats column counts
+    parities per group, so every cross-format group certifies the match
+    happened on decoded pixels.
+
+    Scale: render+decode is one fused mapInPandas (partition-parallel,
+    zero shuffle — at 100 TB the decode runs where the blobs live); the
+    dedup is ONE digest-keyed partial-agg groupBy carrying 16-byte
+    digests, never pixels (the d1 posture). Keep-min semantics ride the
+    same aggregate (min_doc_id)."""
+    from collections.abc import Iterator
+
+    from ..sources.multimodal import (
+        bmp_decode,
+        bmp_encode_gray,
+        multimodal_frame,
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    def render_decode(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for batch in frames:
+            rows = {"doc_id": [], "fmt": [], "pixel_digest": []}
+            for doc_id, b in zip(batch["doc_id"], batch["payload"]):
+                prefix = bytes(b).decode("utf-8")[:40].encode("utf-8")
+                px = hashlib.md5(prefix).digest() * 8
+                img = (
+                    png_encode_gray(px, 16, 8)
+                    if doc_id % 2 == 0
+                    else bmp_encode_gray(px, 16, 8)
+                )
+                # graded half: sniff + decode + canonicalize (no peeking
+                # at px — the digest must come from the decoded bytes)
+                if img[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, _, gray = png_decode_gray(img)
+                    fmt = "png"
+                else:
+                    w, h, rgb = bmp_decode(img)
+                    gray = bytes(rgb[::3])
+                    fmt = "bmp"
+                assert (w, h) == (16, 8)
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["pixel_digest"].append(
+                    hashlib.md5(bytes(gray).hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    mm = multimodal_frame(spark, sf_dir)
+    dec = mm.mapInPandas(
+        render_decode, schema="doc_id long, fmt string, pixel_digest string"
+    )
+    return (
+        dec.groupBy("pixel_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fmt").cast("long").alias("n_formats"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("pixel_digest", "n_docs", "n_formats", "min_doc_id", "sum_doc_id")
+    )

@@ -113,6 +113,7 @@ ROWS = [
     ("C14", "Streaming index maintenance — foreachBatch band-index upkeep (added r10)"),
     ("D51", "Deterministic global shuffle + shard manifest (added r10)"),
     ("D52", "Multi-epoch data-constrained mixing plan (added r10)"),
+    ("D53", "Format-blind exact image dedup — decoded-content hash (added r10)"),
     ("C15", "Streaming shard-manifest maintenance — commutative merge (added r10)"),
     ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
     ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
