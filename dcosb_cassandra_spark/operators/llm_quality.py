@@ -249,11 +249,16 @@ def _qc_oracle() -> str:
     )
 
 
-def _qc_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qc_scored_df(
+    spark: SparkSession, sf_dir: str, w: list[int] | None = None
+) -> DataFrame:
     """Shared Spark twin of the ``scored`` CTE: (doc_id, source, y,
     p ppm, hb) with the trained weights inlined as literals — map-only,
-    zero shuffle; every downstream classifier consumer starts here."""
-    w, _ = _train_quality_classifier(spark, sf_dir)
+    zero shuffle; every downstream classifier consumer starts here.
+    Pass ``w`` to serve from a MATERIALIZED model (score_with_model);
+    default trains/memoizes inline."""
+    if w is None:
+        w, _ = _train_quality_classifier(spark, sf_dir)
     feats = _qc_features(table(spark, sf_dir, "documents"))
     return feats.select(
         "doc_id", "source", "y", F.expr(_z_expr(w)).alias("z")
@@ -537,3 +542,47 @@ def d26c_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         auc.alias("auc_ppm"),
         (2 * auc - 1000000).cast("long").alias("gini_ppm"),
     )
+
+
+#: model parquet schema: one row per weight index, plus the training-loss
+#: trajectory under negative idx (kind discriminates) — a handful of rows
+_QC_MODEL_SCHEMA = "kind string, idx int, value long"
+
+
+def write_quality_model(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the trained d5z classifier as the durable curation
+    artifact (the build half of the build/serve split — the same contract
+    as write_bpe_vocab / write_ivf_index / build_band_index): NF+1 weight
+    integers plus the monotone loss trajectory, a dozen rows total. A
+    100 TB pipeline trains once on the labeled sample at ingest and ships
+    this file to every scoring pass. Serve with ``score_with_model``; bit
+    parity with the inline path is asserted by
+    tests/test_quality_classifier.py."""
+    w, losses = _train_quality_classifier(spark, sf_dir)
+    rows = [("w", j, int(v)) for j, v in enumerate(w)] + [
+        ("loss", j, int(v)) for j, v in enumerate(losses)
+    ]
+    (
+        spark.createDataFrame(rows, _QC_MODEL_SCHEMA)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def score_with_model(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> DataFrame:
+    """The d5z SERVE path: score the corpus with a MATERIALIZED model —
+    zero training actions; the weights (bounded: NF+1 rows) read from the
+    model parquet and inlined as literals, so the scoring plan is the
+    identical map-only codegen pass as the inline query."""
+    w = [
+        int(r["value"])
+        for r in spark.read.parquet(model_dir)
+        .filter(F.col("kind") == "w")
+        .orderBy("idx")
+        .collect()
+    ]
+    return _qc_scored_df(spark, sf_dir, w=w)

@@ -244,3 +244,17 @@ def build_band_index(
     from ..operators.llm_dedup import write_band_index
 
     return write_band_index(spark, sf_dir, out_dir)
+
+
+def build_quality_model(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the trained d5z quality classifier as a MAINTENANCE
+    job (the fourth build/serve split, alongside the band index, the BPE
+    vocab and the IVF index): fixed-round GD runs ONCE at ingest on the
+    bounded labeled sample; every future scoring pass reads the NF+1
+    weight integers and runs the identical map-only codegen plan with
+    zero training collects. Serve with
+    ``operators.llm_quality.score_with_model``; bit parity with the
+    inline d5z path is asserted by tests/test_quality_classifier.py."""
+    from ..operators.llm_quality import write_quality_model
+
+    return write_quality_model(spark, sf_dir, out_dir)

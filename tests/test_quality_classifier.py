@@ -91,3 +91,24 @@ def test_learned_weights_beat_zero_init_loss(spark):
     below the round-0 (all-zero weights) loss."""
     _, losses = _train_quality_classifier(spark, SF_DIR)
     assert losses[-1] < losses[0]
+
+
+def test_model_build_serve_bit_parity(spark, tmp_path):
+    """The materialized-model serve path (maintenance.build_quality_model
+    -> score_with_model) must score every document BIT-identically to the
+    inline train-and-score path — the build/serve contract the other
+    three artifacts (band index, BPE vocab, IVF index) already honor."""
+    from dcosb_cassandra_spark.operators.llm_quality import (
+        _qc_scored_df,
+        score_with_model,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import build_quality_model
+
+    sf_dir = "/root/testdata/sf0.001"
+    model_dir = str(tmp_path / "qc_model")
+    build_quality_model(spark, sf_dir, model_dir)
+    inline = {r["doc_id"]: (r["source"], r["y"], r["p"], r["hb"])
+              for r in _qc_scored_df(spark, sf_dir).collect()}
+    served = {r["doc_id"]: (r["source"], r["y"], r["p"], r["hb"])
+              for r in score_with_model(spark, sf_dir, model_dir).collect()}
+    assert served == inline and len(served) > 0
