@@ -1772,3 +1772,143 @@ def d2s_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("both_n") / F.col("sb.n"), 6).alias("contain_ba"),
         )
     )
+
+
+_PR_ROUNDS = 3
+
+
+def _d2t_oracle() -> str:
+    rounds = []
+    for t in range(1, _PR_ROUNDS + 1):
+        rounds.append(f"""
+        s{t} AS (
+            SELECT u.peer AS node, CAST(sum(p.pr // dg.degree) AS BIGINT) AS s
+            FROM und u
+            JOIN pr{t - 1} p ON p.node = u.node
+            JOIN deg dg ON dg.node = u.node
+            GROUP BY u.peer
+        ),
+        pr{t} AS (
+            SELECT d.node,
+                   CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                        AS BIGINT) AS pr
+            FROM deg d LEFT JOIN s{t} s ON s.node = d.node
+        )""")
+    return f"""
+        WITH {_EDGES_SQL.strip().lstrip()},
+        und AS (
+            SELECT id_a AS node, id_b AS peer FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges
+        ),
+        deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node),
+        pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM deg),
+        {",".join(rounds)}
+        SELECT lang, source, doc_id, rank_ppm, CAST(degree AS BIGINT) AS degree
+        FROM (
+            SELECT a.lang, a.source, p.node AS doc_id, p.pr AS rank_ppm,
+                   d.degree,
+                   row_number() OVER (PARTITION BY a.lang, a.source
+                                      ORDER BY p.pr DESC, p.node) AS rn
+            FROM pr{_PR_ROUNDS} p
+            JOIN deg d ON d.node = p.node
+            JOIN documents a ON a.doc_id = p.node
+        ) WHERE rn <= 3
+    """
+
+
+@query(
+    "d2t_dup_graph_pagerank",
+    oracle=_d2t_oracle(),
+    tags=("D33", "D2", "P1"),
+)
+def d2t_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-hub detection: fixed-round PageRank over the near-dup
+    graph [public: Page et al. 1999; power iteration]. A document tied to
+    MANY near-duplicates (a boilerplate template, a mirrored page family)
+    accumulates rank from its whole neighborhood — pair- or cluster-level
+    dedup keeps ONE copy per clique, but the hub score is what ranks
+    WHICH template families dominate a block, the triage a curation team
+    does before hand-writing boilerplate rules. Top-3 hubs per
+    (lang, source) block with their degrees.
+
+    All-integer PPM arithmetic (the d5z/d17 fixed-point recipe): shares
+    are pr div degree, damping is (850000*sum) div 1e6 + 150000 — every
+    round is bit-identical across engines, so the 3-round trajectory is
+    oracle-checked exactly (round-unrolled CTEs, the d5w pattern). The
+    undirected dup graph has no dangling nodes (every node has an edge by
+    construction), so no sink redistribution term is needed.
+
+    Scale: edges reuse the d2c/d2j blocked inverted-index construction
+    (at 100 TB: the d2b band index); each round is ONE join of the edge
+    list against the k-per-node rank table + a partial-agg groupBy on the
+    receiving node — the standard distributed power iteration, rounds
+    fixed, lineage bounded. Ranks live per NODE (dup-graph nodes only, a
+    small fraction of the corpus)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_of(F.col("text"))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    pair = (
+        ta.join(
+            tb,
+            (F.col("ta.lang") == F.col("tb.lang"))
+            & (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("id_a"), F.col("tb.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    edges = (
+        pair.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    und = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("peer")
+    ).unionAll(edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("peer")))
+    # the edge subtree feeds every round: materialize it once
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    pr = deg.select("node", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        shares = (
+            und.join(pr, "node")
+            .join(deg, "node")
+            .select(F.col("peer").alias("node"), F.expr("pr div degree").alias("sh"))
+        )
+        s = shares.groupBy("node").agg(F.sum("sh").alias("s"))
+        pr = (
+            deg.select("node")
+            .join(s, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "cast(150000 + (850000 * coalesce(s, 0L)) div 1000000"
+                    " as bigint)"
+                ).alias("pr"),
+            )
+        )
+    from pyspark.sql.window import Window
+
+    attrs = d.select(F.col("doc_id").alias("node"), "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.join(deg, "node")
+        .join(attrs, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "lang",
+            "source",
+            F.col("node").alias("doc_id"),
+            F.col("pr").alias("rank_ppm"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+    )
