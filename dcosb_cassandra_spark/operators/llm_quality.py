@@ -250,16 +250,24 @@ def _qc_oracle() -> str:
 
 
 def _qc_scored_df(
-    spark: SparkSession, sf_dir: str, w: list[int] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    w: list[int] | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared Spark twin of the ``scored`` CTE: (doc_id, source, y,
     p ppm, hb) with the trained weights inlined as literals — map-only,
     zero shuffle; every downstream classifier consumer starts here.
     Pass ``w`` to serve from a MATERIALIZED model (score_with_model);
-    default trains/memoizes inline."""
+    default trains/memoizes inline. Pass ``docs`` to score a different
+    frame than the batch table — c16 feeds the ingest STREAM through the
+    identical expressions (they are all deterministic per-row exprs, so
+    they run unchanged on a streaming DataFrame)."""
     if w is None:
         w, _ = _train_quality_classifier(spark, sf_dir)
-    feats = _qc_features(table(spark, sf_dir, "documents"))
+    feats = _qc_features(
+        table(spark, sf_dir, "documents") if docs is None else docs
+    )
     return feats.select(
         "doc_id", "source", "y", F.expr(_z_expr(w)).alias("z")
     ).select(

@@ -1168,3 +1168,59 @@ def c15_manifest_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFra
     q = raw.writeStream.foreachBatch(upkeep).trigger(availableNow=True).start()
     q.awaitTermination(240)
     return merge_manifests(spark.read.parquet(part_dir))
+
+
+def _c16_oracle() -> str:
+    from .llm_quality import _qc_oracle
+
+    return _qc_oracle()
+
+
+@query(
+    "c16_stream_scoring_replay",
+    oracle=_c16_oracle(),
+    tags=("C16", "C7", "C8", "D5z", "P1"),
+)
+def c16_stream_scoring_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring on the LIVE ingest stream (r10 — the
+    serve artifact meets the stream, completing the c14/c15 trilogy:
+    index upkeep, manifest upkeep, now model SERVING): the d5z model
+    trains ONCE as a batch ingest job (memoized — at 100 TB,
+    ``maintenance.build_quality_model``), and the arriving document
+    stream is scored by the IDENTICAL map-only expressions with the
+    weights inlined as literals — scoring is per-row deterministic, so
+    the exprs run unchanged on a streaming DataFrame, zero training
+    actions and zero state at stream time. The replay appends scored
+    rows to a memory sink; the graded result is the d5z per-source
+    rollup over the sink, against d5z's own round-unrolled batch oracle
+    — so the streamed scores must be bit-identical to batch scoring,
+    not merely similar.
+
+    Scale: per-batch cost is |batch| codegen scoring (no shuffle on the
+    stream side at all — the only aggregate runs on the bounded sink
+    summary); this is the shape a streaming curation gate runs at
+    ingest, with model refreshes arriving as new literal plans."""
+    from ..session import ensure_engine_conf
+    from ..streaming.streams import c8_write_stream
+    from .llm_quality import _qc_scored_df
+
+    ensure_engine_conf(spark)
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA_FULL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_all_docs_chunks_dir(sf_dir))
+    )
+    scored = _qc_scored_df(spark, sf_dir, docs=raw)
+    name = _sink_name("c16_sink")
+    q = c8_write_stream(scored, name, output_mode="append")
+    q.awaitTermination(240)
+    t = spark.table(name)
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_pos"),
+        F.count(F.when(F.col("hb") < F.expr("(256 * p) div 1000000"), 1)).alias(
+            "n_kept"
+        ),
+        F.count(F.when(F.expr("(p >= 500000) = (y = 1)"), 1)).alias("n_correct"),
+        F.expr("sum(p) div count(1)").alias("mean_score_ppm"),
+    )
