@@ -594,3 +594,57 @@ def score_with_model(
         .collect()
     ]
     return _qc_scored_df(spark, sf_dir, w=w)
+
+
+def _d26d_oracle() -> str:
+    return (
+        _qc_scored_ctes()
+        + """
+        SELECT CAST(least(p // 100000, 9) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(p) // count(*) AS BIGINT) AS mean_score_ppm,
+               CAST(1000000 * sum(y) // count(*) AS BIGINT)
+                   AS empirical_pos_ppm,
+               CAST(sum(p) // count(*) - 1000000 * sum(y) // count(*)
+                    AS BIGINT) AS gap_ppm
+        FROM scored GROUP BY 1
+    """
+    )
+
+
+@query(
+    "d26d_classifier_calibration",
+    oracle=_d26d_oracle(),
+    tags=("D26", "D5z", "P1"),
+)
+def d26d_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION (reliability diagram) — the fourth leg of
+    the d5z eval suite after accuracy (d5z), the threshold frontier
+    (d26b) and ranking power (d26c) [public: reliability diagrams,
+    DeGroot & Fienberg 1983; modern nets are miscalibrated, Guo et al.
+    2017]: documents bin by predicted score decile, and each bin reports
+    mean predicted score vs the empirical positive rate — the gap column
+    IS the reliability curve's deviation from the diagonal, the number
+    that says whether a score of 0.8 MEANS 80%. All integer ppm
+    arithmetic, so bins, rates and gaps are bit-identical across engines
+    (gaps may be negative — pure subtraction, no division asymmetry).
+
+    Scale: one map-only scoring pass (literal weights) into one
+    partial-aggregatable groupBy over 10 bins — the cheapest query shape
+    there is; at 100 TB this is a single corpus stream."""
+    scored = _qc_scored_df(spark, sf_dir)
+    return (
+        scored.groupBy(
+            F.expr("least(p div 100000, 9L)").cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.expr("sum(p) div count(1)").alias("mean_score_ppm"),
+            F.expr("1000000L * sum(y) div count(1)").alias("empirical_pos_ppm"),
+            F.expr(
+                "sum(p) div count(1) - 1000000L * sum(y) div count(1)"
+            ).alias("gap_ppm"),
+        )
+    )
