@@ -357,3 +357,123 @@ def d16b_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "docs_cut", "tokens_removed", "total_tokens", "cut_checksum"
         )
     )
+
+
+_KCENTER_K = 4
+_D2_SQL = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _d17b_oracle() -> str:
+    d2 = _D2_SQL
+    rounds = []
+    for r in range(2, _KCENTER_K + 1):
+        prev = f"d{r - 1}"
+        rounds.append(f"""
+        s{r} AS (SELECT vec_id, ve FROM {prev} ORDER BY dm DESC, vec_id LIMIT 1),
+        d{r} AS (SELECT p.vec_id, p.ve,
+                        least(p.dm, {d2.format(a='p.ve', b=f's{r}.ve')}) AS dm
+                 FROM {prev} p, s{r})""")
+    seed_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, vec_id, ve FROM s{r}" for r in range(1, _KCENTER_K + 1)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        s1 AS (SELECT vec_id, ve FROM e ORDER BY vec_id LIMIT 1),
+        d1 AS (SELECT e.vec_id, e.ve, {d2.format(a='e.ve', b='s1.ve')} AS dm
+               FROM e, s1),
+        {",".join(rounds)},
+        seeds AS ({seed_union}),
+        dist AS (SELECT e.vec_id, s.r, {d2.format(a='e.ve', b='s.ve')} AS d
+                 FROM e, seeds s),
+        pick AS (SELECT vec_id, r, d,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, r) AS rn
+                 FROM dist)
+        SELECT p.r AS seed_rank, s.vec_id AS seed_vec_id,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               round(max(p.d), 6) AS radius_sq
+        FROM pick p JOIN seeds s ON s.r = p.r
+        WHERE p.rn = 1 GROUP BY p.r, s.vec_id
+    """
+
+
+@query(
+    "d17b_kcenter_seeding",
+    oracle=_d17b_oracle(),
+    tags=("D17", "D4", "P1"),
+)
+def d17b_kcenter_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal (Gonzalez k-center) seeding [public:
+    Gonzalez 1985; the 2-approximation for minimax-radius clustering, and
+    the deterministic alternative to k-means++'s sampled seeding]: start
+    from the lowest vec_id, then repeatedly take the vector FARTHEST from
+    the chosen set (ties to low id). Emits each seed with its cluster's
+    population and minimax radius after assigning every vector to its
+    nearest seed — the coverage numbers an IVF/codebook designer reads
+    before fixing k. Fully deterministic, so the whole traversal is
+    oracle-checked (round-unrolled CTEs, the d17/d5w recipe); distances
+    fold dim-by-dim in both engines' identical sequential order, so
+    argmax comparisons can never flip.
+
+    Scale: each round is one map-only distance update against a LITERAL
+    seed vector plus one 1-row argmax collect (the d17 bounded-actions
+    posture, K-1 actions total); the final assignment is a 4-literal
+    arg-min evaluated as array_min over (dist, rank) structs — no join,
+    no shuffle until the K-row rollup. The running min-distance column
+    makes each round O(corpus), never O(corpus x seeds)."""
+    from pyspark.sql.window import Window  # noqa: F401 (parity with d17 style)
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    out_schema = (
+        "seed_rank int, seed_vec_id bigint, n_assigned bigint, radius_sq double"
+    )
+    first = emb.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return spark.createDataFrame([], out_schema)
+    from ..functions.vectors import literal_vector, squared_l2_distance
+
+    seeds = [(1, first[0]["vec_id"], list(first[0]["ve"]))]
+    cur = emb.withColumn(
+        "dm", squared_l2_distance(F.col("ve"), literal_vector(seeds[0][2]))
+    )
+    for r in range(2, _KCENTER_K + 1):
+        far = cur.orderBy(F.desc("dm"), F.asc("vec_id")).limit(1).collect()[0]
+        seeds.append((r, far["vec_id"], list(far["ve"])))
+        cur = cur.withColumn(
+            "dm",
+            F.least(
+                F.col("dm"),
+                squared_l2_distance(F.col("ve"), literal_vector(seeds[-1][2])),
+            ),
+        )
+    pick = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    squared_l2_distance(F.col("ve"), literal_vector(v)).alias("d"),
+                    F.lit(r).alias("r"),
+                )
+                for r, _, v in seeds
+            ]
+        )
+    )
+    assigned = emb.select("vec_id", pick.alias("p")).select(
+        F.col("p.r").alias("seed_rank"), F.col("p.d").alias("d")
+    )
+    seed_id = "CASE " + " ".join(
+        f"WHEN seed_rank = {r} THEN {vid}L" for r, vid, _ in seeds
+    ) + " END"
+    return assigned.groupBy("seed_rank").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.max("d"), 6).alias("radius_sq"),
+    ).select(
+        "seed_rank",
+        F.expr(seed_id).alias("seed_vec_id"),
+        "n_assigned",
+        "radius_sq",
+    )

@@ -118,9 +118,9 @@ _OPERATOR_MODULES = (
 #: join/agg/set-op pack), 50 last graded r5. The window takes all 18
 #: r3-vintage + most r4-vintage names; the remaining slots go to the
 #: round's NEW queries (never-graded, freshest-slots-first policy) —
-#: nineteen landed (d5z/d26b/d13g/d26c/d26d classifier suite, d7r,
-#: c14, c6e, d15b, v02b, d14e, c15, c16, d4l, d16b, d5ab, d2s, d7s,
-#: d2t), each eviction taking the freshest remaining
+#: twenty landed (d5z/d26b/d13g/d26c/d26d classifier suite, d7r,
+#: c14, c6e, d15b, v02b, d14e, c15, c16, d4l, d16b, d17b, d5ab, d2s,
+#: d7s, d2t), each eviction taking the freshest remaining
 #: regrade (r5-vintage d4d/v01 first, then the r4 pack's tail).
 _DRIVER_WINDOW = (
     # r10 first-gradings (new this round) — never-graded names take the
@@ -145,6 +145,7 @@ _DRIVER_WINDOW = (
     "d2t_dup_graph_pagerank",
     "c16_stream_scoring_replay",
     "d26d_classifier_calibration",
+    "d17b_kcenter_seeding",
     # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first
     # driver evidence since round 3)
     "b06_asof_join",
@@ -172,7 +173,6 @@ _DRIVER_WINDOW = (
     "b04_semi_join",
     "b09b_salted_aggregate",
     "b09c_having",
-    "b09d_count_histogram",
     "b11_approx_count_distinct",
     "b21_correlated_subquery",
     "b_arg_extremes",
