@@ -258,3 +258,69 @@ def build_quality_model(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     from ..operators.llm_quality import write_quality_model
 
     return write_quality_model(spark, sf_dir, out_dir)
+
+
+def stream_ivf_index(
+    spark: SparkSession,
+    stream_src_dir: str,
+    out_dir: str,
+    sf_dir: str,
+    schema: str = "vec_id long, embedding array<float>, label int",
+) -> str:
+    """Maintain the IVF ANN index on a LIVE embedding ingest stream — the
+    last of the four durable artifacts to get streaming upkeep (band
+    index: c14; manifest: c15; classifier serving: c16): a foreachBatch
+    sink assigns each arriving micro-batch of vectors against the FROZEN
+    coarse-quantizer codebook (production IVF appends under a fixed
+    quantizer and retrains offline — the bootstrap build owns the
+    codebook), computes norms + PQ codes with the same expressions as
+    ``write_ivf_index``, and APPENDS into the bucket-partitioned index
+    layout. Every index row derives from exactly one vector, so per-batch
+    append commutes and the streamed index is row-set-identical to the
+    one-shot batch build (asserted by tests/test_incremental_index.py) —
+    bootstrap in batch, maintain on the stream, same serving reads.
+    Per-batch cost = |batch| assignment/encode + one append; the base is
+    never re-read or re-encoded. Returns ``out_dir``."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import as_double, l2_norm
+    from ..operators.llm_similarity import (
+        _codebook,
+        _with_centroid_bucket,
+        _with_pq_codes,
+    )
+
+    cb = _codebook(spark, sf_dir)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        ve = as_double(F.col("embedding"))
+        (
+            _with_pq_codes(
+                _with_centroid_bucket(
+                    batch_df.select(
+                        "vec_id", ve.alias("ve"), l2_norm(ve).alias("nrm"), "label"
+                    ),
+                    cb,
+                ),
+                cb,
+            )
+            .withColumn("bucket", F.col("bucket").cast("long"))
+            .select("vec_id", "ve", "nrm", "code", "label", "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out_dir

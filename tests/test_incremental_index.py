@@ -100,3 +100,52 @@ def test_streamed_index_serves_probe(spark, tmp_path_factory):
         tuple(r) for r in incremental_dedup_probe(spark, SF_DIR, out).collect()
     )
     assert probed == inline
+
+
+def _stage_embeddings_chunks(sf_dir: str, out: str, n_chunks: int = 4) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    src = f"{sf_dir}/embeddings.parquet"
+    for i in range(n_chunks):
+        con.execute(
+            f"""COPY (
+                  SELECT vec_id, embedding, label
+                  FROM (SELECT *, ntile({n_chunks}) OVER (ORDER BY vec_id) AS nt
+                        FROM read_parquet('{src}'))
+                  WHERE nt = {i + 1} ORDER BY vec_id
+                ) TO '{out}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    return out
+
+
+def test_streamed_ivf_index_matches_batch_build(spark, tmp_path_factory):
+    """stream_ivf_index (r10 — the last durable artifact to get streaming
+    upkeep): embeddings replayed as 4 micro-batches, each assigned against
+    the frozen codebook and appended; the streamed index must hold exactly
+    the one-shot write_ivf_index row set, floats and PQ codes included —
+    per-row derivation commutes with batching."""
+    from dcosb_cassandra_spark.operators.llm_similarity import (
+        _IVF_INDEX_SCHEMA,
+        write_ivf_index,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import stream_ivf_index
+
+    load_all()
+    src = str(tmp_path_factory.mktemp("emb_chunks"))
+    _stage_embeddings_chunks(SF_DIR, src)
+    streamed = str(tmp_path_factory.mktemp("ivf_streamed"))
+    batch = str(tmp_path_factory.mktemp("ivf_batch"))
+    stream_ivf_index(spark, src, streamed, SF_DIR)
+    write_ivf_index(spark, SF_DIR, batch)
+
+    def rows(d):
+        return sorted(
+            (r["vec_id"], r["bucket"], r["nrm"], tuple(r["code"]),
+             r["label"], tuple(r["ve"]))
+            for r in spark.read.schema(_IVF_INDEX_SCHEMA).parquet(d).collect()
+        )
+
+    a, b = rows(streamed), rows(batch)
+    assert a == b and len(a) > 0
