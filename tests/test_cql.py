@@ -302,3 +302,27 @@ def test_duration_literal_parsing():
         parse_duration_micros("1y")
     with pytest.raises(InvalidRequest):
         parse_duration_micros("wat")
+
+
+def test_filtered_ann_requires_index_or_allow_filtering(spark):
+    """v02b's hybrid-search contract: WHERE label = x ORDER BY ANN OF
+    without an SAI index on label is rejected exactly like any other
+    non-key equality (Cassandra demands the index or ALLOW FILTERING);
+    with the session-created index it compiles, and with ALLOW FILTERING
+    it compiles without the index. The three shapes a Cassandra 5 user
+    actually hits."""
+    from dcosb_cassandra_spark.cql import InvalidRequest, cql
+    from dcosb_cassandra_spark.operators.cql5 import _QVEC_SQL
+
+    stmt = (
+        f"SELECT vec_id, similarity_cosine(embedding, {_QVEC_SQL}) AS score "
+        f"FROM embeddings WHERE label = 7 "
+        f"ORDER BY embedding ANN OF {_QVEC_SQL} LIMIT 5"
+    )
+    with pytest.raises(InvalidRequest):
+        cql(spark, SF, stmt)
+    ok = cql(spark, SF, stmt, extra_indexed={"embeddings": ("label",)})
+    rows = ok.collect()
+    assert 0 < len(rows) <= 5
+    ok2 = cql(spark, SF, stmt + " ALLOW FILTERING")
+    assert [r["vec_id"] for r in ok2.collect()] == [r["vec_id"] for r in rows]
