@@ -324,3 +324,45 @@ def stream_ivf_index(
     )
     q.awaitTermination(120)
     return out_dir
+
+
+def forget_documents(
+    spark: SparkSession, index_dir: str, doc_ids: list[int]
+) -> str:
+    """Right-to-be-forgotten propagation into the dedup serving artifact
+    (GDPR/CCPA erasure is a pipeline REQUIREMENT, not a nicety — the
+    corpus delete must reach every derived index or the deleted text
+    keeps influencing dedup verdicts through its band rows and token
+    sets): rewrite ``index_dir/bands`` and ``index_dir/toks`` without the
+    given doc_ids, atomically per store (write to a sibling, rename over
+    — readers never see a partial store). Every index row carries its
+    doc_id, so erasure is an exact row filter and the result is
+    BYTE-EQUIVALENT in content to an index built without the documents
+    (row-set parity asserted by tests/test_incremental_index.py) — the
+    strongest erasure guarantee an index can give.
+
+    Scale: one filtered scan + rewrite per store, cost = index size, not
+    corpus size; the forget list ships as a broadcastable literal (bulk
+    erasure batches thousands of ids per pass, amortizing the rewrite
+    exactly like tombstone compaction does)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ids = [int(i) for i in doc_ids]
+    for store in ("bands", "toks"):
+        src = os.path.join(index_dir, store)
+        if not os.path.isdir(src):
+            continue
+        tmp = f"{src}.forget.{os.getpid()}"
+        (
+            spark.read.parquet(src)
+            .filter(~F.col("doc_id").isin(ids))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = f"{src}.old.{os.getpid()}"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+    return index_dir

@@ -149,3 +149,55 @@ def test_streamed_ivf_index_matches_batch_build(spark, tmp_path_factory):
 
     a, b = rows(streamed), rows(batch)
     assert a == b and len(a) > 0
+
+
+def test_forget_documents_equals_build_without(spark, tmp_path_factory):
+    """Right-to-be-forgotten propagation (r10): forgetting doc_ids from a
+    built band index must leave an index ROW-SET-IDENTICAL to one built
+    with those documents never present — the strongest erasure guarantee
+    — and a probe against the forgotten index must behave as if the docs
+    never existed (no verdict may cite a forgotten doc as partner)."""
+    import duckdb
+
+    from dcosb_cassandra_spark.sources.maintenance import forget_documents
+
+    load_all()
+    # pick two base docs that actually hold band rows
+    full = str(tmp_path_factory.mktemp("band_full"))
+    build_band_index(spark, SF_DIR, full)
+    some = [
+        r["doc_id"]
+        for r in spark.read.parquet(full + "/bands").limit(2).collect()
+    ]
+    assert len(some) == 2
+    forget_documents(spark, full, some)
+
+    # rebuild from a corpus parquet with the docs physically removed
+    pruned_sf = str(tmp_path_factory.mktemp("sf_pruned"))
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')
+                     WHERE doc_id NOT IN ({",".join(map(str, some))}))
+                TO '{pruned_sf}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    ref = str(tmp_path_factory.mktemp("band_ref"))
+    build_band_index(spark, pruned_sf, ref)
+
+    for store in ("bands", "toks"):
+        got = sorted(
+            tuple((tuple(v) if isinstance(v, list) else v) for v in r)
+            for r in spark.read.parquet(f"{full}/{store}").collect()
+        )
+        want = sorted(
+            tuple((tuple(v) if isinstance(v, list) else v) for v in r)
+            for r in spark.read.parquet(f"{ref}/{store}").collect()
+        )
+        assert got == want and len(got) > 0
+
+    # probe behavior: no verdict row may cite a forgotten doc
+    probed = incremental_dedup_probe(spark, SF_DIR, full).collect()
+    assert probed and not any(
+        r["dup_of"] in some for r in probed if r["dup_of"] is not None
+    )
