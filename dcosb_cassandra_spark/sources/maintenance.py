@@ -366,3 +366,38 @@ def forget_documents(
         os.rename(tmp, src)
         shutil.rmtree(old)
     return index_dir
+
+
+def forget_vectors(
+    spark: SparkSession, index_dir: str, vec_ids: list[int]
+) -> str:
+    """Erasure propagation into the ANN serving artifact (the
+    ``forget_documents`` guarantee for vectors): rewrite the IVF index
+    without the given vec_ids, preserving the bucket-partitioned layout
+    (probes keep their partition pruning), atomically via sibling-write +
+    rename. Row-set-identical to an index built with the vectors never
+    present (tests/test_incremental_index.py). Cost = index size; the
+    bucket layout means a future optimization could rewrite ONLY the
+    buckets containing the forgotten ids — at 100 TB with k ≈ 50k
+    buckets, erasure touches 1/k of the index per distinct bucket hit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.llm_similarity import _IVF_INDEX_SCHEMA
+
+    ids = [int(i) for i in vec_ids]
+    tmp = f"{index_dir}.forget.{os.getpid()}"
+    (
+        spark.read.schema(_IVF_INDEX_SCHEMA)
+        .parquet(index_dir)
+        .filter(~F.col("vec_id").isin(ids))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    old = f"{index_dir}.old.{os.getpid()}"
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    return index_dir

@@ -201,3 +201,59 @@ def test_forget_documents_equals_build_without(spark, tmp_path_factory):
     assert probed and not any(
         r["dup_of"] in some for r in probed if r["dup_of"] is not None
     )
+
+
+def test_forget_vectors_equals_build_without(spark, tmp_path_factory):
+    """forget_vectors: erasing vec_ids from the IVF index leaves it
+    row-set-identical to an index built with those vectors never present,
+    with the bucket partitioning intact."""
+    import os
+
+    import duckdb
+
+    from dcosb_cassandra_spark.operators.llm_similarity import (
+        _IVF_INDEX_SCHEMA,
+        write_ivf_index,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import forget_vectors
+
+    load_all()
+    full = str(tmp_path_factory.mktemp("ivf_full"))
+    write_ivf_index(spark, SF_DIR, full)
+    some = [
+        r["vec_id"]
+        for r in spark.read.schema(_IVF_INDEX_SCHEMA).parquet(full)
+        .filter("vec_id >= 5").limit(2).collect()
+    ]
+    assert len(some) == 2
+    forget_vectors(spark, full, some)
+    assert any(e.startswith("bucket=") for e in os.listdir(full))
+
+    # reference: the pruned vector set indexed under the FROZEN original
+    # quantizer (production erases under the frozen codebook; retraining
+    # is a separate job — a pruned-corpus write_ivf_index would retrain
+    # centroids and legitimately move buckets/codes). stream_ivf_index
+    # takes the codebook from sf_dir while indexing the staged source.
+    from dcosb_cassandra_spark.sources.maintenance import stream_ivf_index
+
+    pruned_src = str(tmp_path_factory.mktemp("emb_pruned_src"))
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT vec_id, embedding, label
+                 FROM read_parquet('{SF_DIR}/embeddings.parquet')
+                 WHERE vec_id NOT IN ({",".join(map(str, some))}))
+            TO '{pruned_src}/all.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    ref = str(tmp_path_factory.mktemp("ivf_ref"))
+    stream_ivf_index(spark, pruned_src, ref, SF_DIR)
+
+    def rows(d):
+        return sorted(
+            (r["vec_id"], r["bucket"], r["nrm"], tuple(r["code"]),
+             r["label"], tuple(r["ve"]))
+            for r in spark.read.schema(_IVF_INDEX_SCHEMA).parquet(d).collect()
+        )
+
+    a, b = rows(full), rows(ref)
+    assert a == b and len(a) > 0
