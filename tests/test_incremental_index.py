@@ -257,3 +257,40 @@ def test_forget_vectors_equals_build_without(spark, tmp_path_factory):
 
     a, b = rows(full), rows(ref)
     assert a == b and len(a) > 0
+
+
+def test_streamed_index_compacts_and_still_serves(spark, tmp_path_factory):
+    """The c14 docstring's open loop, closed: streaming upkeep accumulates
+    one small file per micro-batch; compact_small_files rewrites each
+    store to few right-sized files and the probe verdicts are unchanged —
+    the LSM compaction contract on the dedup artifact."""
+    from dcosb_cassandra_spark.operators.streaming_batch import (
+        _DOCS_SCHEMA_FULL,
+        _stage_base_docs_chunks_dir,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import (
+        compact_small_files,
+        parquet_files,
+        stream_band_index,
+    )
+
+    load_all()
+    out = str(tmp_path_factory.mktemp("band_streamed_compact"))
+    stream_band_index(
+        spark, _stage_base_docs_chunks_dir(SF_DIR), out, _DOCS_SCHEMA_FULL
+    )
+    before_verdicts = sorted(
+        tuple(r) for r in incremental_dedup_probe(spark, SF_DIR, out).collect()
+    )
+    import os
+
+    for store in ("bands", "toks"):
+        path = os.path.join(out, store)
+        n_before = len(parquet_files(path))
+        assert n_before >= 4  # one file per micro-batch accumulated
+        b, a = compact_small_files(spark, path, 2)
+        assert (b, a) == (n_before, 2)
+    after_verdicts = sorted(
+        tuple(r) for r in incremental_dedup_probe(spark, SF_DIR, out).collect()
+    )
+    assert after_verdicts == before_verdicts and before_verdicts
