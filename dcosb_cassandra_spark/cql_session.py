@@ -229,6 +229,35 @@ def register_trigger_class(name: str):
     return deco
 
 
+#: table -> band-index dir the ErasureTrigger propagates DELETEs into
+#: (pipeline wiring; tables without an entry are untouched)
+ERASURE_TARGETS: dict = {}
+
+
+@register_trigger_class("dcosb.ErasureTrigger")
+def _erasure_trigger(sess, tbl: str, op: str, data: dict) -> None:
+    """DELETE propagation into the derived pipeline artifacts — the CQL
+    face of right-to-be-forgotten (GDPR erasure must reach every index or
+    the deleted row keeps influencing verdicts): a DELETE on a table wired
+    in ``ERASURE_TARGETS`` forwards the deleted doc_id into
+    ``maintenance.forget_documents``, which rewrites the dedup band index
+    without it (row-set-identical to an index built with the doc never
+    present — the maintenance layer's tested guarantee). Non-DELETE
+    mutations and unwired tables are no-ops, so the trigger costs nothing
+    on the write path until an erasure actually happens."""
+    if op != "DELETE":
+        return
+    target = ERASURE_TARGETS.get(tbl)
+    if not target:
+        return
+    doc_id = data.get("doc_id")
+    if doc_id is None:
+        return
+    from .sources.maintenance import forget_documents
+
+    forget_documents(sess.spark, target, [int(doc_id)])
+
+
 @register_trigger_class("dcosb.AuditTrigger")
 def _audit_trigger(sess, tbl: str, op: str, data: dict) -> None:
     """The canonical trigger example (Cassandra ships InvertedIndex; the

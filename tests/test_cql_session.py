@@ -1497,3 +1497,41 @@ def test_audit_trigger_rejects_mismatched_side_table(spark):
     s.execute("CREATE TRIGGER a1 ON subject USING 'dcosb.AuditTrigger'")
     with pytest.raises(InvalidRequest, match="trigger_audit"):
         s.execute("INSERT INTO subject (id, v) VALUES (1, 'x')")
+
+
+def test_erasure_trigger_propagates_delete_to_index(sess, tmp_path):
+    """The CQL face of right-to-be-forgotten: DELETE on a wired table
+    forwards the doc_id into the dedup band index via
+    dcosb.ErasureTrigger, and the index ends row-set-identical to one
+    built with the document never present (the maintenance-layer
+    guarantee, here driven end-to-end from a CQL statement)."""
+    from dcosb_cassandra_spark.cql_session import ERASURE_TARGETS
+    from dcosb_cassandra_spark.sources.maintenance import build_band_index
+
+    idx = str(tmp_path / "band_idx")
+    build_band_index(sess.spark, SMOKE_SF_DIR, idx)
+    victim = sess.spark.read.parquet(idx + "/bands").limit(1).collect()[0]["doc_id"]
+    before = sess.spark.read.parquet(idx + "/bands").filter(
+        f"doc_id = {victim}"
+    ).count()
+    assert before > 0
+    sess.execute(
+        "CREATE TRIGGER erase ON documents USING 'dcosb.ErasureTrigger'"
+    )
+    ERASURE_TARGETS["documents"] = idx
+    try:
+        sess.execute(f"DELETE FROM documents WHERE doc_id = {victim}")
+    finally:
+        ERASURE_TARGETS.pop("documents", None)
+    for store in ("bands", "toks"):
+        left = sess.spark.read.parquet(f"{idx}/{store}").filter(
+            f"doc_id = {victim}"
+        ).count()
+        assert left == 0, f"{store} still holds the erased doc"
+    # the CQL row is tombstoned too (the normal DELETE semantics)
+    assert (
+        sess.execute(
+            f"SELECT doc_id FROM documents WHERE doc_id = {victim}"
+        ).count()
+        == 0
+    )
