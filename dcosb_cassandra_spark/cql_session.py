@@ -229,8 +229,13 @@ def register_trigger_class(name: str):
     return deco
 
 
-#: table -> band-index dir the ErasureTrigger propagates DELETEs into
-#: (pipeline wiring; tables without an entry are untouched)
+#: table -> erasure wiring the ErasureTrigger propagates DELETEs into
+#: (tables without an entry are untouched). Two accepted value shapes:
+#: a plain str = band-index dir (the original r10 wiring), or a dict
+#: {"band_index": dir?, "sf_dir": dir?, "rebuild": {artifact: dir}?} —
+#: the r11 extension covering the AGGREGATE artifacts via
+#: ``maintenance.erasure_audit`` (audit always runs when sf_dir is
+#: wired; retrains fire only for artifacts given a rebuild dir).
 ERASURE_TARGETS: dict = {}
 
 
@@ -242,9 +247,13 @@ def _erasure_trigger(sess, tbl: str, op: str, data: dict) -> None:
     in ``ERASURE_TARGETS`` forwards the deleted doc_id into
     ``maintenance.forget_documents``, which rewrites the dedup band index
     without it (row-set-identical to an index built with the doc never
-    present — the maintenance layer's tested guarantee). Non-DELETE
-    mutations and unwired tables are no-ops, so the trigger costs nothing
-    on the write path until an erasure actually happens."""
+    present — the maintenance layer's tested guarantee), and — with the
+    dict wiring — into ``maintenance.erasure_audit``, which reports
+    whether the deleted doc influenced the AGGREGATE artifacts (BPE
+    vocab, quality model) and retrains any artifact wired with a rebuild
+    dir as if the doc never existed. Non-DELETE mutations and unwired
+    tables are no-ops, so the trigger costs nothing on the write path
+    until an erasure actually happens."""
     if op != "DELETE":
         return
     target = ERASURE_TARGETS.get(tbl)
@@ -253,9 +262,20 @@ def _erasure_trigger(sess, tbl: str, op: str, data: dict) -> None:
     doc_id = data.get("doc_id")
     if doc_id is None:
         return
-    from .sources.maintenance import forget_documents
+    from .sources.maintenance import erasure_audit, forget_documents
 
-    forget_documents(sess.spark, target, [int(doc_id)])
+    if isinstance(target, str):
+        forget_documents(sess.spark, target, [int(doc_id)])
+        return
+    if target.get("band_index"):
+        forget_documents(sess.spark, target["band_index"], [int(doc_id)])
+    if target.get("sf_dir"):
+        erasure_audit(
+            sess.spark,
+            target["sf_dir"],
+            [int(doc_id)],
+            rebuild=target.get("rebuild"),
+        ).collect()  # bounded: 2 artifact rows — the trigger is the consumer
 
 
 @register_trigger_class("dcosb.AuditTrigger")

@@ -107,24 +107,36 @@ def _z_expr(w: list[int]) -> str:
     return f"({terms}) div 1000000L"
 
 
-#: (documents path, mtime) -> (weights list[int], per-round losses list[int])
+#: (documents path, mtime, train_max) -> (weights, per-round losses)
 _QC_CACHE: dict[tuple, tuple[list, list]] = {}
 
 
 def _train_quality_classifier(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    train_max: int = _QC_TRAIN_MAX_ID,
+    exclude_doc_ids: list[int] | None = None,
 ) -> tuple[list[int], list[int]]:
     """Fixed-round full-batch GD, memoized per corpus generation. Each
     round is ONE bounded action: a global aggregate collecting the NF
     gradient sums + n + the surrogate loss (NF+2 values). The update
     w_j -= grad_j div (n * LR_DIV) runs driver-side in exact Python ints
-    with truncating division, mirroring the oracle's ``//``."""
+    with truncating division, mirroring the oracle's ``//``.
+    ``train_max`` bounds the labeled subset — c16b's mid-stream model
+    refresh retrains on the doubled subset (2×_QC_TRAIN_MAX_ID).
+    ``exclude_doc_ids`` retrains as if those docs never existed — the
+    erasure-audit rebuild path (maintenance.erasure_audit): the model is
+    an AGGREGATE artifact, so per-row erasure cannot reach it; the only
+    honest guarantee is a retrain without the forgotten rows."""
+    ids = tuple(sorted(int(i) for i in (exclude_doc_ids or ())))
     path = os.path.join(sf_dir, "documents.parquet")
-    key = (path, os.stat(path).st_mtime_ns)
+    key = (path, os.stat(path).st_mtime_ns, train_max, ids)
     if key not in _QC_CACHE:
         feats = _qc_features(table(spark, sf_dir, "documents")).filter(
-            F.col("doc_id") < _QC_TRAIN_MAX_ID
+            F.col("doc_id") < train_max
         )
+        if ids:
+            feats = feats.filter(~F.col("doc_id").isin(list(ids)))
         w = [0] * _QC_NF
         losses: list[int] = []
         for _ in range(_QC_ROUNDS):
@@ -229,6 +241,49 @@ def _qc_scored_ctes() -> str:
                   FROM feat, w{_QC_ROUNDS} w)
         )
     """
+
+
+def _qc_chain_ctes(train_max: int, sfx: str) -> str:
+    """A SECOND GD chain (CTE suffix ``sfx``) over the shared base/feat/w0
+    prefix emitted by `_qc_scored_ctes`, trained on doc_id < ``train_max``
+    — c16b's refreshed model B, round-unrolled with the same fixed-point
+    arithmetic so the retrain trajectory is hash-checked too. Returns
+    ``e{sfx}1 ... scored{sfx}`` CTE text (no leading WITH/comma)."""
+    idx = range(1, _QC_NF + 1)
+    rounds = []
+    for r in range(1, _QC_ROUNDS + 1):
+        grads = ", ".join(f"sum(err * x[{j}]) AS g{j}" for j in idx)
+        newx = ", ".join(f"w.w[{j}] - g.g{j} // (g.n * {_QC_LR_DIV})" for j in idx)
+        prev = "w0" if r == 1 else f"w{sfx}{r - 1}"
+        rounds.append(
+            f"""
+        e{sfx}{r} AS (
+            SELECT y, x,
+                   500000 + (z * 500000) // (1000000 + abs(z)) - 1000000 * y AS err
+            FROM (SELECT y, x,
+                         list_sum(list_transform(range(1, {_QC_NF + 1}),
+                             j -> w.w[j] * x[j])) // 1000000 AS z
+                  FROM feat, {prev} w WHERE doc_id < {train_max})
+        ),
+        g{sfx}{r} AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, {grads} FROM e{sfx}{r}
+        ),
+        w{sfx}{r} AS (SELECT list_value({newx}) AS w
+                      FROM {prev} w, g{sfx}{r} g)"""
+        )
+    return (
+        ",".join(rounds)
+        + f""",
+        scored{sfx} AS (
+            SELECT doc_id, source, y,
+                   500000 + (z * 500000) // (1000000 + abs(z)) AS p,
+                   {_qc_md5_byte_sql("CAST(doc_id AS VARCHAR)")} AS hb
+            FROM (SELECT doc_id, source, y,
+                         list_sum(list_transform(range(1, {_QC_NF + 1}),
+                             j -> w.w[j] * x[j])) // 1000000 AS z
+                  FROM feat, w{sfx}{_QC_ROUNDS} w)
+        )"""
+    )
 
 
 def _qc_oracle() -> str:
@@ -557,7 +612,12 @@ def d26c_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QC_MODEL_SCHEMA = "kind string, idx int, value long"
 
 
-def write_quality_model(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+def write_quality_model(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    exclude_doc_ids: list[int] | None = None,
+) -> str:
     """Materialize the trained d5z classifier as the durable curation
     artifact (the build half of the build/serve split — the same contract
     as write_bpe_vocab / write_ivf_index / build_band_index): NF+1 weight
@@ -565,8 +625,13 @@ def write_quality_model(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     100 TB pipeline trains once on the labeled sample at ingest and ships
     this file to every scoring pass. Serve with ``score_with_model``; bit
     parity with the inline path is asserted by
-    tests/test_quality_classifier.py."""
-    w, losses = _train_quality_classifier(spark, sf_dir)
+    tests/test_quality_classifier.py. ``exclude_doc_ids`` rebuilds the
+    artifact as if those docs never existed (the erasure-audit retrain —
+    bit-identical to a build on a corpus without them, asserted by
+    tests/test_maintenance.py)."""
+    w, losses = _train_quality_classifier(
+        spark, sf_dir, exclude_doc_ids=exclude_doc_ids
+    )
     rows = [("w", j, int(v)) for j, v in enumerate(w)] + [
         ("loss", j, int(v)) for j, v in enumerate(losses)
     ]

@@ -1942,20 +1942,32 @@ _BPE_TRAIN_CACHE: dict[tuple, list] = {}
 _BPE_CHAIN_BATCH = 16
 
 
-def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int | None = None) -> list:
+def _train_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int | None = None,
+    exclude_doc_ids: list[int] | None = None,
+) -> list:
     """Run the BPE training loop (see d5w for semantics and scale shape)
     and memoize the merge rows per (corpus generation, rounds). The
     graded queries train _BPE_ROUNDS (oracle-unrollable); the scale test
     trains 64+ (tests/test_bpe_scale.py, parity vs a pure-Python greedy
-    reference)."""
+    reference). ``exclude_doc_ids`` retrains as if those docs never
+    existed — the erasure-audit rebuild path (maintenance.erasure_audit):
+    a vocab is an AGGREGATE artifact every training doc's pair counts
+    influenced, so the only honest erasure is a retrain without them."""
     import os
 
     rounds = _BPE_ROUNDS if rounds is None else rounds
+    ids = tuple(sorted(int(i) for i in (exclude_doc_ids or ())))
     path = os.path.join(sf_dir, "documents.parquet")
-    key = (path, os.stat(path).st_mtime_ns, rounds)
+    key = (path, os.stat(path).st_mtime_ns, rounds, ids)
     if key in _BPE_TRAIN_CACHE:
         return _BPE_TRAIN_CACHE[key]
-    df = _bpe_char_seq(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    if ids:
+        docs = docs.filter(~F.col("doc_id").isin(list(ids)))
+    df = _bpe_char_seq(docs)
     total = df.select(F.sum(F.size("seq"))).collect()[0][0] or 0
     pairs_expr = (
         "filter(transform(slice(seq, 1, greatest(size(seq) - 1, 0)), "
@@ -2055,15 +2067,24 @@ def _bpe_encode_report(
     )
 
 
-def write_bpe_vocab(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+def write_bpe_vocab(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    exclude_doc_ids: list[int] | None = None,
+) -> str:
     """Materialize the trained BPE merge table (the d5w output) as the
     durable tokenizer artifact — the vocab a 100 TB pipeline trains once
     at ingest and ships to every encode pass. One tiny file: the table
     is _BPE_ROUNDS rows. Serve with ``bpe_encode_with_vocab``; bit
     parity with the inline d5x path is asserted by
-    tests/test_bpe_vocab.py."""
+    tests/test_bpe_vocab.py. ``exclude_doc_ids`` rebuilds the vocab as
+    if those docs never existed (the erasure-audit retrain)."""
     (
-        spark.createDataFrame(_train_bpe(spark, sf_dir), _BPE_VOCAB_SCHEMA)
+        spark.createDataFrame(
+            _train_bpe(spark, sf_dir, exclude_doc_ids=exclude_doc_ids),
+            _BPE_VOCAB_SCHEMA,
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(out_dir)

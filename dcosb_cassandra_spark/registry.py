@@ -122,63 +122,70 @@ _OPERATOR_MODULES = (
 #: c14, c6e, d15b, v02b, d14e, c15, c16, d4l, d16b, d17b, d5ab, d2s,
 #: d7s, d2t), each eviction taking the freshest remaining
 #: regrade (r5-vintage d4d/v01 first, then the r4 pack's tail).
+#: Tenth rotation (r11): graded_history folded with r10's record (judge
+#: r10 task #1). Post-fold staleness: 13 names last graded r4 (the
+#: CUBE/GROUPING SETS/pivot/set-op/sampling pack), 50 last graded r5.
+#: The window takes all 13 r4-vintage names plus a 37-name r5 fill
+#: (all r5 names are EQUALLY stale, so the staleness guard is
+#: indifferent to which 37 — the fill keeps the judge-named cohort:
+#: a05b/a06b/extras2, incremental-dedup d1b, d5j/d5k, d13b,
+#: d_split_stratified). The round's NEW queries (never-graded) take the
+#: freshest slots first, each evicting one equally-stale r5 fill name
+#: (which stays pytest-oracle-guarded at sf0.01 every run).
 _DRIVER_WINDOW = (
-    # r10 first-gradings (new this round) — never-graded names take the
-    # freshest slots per the r7 eviction policy; r5-vintage names hold
-    # the slots until each lands.
-    "d5z_quality_classifier",
-    "d7r_interleaved_multimodal",
-    "c14_index_maintenance_replay",
-    "d26b_classifier_threshold_curve",
-    "d13g_curriculum_order",
-    "c6e_tws_replay",
-    "d26c_classifier_auc",
-    "d15b_global_shuffle_manifest",
-    "v02b_filtered_ann",
-    "d14e_multi_epoch_plan",
-    "c15_manifest_maintenance_replay",
-    "d4l_filtered_ivf_knn",
-    "d16b_substring_removal_plan",
-    "d5ab_tokenizer_fertility",
-    "d2s_containment_pairs",
-    "d7s_image_pixel_dedup",
-    "d2t_dup_graph_pagerank",
-    "c16_stream_scoring_replay",
-    "d26d_classifier_calibration",
-    "d17b_kcenter_seeding",
-    # r3-vintage regrades (stalest — heavy dedup/pipeline suite, first
-    # driver evidence since round 3)
-    "b06_asof_join",
-    "b07_cross_join",
-    "b08_self_join",
-    "c2_sliding_window",
-    "d1_exact_dedup_keep_min",
-    "d2_minhash_signatures",
-    "d2b_minhash_lsh_pairs",
-    "d2c_blocked_jaccard_pairs",
-    "d2d_simhash_fingerprints",
-    "d2e_embedding_near_dup",
-    "d2f_dup_clusters",
-    "d4_knn_lsh_bucketed",
-    "d5d_fingerprint_dedup",
-    "d5e_tfidf_top_terms",
-    "d5f_document_chunking",
-    "d6_sentiment_lexicon",
-    "d7b_decode_pipeline",
-    "d_pipeline_end_to_end",
-    # r4-vintage regrades (next-stalest — core joins/aggs/set ops)
-    "b01_broadcast_join_dims",
-    "b02_shuffle_join_facts",
-    "b02b_salted_join",
-    "b04_semi_join",
-    "b09b_salted_aggregate",
-    "b09c_having",
-    "b11_approx_count_distinct",
-    "b21_correlated_subquery",
-    "b_arg_extremes",
-    "b_column_profile",
-    "b_moments",
-    "b_percentiles",
+    # r11 first-gradings (new this round, never-graded — freshest slots)
+    "d4m_graph_ann_beam",
+    "d4n_graph_vs_ivf_recall",
+    "c16b_model_refresh_replay",
+    # r4-vintage regrades (stalest — CUBE/pivot/set-op/sampling pack)
+    "b09d_count_histogram",
+    "b12b_cube",
+    "b12c_grouping_sets",
+    "b16_multi_col_sort",
+    "b16b_null_ordering",
+    "b19_union_ops",
+    "b20b_multiset_ops",
+    "b21b_scalar_subquery",
+    "b22b_posexplode",
+    "b23_pivot",
+    "b23b_unpivot",
+    "b24_sampling",
+    "b_string_agg",
+    # r5-vintage fill (equally stale; judge-named cohort kept)
+    "a05b_token_murmur3_scan",
+    "a06b_page_state_scan",
+    "a11b_map_contains_key",
+    "a16b_group_by_floor",
+    "a28b_variant_json",
+    "a29b_timeuuid_ordering",
+    "a_partition_stats",
+    "a_static_column",
+    "b25b_string_functions_2",
+    "b27b_bitwise_ops",
+    "b28b_bool_aggregates",
+    "b_approx_percentiles",
+    "c10b_interval_join_replay",
+    "c12_cdc_change_feed",
+    "c1b_gap_filled_hours",
+    "c1c_ohlc_downsample",
+    "c3b_session_funnel",
+    "c6_stateful_running_counts",
+    "c7_stream_static_join",
+    "c8b_sink_roundtrip",
+    "c9c_view_parity",
+    "d13_sequence_packing",
+    "d13b_sequence_packing_subsharded",
+    "d14_domain_mixing",
+    "d15_length_buckets",
+    "d16_substring_dedup",
+    "d17_kmeans_lloyd",
+    "d1b_incremental_dedup",
+    "d2h_semdedup",
+    "d4d_ivf_probe_knn",
+    "d4f_ann_recall_eval",
+    "d5j_char_bigram_logprob",
+    "d5k_bpe_merge_candidates",
+    "d_split_stratified",
 )
 
 
@@ -209,6 +216,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 _loaded = False
 
+#: Names whose @query registration is environment-gated (e.g. c6e needs the
+#: vendored pure-Python protobuf on disk — streaming_batch._tws_runnable()).
+#: load_all() silently drops these from the window when absent instead of
+#: raising, so a host without the optional dependency still gets a working
+#: registry/driver/bench; any OTHER missing window name is still a hard error.
+_ENV_GATED = frozenset({"c6e_tws_replay"})
+
 
 def load_all() -> dict[str, QuerySpec]:
     global _loaded
@@ -216,9 +230,13 @@ def load_all() -> dict[str, QuerySpec]:
         for mod in _OPERATOR_MODULES:
             importlib.import_module(mod)
         missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
-        if missing:
-            raise ValueError(f"_DRIVER_WINDOW names not registered: {missing}")
-        ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+        hard_missing = [n for n in missing if n not in _ENV_GATED]
+        if hard_missing:
+            raise ValueError(
+                f"_DRIVER_WINDOW names not registered: {hard_missing}"
+            )
+        window = tuple(n for n in _DRIVER_WINDOW if n in REGISTRY)
+        ordered = {n: REGISTRY[n] for n in window}
         ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
         REGISTRY.clear()
         REGISTRY.update(ordered)

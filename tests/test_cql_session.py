@@ -1535,3 +1535,62 @@ def test_erasure_trigger_propagates_delete_to_index(sess, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_erasure_trigger_dict_wiring_rebuilds_aggregates(sess, tmp_path):
+    """r11: the dict-shaped ERASURE_TARGETS wiring — a CQL DELETE reaches
+    the AGGREGATE artifacts too: the band index is rewritten AND the
+    quality model is retrained as if the doc never existed (bit-identical
+    to a build on a corpus without it)."""
+    import duckdb
+
+    from dcosb_cassandra_spark.cql_session import ERASURE_TARGETS
+    from dcosb_cassandra_spark.operators.llm_quality import (
+        _QC_TRAIN_MAX_ID,
+        write_quality_model,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import build_band_index
+
+    idx = str(tmp_path / "band_idx")
+    build_band_index(sess.spark, SMOKE_SF_DIR, idx)
+    con = duckdb.connect()
+    victim = con.execute(
+        f"""SELECT min(doc_id) FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+            WHERE doc_id < {_QC_TRAIN_MAX_ID} AND length(text) >= 3
+              AND doc_id % 4 <> 0"""  # a BASE doc: it holds band rows
+    ).fetchone()[0]
+    pruned = str(tmp_path / "sf_pruned")
+    import os as _os
+
+    _os.makedirs(pruned)
+    con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+                 WHERE doc_id <> {victim})
+            TO '{pruned}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+
+    model_dir = str(tmp_path / "model")
+    sess.execute("CREATE TRIGGER erase2 ON documents USING 'dcosb.ErasureTrigger'")
+    ERASURE_TARGETS["documents"] = {
+        "band_index": idx,
+        "sf_dir": SMOKE_SF_DIR,
+        "rebuild": {"quality_model": model_dir},
+    }
+    try:
+        sess.execute(f"DELETE FROM documents WHERE doc_id = {victim}")
+    finally:
+        ERASURE_TARGETS.pop("documents", None)
+
+    for store in ("bands", "toks"):
+        assert (
+            sess.spark.read.parquet(f"{idx}/{store}")
+            .filter(f"doc_id = {victim}")
+            .count()
+            == 0
+        )
+    ref_model = str(tmp_path / "ref_model")
+    write_quality_model(sess.spark, pruned, ref_model)
+    got = sorted(map(tuple, sess.spark.read.parquet(model_dir).collect()))
+    want = sorted(map(tuple, sess.spark.read.parquet(ref_model).collect()))
+    assert got == want and len(got) > 0

@@ -275,3 +275,89 @@ def test_ivf_rename_failure_propagates_unless_race_lost(spark, tmp_path, monkeyp
     monkeypatch.setattr(_os, "rename", deny)
     monkeypatch.setattr(llm_similarity, "_IVF_INDEX_CACHE", {})
     assert build_ivf_index(spark, SMOKE_SF_DIR) == winner  # no raise
+
+
+def test_erasure_audit_reports_training_membership(spark):
+    """The aggregate-artifact erasure audit (r11): a doc inside the
+    quality-model labeled subset AND the BPE training universe is
+    reported influenced for both; a doc past the labeled-subset bound
+    influences only the vocab."""
+    import duckdb
+
+    from dcosb_cassandra_spark.operators.llm_quality import _QC_TRAIN_MAX_ID
+    from dcosb_cassandra_spark.sources.maintenance import erasure_audit
+
+    con = duckdb.connect()
+    in_both, vocab_only = con.execute(
+        f"""SELECT
+              (SELECT min(doc_id) FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+               WHERE doc_id < {_QC_TRAIN_MAX_ID} AND length(text) >= 3),
+              (SELECT min(doc_id) FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+               WHERE doc_id >= {_QC_TRAIN_MAX_ID}
+                 AND length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) >= 1)
+        """
+    ).fetchone()
+    con.close()
+    assert in_both is not None and vocab_only is not None
+
+    rows = {
+        r["artifact"]: r
+        for r in erasure_audit(spark, SMOKE_SF_DIR, [int(in_both)]).collect()
+    }
+    assert rows["quality_model"]["influenced"] is True
+    assert rows["bpe_vocab"]["influenced"] is True
+    assert all(not r["rebuilt"] for r in rows.values())  # no rebuild asked
+
+    rows2 = {
+        r["artifact"]: r
+        for r in erasure_audit(spark, SMOKE_SF_DIR, [int(vocab_only)]).collect()
+    }
+    assert rows2["quality_model"]["influenced"] is False
+    assert rows2["bpe_vocab"]["influenced"] is True
+
+
+def test_erasure_rebuild_equals_build_without_docs(spark, tmp_path):
+    """The rebuild path's bit-parity claim: retraining with
+    exclude_doc_ids must produce artifacts IDENTICAL to building on a
+    corpus with the docs physically removed — for both the quality model
+    and the BPE vocab."""
+    import duckdb
+
+    from dcosb_cassandra_spark.operators.llm_quality import _QC_TRAIN_MAX_ID
+    from dcosb_cassandra_spark.operators.llm_text import write_bpe_vocab
+    from dcosb_cassandra_spark.operators.llm_quality import write_quality_model
+    from dcosb_cassandra_spark.sources.maintenance import erasure_audit
+
+    con = duckdb.connect()
+    victim = con.execute(
+        f"""SELECT min(doc_id) FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+            WHERE doc_id < {_QC_TRAIN_MAX_ID} AND length(text) >= 3"""
+    ).fetchone()[0]
+    pruned = str(tmp_path / "sf_pruned")
+    os.makedirs(pruned)
+    con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{SMOKE_SF_DIR}/documents.parquet')
+                 WHERE doc_id <> {victim})
+            TO '{pruned}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+
+    model_dir = str(tmp_path / "model")
+    vocab_dir = str(tmp_path / "vocab")
+    out = erasure_audit(
+        spark,
+        SMOKE_SF_DIR,
+        [int(victim)],
+        rebuild={"quality_model": model_dir, "bpe_vocab": vocab_dir},
+    ).collect()
+    assert all(r["rebuilt"] for r in out if r["influenced"])
+
+    ref_model = str(tmp_path / "ref_model")
+    ref_vocab = str(tmp_path / "ref_vocab")
+    write_quality_model(spark, pruned, ref_model)
+    write_bpe_vocab(spark, pruned, ref_vocab)
+
+    for got_dir, want_dir in ((model_dir, ref_model), (vocab_dir, ref_vocab)):
+        got = sorted(map(tuple, spark.read.parquet(got_dir).collect()))
+        want = sorted(map(tuple, spark.read.parquet(want_dir).collect()))
+        assert got == want and len(got) > 0, got_dir

@@ -106,6 +106,20 @@ ALLOWED_BOUNDED_BROADCASTS = {
         {"bounded:events"},
         "broadcast side is agg(max(ts)): exactly 1 row at any SF",
     ),
+    "d4n_graph_vs_ivf_recall": (
+        {"bounded:local_rows"},
+        "broadcast sides are the memoized query batch (key-bounded "
+        "vec_id < 5, the d4d posture), its 1-bucket-per-query probe map "
+        "(same ≤5 rows), and the ≤queries×BEAM_WIDTH beam/frontier sets "
+        "— all driver-local createDataFrame relations whose size is set "
+        "by the query batch, never the corpus",
+    ),
+    "d4m_graph_ann_beam": (
+        {"bounded:local_rows"},
+        "broadcast sides are the ≤5-row query batch and the "
+        "≤queries×BEAM_WIDTH beam/frontier sets (the d4n bound); the "
+        "graph/edge side is never hinted",
+    ),
     "d5u_bigram_lm_quality": (
         {"bounded:local_rows"},
         "broadcast side is the trained bigram-LM model: <=|V|^2 rows "

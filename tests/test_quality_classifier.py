@@ -112,3 +112,86 @@ def test_model_build_serve_bit_parity(spark, tmp_path):
     served = {r["doc_id"]: (r["source"], r["y"], r["p"], r["hb"])
               for r in score_with_model(spark, sf_dir, model_dir).collect()}
     assert served == inline and len(served) > 0
+
+
+def test_model_refresh_retrains_on_extended_subset(spark):
+    """c16b's refresh contract: the doubled labeled subset yields a
+    genuinely DIFFERENT model (otherwise the epoch switch grades
+    nothing), and both trainings are independently memoized."""
+    from dcosb_cassandra_spark.operators.llm_quality import (
+        _QC_TRAIN_MAX_ID,
+        _train_quality_classifier,
+    )
+
+    w_a, _ = _train_quality_classifier(spark, SF_DIR)
+    w_b, _ = _train_quality_classifier(
+        spark, SF_DIR, train_max=2 * _QC_TRAIN_MAX_ID
+    )
+    assert w_a != w_b
+    # memo keys include train_max: re-asking returns the same objects
+    assert _train_quality_classifier(spark, SF_DIR)[0] == w_a
+    assert (
+        _train_quality_classifier(spark, SF_DIR, train_max=2 * _QC_TRAIN_MAX_ID)[0]
+        == w_b
+    )
+
+
+def test_c16b_epoch_scores_match_per_model_batch_scoring(spark):
+    """The streamed refresh replay must score each epoch BIT-identically
+    to batch scoring under that epoch's model: epoch-1 rollup == model-A
+    batch rollup over the first half (by doc_id quartiles 1-2), epoch-2
+    == model-B over the second half."""
+    import pyspark.sql.functions as F
+
+    from dcosb_cassandra_spark.operators.llm_quality import (
+        _QC_TRAIN_MAX_ID,
+        _qc_scored_df,
+        _train_quality_classifier,
+    )
+    from dcosb_cassandra_spark.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    reg = load_all()
+    streamed = {
+        (r["epoch"], r["source"]): (
+            r["n_docs"], r["n_pos"], r["n_kept"], r["n_correct"],
+            r["mean_score_ppm"],
+        )
+        for r in reg["c16b_model_refresh_replay"].fn(spark, sf_dir).collect()
+    }
+    assert streamed
+
+    import duckdb
+
+    mid = duckdb.sql(
+        f"""SELECT max(doc_id) FROM (
+              SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS nt
+              FROM read_parquet('{sf_dir}/documents.parquet')) WHERE nt <= 2"""
+    ).fetchone()[0]
+    w_b, _ = _train_quality_classifier(spark, sf_dir, train_max=2 * _QC_TRAIN_MAX_ID)
+    for epoch, w, keep in (
+        (1, None, F.col("doc_id") <= mid),
+        (2, w_b, F.col("doc_id") > mid),
+    ):
+        batch = {
+            (epoch, r["source"]): (
+                r["n_docs"], r["n_pos"], r["n_kept"], r["n_correct"],
+                r["mean_score_ppm"],
+            )
+            for r in _qc_scored_df(spark, sf_dir, w=w)
+            .filter(keep)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("y").alias("n_pos"),
+                F.count(
+                    F.when(F.col("hb") < F.expr("(256 * p) div 1000000"), 1)
+                ).alias("n_kept"),
+                F.count(F.when(F.expr("(p >= 500000) = (y = 1)"), 1)).alias(
+                    "n_correct"
+                ),
+                F.expr("sum(p) div count(1)").alias("mean_score_ppm"),
+            )
+            .collect()
+        }
+        assert {k: v for k, v in streamed.items() if k[0] == epoch} == batch
