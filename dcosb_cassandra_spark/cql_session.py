@@ -183,7 +183,9 @@ _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
 )
 _DESCRIBE = re.compile(
-    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$", re.IGNORECASE
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?:(?P<ks>\w+)\s*\.\s*)?"
+    r"(?P<table>\w+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DELETE = re.compile(
     r"^\s*DELETE\s*(?P<cols>[\w,\s]*?)\s*FROM\s+(?P<table>\w+)"
@@ -525,6 +527,11 @@ class CqlSession:
         self._trigger_seq: int = 0
         #: non-None while executing a BEGIN BATCH: the shared writetime
         self._pinned_wt: int | None = None
+        #: system_views.clients state [PK `db/virtual/ClientsTable.java`]:
+        #: every principal that has authenticated on this session, with its
+        #: executed-statement count (the in-process analog of the native-
+        #: protocol request count)
+        self._request_counts: dict[str, int] = {"cassandra": 0}
         #: table -> writetime of its last TRUNCATE: every cell (incl. the
         #: melted snapshot, which carries writetime 0) at or below this
         #: writetime is shadowed — exactly Cassandra's truncate record
@@ -689,6 +696,7 @@ class CqlSession:
         if not self._roles[name]["login"]:
             raise Unauthorized(f"role {role} is not permitted to log in")
         self._principal = name
+        self._request_counts.setdefault(name, 0)
 
     def _effective_roles(self) -> set[str]:
         """Transitive closure of the principal's role memberships."""
@@ -942,6 +950,10 @@ class CqlSession:
         elif parameters:
             statement = Prepared(statement).bind(*parameters)
         s = statement.strip()
+        if not self._in_trigger:  # trigger-issued statements are internal
+            self._request_counts[self._principal] = (
+                self._request_counts.get(self._principal, 0) + 1
+            )
         # strip known-keyspace qualification (single-engine: a keyspace is a
         # namespace; replication settings are accepted and ignored) —
         # quote-aware: odd segments (single-quoted literals and $$-quoted
@@ -1094,6 +1106,41 @@ class CqlSession:
         m = _DESCRIBE.match(s)
         if m:
             tbl = m.group("table").lower()
+            dks = (m.group("ks") or "").lower()
+            if dks in ("system", "system_schema", "system_views"):
+                # DESCRIBE of a virtual table: render its schema from the
+                # live DataFrame + the _SYSTEM_KEYS key metadata (the same
+                # shape a real DESCRIBE returns for a data table)
+                allowed = self._SYSTEM_NS.get(dks)
+                if (
+                    tbl not in self._SYSTEM_KEYS
+                    or (allowed is not None and tbl not in allowed)
+                    or (
+                        allowed is None
+                        and tbl
+                        in (
+                            self._SYSTEM_NS["system"]
+                            | self._SYSTEM_NS["system_views"]
+                        )
+                    )
+                ):
+                    raise InvalidRequest(f"unknown table {dks}.{tbl}")
+                vpk, vcc = self._SYSTEM_KEYS[tbl]
+                rows = [
+                    (
+                        f.name,
+                        f.dataType.simpleString(),
+                        "partition_key"
+                        if f.name in vpk
+                        else "clustering" if f.name in vcc else "regular",
+                    )
+                    for f in self._system_schema(tbl).schema.fields
+                ]
+                return self.spark.createDataFrame(
+                    rows, "column_name STRING, type STRING, kind STRING"
+                )
+            if dks and dks not in self._keyspaces:
+                raise InvalidRequest(f"unknown keyspace {dks}")
             pk, cc = self._keys(tbl)
             if tbl in self._created:
                 cols = list(self._created[tbl].columns.items())
@@ -1849,6 +1896,18 @@ class CqlSession:
         "local": (("key",), ()),
         "peers": (("peer",), ()),
         "triggers": (("keyspace_name",), ("table_name", "trigger_name")),
+        # system_views.* virtual tables (Cassandra 4.0 [PK
+        # `db/virtual/SystemViewsKeyspace.java`]) — rendered from LIVE
+        # session/process state, which is the whole point of the keyspace
+        "settings": (("name",), ()),
+        "clients": (("username",), ()),
+        "caches": (("name",), ()),
+    }
+
+    #: namespace → the virtual tables it serves (SELECT validity routing)
+    _SYSTEM_NS = {
+        "system": frozenset({"local", "peers"}),
+        "system_views": frozenset({"settings", "clients", "caches"}),
     }
 
     def _all_tables(self) -> dict[str, list[tuple[str, str, tuple, tuple]]]:
@@ -1964,25 +2023,77 @@ class CqlSession:
             return self.spark.createDataFrame(
                 [], "peer STRING, data_center STRING, release_version STRING"
             )
+        if which == "settings":
+            # [PK `db/virtual/SettingsTable.java`] — the engine's pinned
+            # runtime confs (session.ensure_engine_conf), read LIVE so the
+            # view reports what queries actually run under
+            names = (
+                "spark.sql.session.timeZone",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.shuffle.partitions",
+                "spark.sql.legacy.parquet.nanosAsLong",
+            )
+            rows = [(n, str(self.spark.conf.get(n, "<unset>"))) for n in names]
+            return self.spark.createDataFrame(rows, "name STRING, value STRING")
+        if which == "clients":
+            # [PK `db/virtual/ClientsTable.java`] — every principal that
+            # authenticated on this session with its statement count; the
+            # current principal is the one in stage 'ready'
+            rows = [
+                (u, "ready" if u == self._principal else "authenticated", c)
+                for u, c in sorted(self._request_counts.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "username STRING, connection_stage STRING, request_count BIGINT",
+            )
+        if which == "caches":
+            # [PK `db/virtual/CachesTable.java`] — here the genuinely
+            # informative process caches are the memoized ARTIFACT
+            # registries (codebook, RAM-resident IVF index, kNN graph,
+            # quality model, BPE merges…): entry counts read live
+            from .operators import llm_quality as _q
+            from .operators import llm_similarity as _sim
+            from .operators import llm_text as _t
+
+            regs = {
+                "bpe_merges": _t._BPE_TRAIN_CACHE,
+                "codebook": _sim._CODEBOOK_CACHE,
+                "ivf_index_dirs": _sim._IVF_INDEX_CACHE,
+                "ivf_index_ram": _sim._IVF_INDEX_DF_CACHE,
+                "knn_graph": _sim._KNN_GRAPH_CACHE,
+                "quality_model": _q._QC_CACHE,
+                "query_batch": _sim._QUERY_BATCH_CACHE,
+            }
+            rows = [(n, len(d)) for n, d in sorted(regs.items())]
+            return self.spark.createDataFrame(
+                rows, "name STRING, entry_count BIGINT"
+            )
         raise InvalidRequest(f"unknown system table {which}")
 
     def _select(self, statement: str) -> DataFrame:
         msys = re.search(
-            r"\bFROM\s+(system_schema|system)\s*\.\s*(\w+)", statement, re.IGNORECASE
+            r"\bFROM\s+(system_schema|system_views|system)\s*\.\s*(\w+)",
+            statement,
+            re.IGNORECASE,
         )
         if msys:
             which = msys.group(2).lower()
             ns = msys.group(1).lower()
+            non_schema = self._SYSTEM_NS["system"] | self._SYSTEM_NS["system_views"]
             valid = (
-                which in ("local", "peers")
-                if ns == "system"
-                else which not in ("local", "peers")
+                which in self._SYSTEM_NS[ns]
+                if ns in self._SYSTEM_NS
+                else which not in non_schema
             )
             if which not in self._SYSTEM_KEYS or not valid:
                 raise InvalidRequest(f"unknown table {ns}.{which}")
             src = self._system_schema(which)
             stmt = re.sub(
-                r"\b(system_schema|system)\s*\.\s*", "", statement, flags=re.IGNORECASE
+                r"\b(system_schema|system_views|system)\s*\.\s*",
+                "",
+                statement,
+                flags=re.IGNORECASE,
             )
             return cql(
                 self.spark,

@@ -2459,7 +2459,7 @@ def _graph_cte(rounds: int, beam: int) -> str:
             FROM beam{BEAM_ROUNDS}
         ) WHERE rn <= 3
     """,
-    tags=("D4", "V2", "D3", "P1"),
+    tags=("D54", "D4", "V2", "D3", "P1"),
 )
 def d4m_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN serving — the Cassandra 5 vector path's actual
@@ -2552,7 +2552,7 @@ def d4m_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM i_hits ih JOIN ivf_n n ON n.query_id = ih.query_id
         )
     """,
-    tags=("D4", "V2", "D25", "P1"),
+    tags=("D54", "D4", "V2", "D25", "P1"),
 )
 def d4n_graph_vs_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-vs-IVF recall@10 at each method's actual candidate budget —

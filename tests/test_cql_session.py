@@ -1594,3 +1594,79 @@ def test_erasure_trigger_dict_wiring_rebuilds_aggregates(sess, tmp_path):
     got = sorted(map(tuple, sess.spark.read.parquet(model_dir).collect()))
     want = sorted(map(tuple, sess.spark.read.parquet(ref_model).collect()))
     assert got == want and len(got) > 0
+
+
+def test_system_views_settings(sess):
+    """system_views.settings [PK SystemViewsKeyspace] renders the pinned
+    engine confs LIVE — the values queries actually run under."""
+    df = sess.execute("SELECT * FROM system_views.settings")
+    vals = {r["name"]: r["value"] for r in df.collect()}
+    assert vals["spark.sql.session.timeZone"] == "UTC"
+    assert vals["spark.sql.adaptive.enabled"] == "true"
+    one = sess.execute(
+        "SELECT value FROM system_views.settings "
+        "WHERE name = 'spark.sql.shuffle.partitions'"
+    ).collect()
+    assert len(one) == 1 and one[0]["value"].isdigit()
+
+
+def test_system_views_clients_tracks_principals(spark):
+    """system_views.clients: one row per authenticated principal with its
+    executed-statement count; the current principal shows stage 'ready'."""
+    from dcosb_cassandra_spark.cql_session import CqlSession
+
+    s = CqlSession(spark, SMOKE_SF_DIR)
+    s.execute("CREATE ROLE analyst WITH LOGIN = true")
+    s.login("analyst")
+    s.login("cassandra")
+    n0 = {
+        r["username"]: r["request_count"]
+        for r in s.execute("SELECT * FROM system_views.clients").collect()
+    }
+    assert set(n0) == {"cassandra", "analyst"}
+    s.execute("SELECT name FROM system_views.settings")
+    n1 = {
+        r["username"]: (r["request_count"], r["connection_stage"])
+        for r in s.execute("SELECT * FROM system_views.clients").collect()
+    }
+    assert n1["cassandra"][0] > n0["cassandra"]
+    assert n1["cassandra"][1] == "ready"
+    assert n1["analyst"][1] == "authenticated"
+
+
+def test_system_views_caches_reports_artifact_memos(sess):
+    """system_views.caches: the memoized artifact registries with live
+    entry counts — after a codebook-consuming query runs, the codebook
+    cache must show a warm entry."""
+    from dcosb_cassandra_spark.registry import load_all
+
+    reg = load_all()
+    reg["d4b_centroid_assignment"].fn(sess.spark, SMOKE_SF_DIR).collect()
+    rows = {
+        r["name"]: r["entry_count"]
+        for r in sess.execute("SELECT * FROM system_views.caches").collect()
+    }
+    assert {
+        "bpe_merges", "codebook", "ivf_index_dirs", "ivf_index_ram",
+        "knn_graph", "quality_model", "query_batch",
+    } <= set(rows)
+    assert rows["codebook"] >= 1
+
+
+def test_system_views_describe_and_errors(sess):
+    """DESCRIBE system_views.<t> renders the virtual schema with key
+    kinds; unknown system_views tables raise InvalidRequest."""
+    import pytest as _pytest
+
+    from dcosb_cassandra_spark.cql import InvalidRequest
+
+    rows = {
+        r["column_name"]: r["kind"]
+        for r in sess.execute("DESCRIBE system_views.caches").collect()
+    }
+    assert rows["name"] == "partition_key"
+    assert rows["entry_count"] == "regular"
+    with _pytest.raises(InvalidRequest):
+        sess.execute("SELECT * FROM system_views.local")
+    with _pytest.raises(InvalidRequest):
+        sess.execute("DESCRIBE system_views.nope")

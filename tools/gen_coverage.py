@@ -116,6 +116,7 @@ ROWS = [
     ("D53", "Format-blind exact image dedup — decoded-content hash (added r10)"),
     ("C15", "Streaming shard-manifest maintenance — commutative merge (added r10)"),
     ("C16", "Streaming model serving — quality gate at ingest (added r10)"),
+    ("D54", "Graph-based ANN — HNSW/JVector-family beam search (added r11)"),
     ("V1", "similarity_{cosine,euclidean,dot_product} (C* 5.0)"),
     ("V2", "ORDER BY ... ANN OF (C* 5.0 vector search)"),
     ("V3", "Dynamic data masking (C* 5.0)"),
