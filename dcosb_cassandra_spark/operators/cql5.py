@@ -178,3 +178,82 @@ def v02b_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cql(
         spark, sf_dir, stmt, extra_indexed={"embeddings": ("label",)}
     ).select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+def _v02c_oracle() -> str:
+    from .llm_similarity import (
+        BEAM_ROUNDS,
+        BEAM_WIDTH,
+        _beam_chain_cte,
+        _graph_base_cte,
+    )
+    from .llm_similarity import _CENT_SQL as _IVF_CENT_SQL
+
+    q_cte = f"""
+        q AS (
+            SELECT 0 AS query_id, {_QVEC_SQL}::DOUBLE[] AS qe,
+                   sqrt(list_sum(list_transform({_QVEC_SQL}::DOUBLE[],
+                                                x -> x * x))) AS qnrm
+        )"""
+    qrank_cte = """
+        qrank AS (
+            SELECT qv.query_id, c.cand AS bucket,
+                   row_number() OVER (PARTITION BY qv.query_id ORDER BY
+                       list_sum(list_transform(range(1, 65),
+                           i -> (qv.qe[i] - c.ce[i])
+                                * (qv.qe[i] - c.ce[i]))) ASC,
+                       c.cand) AS rn
+            FROM cent c CROSS JOIN q qv
+        )"""
+    return f"""
+        WITH {_IVF_CENT_SQL},
+        {_graph_base_cte(q_cte=q_cte, qrank_cte=qrank_cte)},
+        {_beam_chain_cte(BEAM_ROUNDS, BEAM_WIDTH)}
+        SELECT node AS vec_id, round((1 + sim) / 2, 6) AS score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, node) AS rn
+            FROM beam{BEAM_ROUNDS}
+        ) WHERE rn <= 10
+    """
+
+
+@query(
+    "v02c_graph_ann_order_by",
+    oracle=_v02c_oracle(),
+    tags=("V2", "D54", "D4", "P1"),
+)
+def v02c_graph_ann_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v02 ANN statement served by the GRAPH index — the physical
+    strategy a real Cassandra 5 cluster uses for this exact query (SAI
+    vector indexes ARE JVector graphs [PK CEP-30]; v02's
+    TakeOrderedAndProject is the exact baseline, d4l/v02b the IVF
+    hybrids, and this closes the family with the index Cassandra
+    actually ships). The statement's literal ``ANN OF`` vector enters
+    `_beam_search` as a one-row query batch (`literal_query_batch`:
+    coarse-quantizer routing for the entry point, then fixed-round beam
+    search over the memoized kNN graph); scores come back in Lucene's
+    (1+cos)/2 scaling like every V-row.
+
+    Approximation contract, stated plainly: the result is the beam's
+    top-10, which may differ from v02's exact top-10 — that gap is the
+    recall d4n/d4o MEASURE; the oracle here replays the identical
+    graph+beam trajectory (literal-vector entry CTEs over the shared
+    graph build), so the approximate answer itself is hash-checked.
+    Serving cost is rounds×beam×2M point lookups — corpus-size-
+    independent, the property that makes this the 100 TB serving plan
+    while v02 stays the small-table/ground-truth plan."""
+    from .llm_similarity import _beam_search, literal_query_batch
+
+    qb = literal_query_batch(spark, sf_dir, QVEC)
+    beam_df, _ = _beam_search(spark, sf_dir, queries=qb)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    return (
+        beam_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("node").alias("vec_id"),
+            F.round((F.lit(1.0) + F.col("sim")) / F.lit(2.0), 6).alias("score"),
+        )
+    )

@@ -136,6 +136,8 @@ _DRIVER_WINDOW = (
     # r11 first-gradings (new this round, never-graded — freshest slots)
     "d4m_graph_ann_beam",
     "d4n_graph_vs_ivf_recall",
+    "d4o_beam_recall_curve",
+    "v02c_graph_ann_order_by",
     "c16b_model_refresh_replay",
     # r4-vintage regrades (stalest — CUBE/pivot/set-op/sampling pack)
     "b09d_count_histogram",
@@ -175,8 +177,6 @@ _DRIVER_WINDOW = (
     "c9c_view_parity",
     "d13_sequence_packing",
     "d13b_sequence_packing_subsharded",
-    "d14_domain_mixing",
-    "d15_length_buckets",
     "d16_substring_dedup",
     "d17_kmeans_lloyd",
     "d1b_incremental_dedup",

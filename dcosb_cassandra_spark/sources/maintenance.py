@@ -517,3 +517,53 @@ def erasure_audit(
         "artifact string, n_forgotten_in_training long, "
         "influenced boolean, rebuilt boolean",
     )
+
+
+def build_knn_graph(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the kNN graph as a MAINTENANCE job — the fifth
+    build/serve split (band index, BPE vocab, IVF index, quality model,
+    now the D54 graph): adjacency + per-bucket entry points written once
+    at ingest, served read-only by `operators.llm_similarity
+    .serve_knn_graph` into the same beam search the inline path runs
+    (bit parity asserted by tests/test_graph_ann.py)."""
+    from ..operators.llm_similarity import write_knn_graph
+
+    return write_knn_graph(spark, sf_dir, out_dir)
+
+
+def forget_graph_nodes(
+    spark: SparkSession, graph_dir: str, vec_ids: list[int]
+) -> str:
+    """Erasure for the DURABLE graph artifact — the HNSW/JVector
+    tombstone posture, stated honestly: edges touching the forgotten ids
+    are removed (the vectors become unreachable and can never be
+    returned by a beam search over this graph), and entry points whose
+    representative was forgotten are dropped (`_beam_search` degrades to
+    the next-preferred populated bucket by construction). What this is
+    NOT: a graph rebuilt without the vectors — surviving nodes keep
+    their historical neighbor SELECTION (a removed node's neighbors do
+    not re-select replacement peers), exactly like a tombstoned HNSW
+    segment; `build_knn_graph` is the rebuild when link quality matters.
+    Both stores swap via sibling-write + rename with the shared crash
+    recovery (`_recover_store_swap`). Cost = graph size, never corpus."""
+    from pyspark.sql import functions as F
+
+    ids = [int(i) for i in vec_ids]
+    edges = os.path.join(graph_dir, "edges")
+    entries = os.path.join(graph_dir, "entries")
+    for store, keep in (
+        (edges, ~F.col("node").isin(ids) & ~F.col("peer").isin(ids)),
+        (entries, ~F.col("rep").isin(ids)),
+    ):
+        _recover_store_swap(store)
+        if not os.path.isdir(store):
+            continue
+        tmp = f"{store}.forget.{os.getpid()}"
+        spark.read.parquet(store).filter(keep).write.mode("overwrite").parquet(tmp)
+        old = f"{store}.old.{os.getpid()}"
+        os.rename(store, old)
+        os.rename(tmp, store)
+        import shutil
+
+        shutil.rmtree(old)
+    return graph_dir

@@ -108,3 +108,53 @@ def test_env_gated_window_name_drops_instead_of_raising():
         registry.REGISTRY.update(snapshot)
         registry._loaded = False
         registry.load_all()
+
+
+def test_graph_build_serve_bit_parity(spark, tmp_path):
+    """The fifth build/serve split: beam search over the MATERIALIZED
+    graph artifact must return bit-identical results to the inline
+    memoized graph — same beams, same sims."""
+    from dcosb_cassandra_spark.operators.llm_similarity import (
+        serve_knn_graph,
+        write_knn_graph,
+    )
+
+    gdir = str(tmp_path / "knn_graph")
+    write_knn_graph(spark, SF_DIR, gdir)
+    inline, _ = _beam_search(spark, SF_DIR)
+    served, _ = _beam_search(spark, SF_DIR, graph=serve_knn_graph(spark, gdir))
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_forget_graph_nodes_unreachable(spark, tmp_path):
+    """Graph-artifact erasure (HNSW tombstone posture): after
+    forget_graph_nodes, no edge cites a forgotten id, no entry point is
+    a forgotten id, and a beam search over the served graph can never
+    return it. Entry erasure degrades to the next-preferred bucket."""
+    import pyspark.sql.functions as F
+
+    from dcosb_cassandra_spark.operators.llm_similarity import (
+        serve_knn_graph,
+        write_knn_graph,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import forget_graph_nodes
+
+    gdir = str(tmp_path / "knn_graph")
+    write_knn_graph(spark, SF_DIR, gdir)
+    edges, entries = serve_knn_graph(spark, gdir)
+    victim = int(next(iter(sorted(entries.values()))))  # an entry rep
+
+    forget_graph_nodes(spark, gdir, [victim])
+    edges2, entries2 = serve_knn_graph(spark, gdir)
+    assert (
+        edges2.filter(
+            (F.col("node") == victim) | (F.col("peer") == victim)
+        ).count()
+        == 0
+    )
+    assert victim not in entries2.values()
+    beam, _ = _beam_search(spark, SF_DIR, graph=(edges2, entries2))
+    rows = beam.collect()
+    assert rows and all(r.node != victim for r in rows)

@@ -120,6 +120,16 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "≤queries×BEAM_WIDTH beam/frontier sets (the d4n bound); the "
         "graph/edge side is never hinted",
     ),
+    "d4o_beam_recall_curve": (
+        {"bounded:local_rows"},
+        "the d4n bound at three beam widths: query batch + beam/frontier "
+        "sets, all ≤queries×max(beam) driver-local rows",
+    ),
+    "v02c_graph_ann_order_by": (
+        {"bounded:local_rows"},
+        "the d4m bound for a single literal query vector (1-row batch + "
+        "≤beam frontier sets)",
+    ),
     "d5u_bigram_lm_quality": (
         {"bounded:local_rows"},
         "broadcast side is the trained bigram-LM model: <=|V|^2 rows "
@@ -138,6 +148,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "(first-collision dedup unchanged). The bands hint is also the "
         "skew guard: a broadcast probe keeps the dominant bucket's pair "
         "enumeration spread across the round-robin partitions",
+    ),
+    "d2s_containment_pairs": (
+        {"documents", "bounded:documents"},
+        "same maybe_broadcast posture as d2b (size-conditional hints with "
+        "the documented >10⁷-doc shuffle fallback): the narrow "
+        "(doc_id, lang, source) block map and the per-doc token-set "
+        "arrays — both n_docs-bounded, never corpus-byte-bounded",
     ),
     "d2o_incremental_dedup": (
         {"documents", "bounded:documents"},
