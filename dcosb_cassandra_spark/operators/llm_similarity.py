@@ -2249,7 +2249,10 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> tuple:
             .distinct()
             .withColumn("rn", F.row_number().over(wn))
             .filter(F.col("rn") <= 2 * GRAPH_DEGREE)
-            .select("node", "peer")
+            # sim is retained: the DURABLE artifact stores it so
+            # incremental upkeep (stream_knn_graph) can re-shrink merged
+            # adjacency without re-scoring old edges; beam search ignores it
+            .select("node", "peer", "sim")
             .localCheckpoint(eager=True)  # feeds every beam round
         )
         reps = (
@@ -2865,7 +2868,7 @@ def serve_knn_graph(spark: SparkSession, index_dir: str) -> tuple:
     construction work runs at query time."""
     import os
 
-    edges = spark.read.schema("node long, peer long").parquet(
+    edges = spark.read.schema("node long, peer long, sim double").parquet(
         os.path.join(index_dir, "edges")
     )
     entries = {

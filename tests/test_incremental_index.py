@@ -364,3 +364,62 @@ def test_forget_swap_crash_recovery(spark, tmp_path_factory):
     left = spark.read.parquet(src)
     assert left.filter(F.col("doc_id").isin(some)).count() == 0
     assert left.count() > 0
+
+
+def test_streamed_knn_graph_invariants_and_serving(spark, tmp_path_factory):
+    """stream_knn_graph (r11 — the C14 treatment for the D54 graph):
+    incremental HNSW-style insertion is ARRIVAL-ORDER-DEPENDENT by
+    nature, so unlike the append-commutative artifacts the claim is NOT
+    row-set parity with the batch build. What must hold, and is asserted:
+    the node universe and per-bucket entry points match the batch build
+    exactly (min commutes), the 2M degree bound holds, and beam-search
+    serving over the streamed graph works (monotone beams, no foreign
+    nodes, budget-bounded)."""
+    import duckdb
+
+    from dcosb_cassandra_spark.operators.llm_similarity import (
+        BEAM_ROUNDS,
+        GRAPH_DEGREE,
+        _beam_search,
+        knn_graph,
+        serve_knn_graph,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import stream_knn_graph
+
+    src = str(tmp_path_factory.mktemp("emb_stream_src"))
+    con = duckdb.connect()
+    for i in range(3):
+        con.execute(
+            f"""COPY (SELECT vec_id, embedding, label FROM (
+                      SELECT *, ntile(3) OVER (ORDER BY vec_id) AS nt
+                      FROM read_parquet('{SF_DIR}/embeddings.parquet')
+                      WHERE vec_id >= 5)
+                  WHERE nt = {i + 1} ORDER BY vec_id
+                ) TO '{src}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+
+    gdir = str(tmp_path_factory.mktemp("knn_graph_stream"))
+    stream_knn_graph(
+        spark, src, gdir, SF_DIR,
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    edges, entries = serve_knn_graph(spark, gdir)
+    _, batch_reps = knn_graph(spark, SF_DIR)
+
+    # order-independent invariants vs the batch build
+    assert entries == batch_reps
+    deg = edges.groupBy("node").count().agg(F.max("count")).collect()[0][0]
+    assert deg is not None and deg <= 2 * GRAPH_DEGREE
+    streamed_nodes = {
+        r["node"] for r in edges.select("node").distinct().collect()
+    }
+    assert streamed_nodes and all(n >= 5 for n in streamed_nodes)
+
+    # serving: beams are valid, budget-bounded, and improve on the entry
+    beam, scored = _beam_search(spark, SF_DIR, graph=(edges, entries))
+    rows = beam.collect()
+    assert rows and all(r.node >= 5 for r in rows)
+    cap = 1 + BEAM_ROUNDS * 10 * 2 * GRAPH_DEGREE
+    counts = scored.distinct().groupBy("query_id").count().collect()
+    assert all(r["count"] <= cap for r in counts)
