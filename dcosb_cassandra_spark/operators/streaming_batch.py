@@ -1375,3 +1375,93 @@ def c16b_model_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.expr("(p >= 500000) = (y = 1)"), 1)).alias("n_correct"),
         F.expr("sum(p) div count(1)").alias("mean_score_ppm"),
     )
+
+
+def _stage_corpus_embeddings_chunks_dir(sf_dir: str, n_chunks: int = 3) -> str:
+    """The CORPUS vectors (vec_id >= 5, the D4-family serving split)
+    staged as ``n_chunks`` vec_id-ordered parquet files — c17's vector
+    ingest replay. Cached per (sf_dir, n_chunks)."""
+    import tempfile
+
+    import duckdb
+
+    key = ("emb", sf_dir, n_chunks)
+    if key not in _CHUNK_DIRS:
+        d = tempfile.mkdtemp(prefix="stream_embchunks_")
+        con = duckdb.connect()
+        src = f"{sf_dir}/embeddings.parquet"
+        for i in range(n_chunks):
+            con.execute(
+                f"""COPY (
+                      SELECT vec_id, embedding, label FROM (
+                          SELECT *, ntile({n_chunks}) OVER (ORDER BY vec_id) AS nt
+                          FROM read_parquet('{src}') WHERE vec_id >= 5)
+                      WHERE nt = {i + 1} ORDER BY vec_id
+                    ) TO '{d}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+            )
+        con.close()
+        _CHUNK_DIRS[key] = d
+    return _CHUNK_DIRS[key]
+
+
+def _c17_oracle() -> str:
+    from .llm_similarity import _CENT_SQL, _GRAPH_LSH
+
+    return f"""
+        WITH {_CENT_SQL},
+        cc AS (
+            SELECT e.vec_id, a.bucket, {_GRAPH_LSH} AS lsh
+            FROM embeddings e JOIN assign a USING (vec_id)
+            WHERE e.vec_id >= 5
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(min(vec_id) AS BIGINT) AS entry_rep,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM cc GROUP BY bucket
+    """
+
+
+@query(
+    "c17_graph_maintenance_replay",
+    oracle=_c17_oracle(),
+    tags=("C14", "D54", "C9", "P1"),
+)
+def c17_graph_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING kNN-graph maintenance graded end-to-end (r11 — the C14
+    replay for the fifth artifact): corpus vectors arrive as 3
+    vec_id-ordered micro-batches, ``maintenance.stream_knn_graph`` runs
+    the HNSW-style incremental insert per batch, and the graded result
+    summarizes the streamed ROUTING artifacts per coarse bucket — entry
+    representative + vector-store population — against a raw-corpus SQL
+    derivation under the same frozen quantizer.
+
+    Scope, stated honestly: the ADJACENCY is arrival-order-dependent
+    (real HNSW is too), so it is held to invariants in pytest
+    (tests/test_incremental_index.py — degree bound, entry parity with
+    the batch build, serving quality), not to a SQL oracle; what this
+    replay hash-checks is that the streamed pipeline's order-INDEPENDENT
+    artifacts (the vector store the inserts scored against, and the
+    entry points every later search routes through) end exactly where a
+    one-shot derivation puts them. Per-batch cost is the
+    stream_knn_graph contract: |batch| signing + batch×store blocked
+    join + adjacency rewrite."""
+    import os
+    import tempfile
+
+    from ..session import ensure_engine_conf
+    from ..sources.maintenance import stream_knn_graph
+
+    ensure_engine_conf(spark)
+    gdir = tempfile.mkdtemp(prefix="c17_graph_")
+    stream_knn_graph(
+        spark,
+        _stage_corpus_embeddings_chunks_dir(sf_dir),
+        gdir,
+        sf_dir,
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    vs = spark.read.parquet(os.path.join(gdir, "vectors")).drop("batch_id")
+    return vs.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min("vec_id").alias("entry_rep"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

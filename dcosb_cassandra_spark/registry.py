@@ -139,6 +139,7 @@ _DRIVER_WINDOW = (
     "d4o_beam_recall_curve",
     "v02c_graph_ann_order_by",
     "c16b_model_refresh_replay",
+    "c17_graph_maintenance_replay",
     # r4-vintage regrades (stalest — CUBE/pivot/set-op/sampling pack)
     "b09d_count_histogram",
     "b12b_cube",
@@ -178,7 +179,6 @@ _DRIVER_WINDOW = (
     "d13_sequence_packing",
     "d13b_sequence_packing_subsharded",
     "d16_substring_dedup",
-    "d17_kmeans_lloyd",
     "d1b_incremental_dedup",
     "d2h_semdedup",
     "d4d_ivf_probe_knn",
