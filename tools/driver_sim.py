@@ -103,6 +103,7 @@ def dtype_audit(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
 
 
 qs, os_ = m.queries(), m.oracle_sql()
+_all_registered = set(qs)
 # DRIVER_SIM_ONLY="window" → just the 50-name graded prefix;
 # DRIVER_SIM_ONLY="a,b,c" → the named queries. Default: full sweep.
 _only = os.environ.get("DRIVER_SIM_ONLY", "")
@@ -145,5 +146,20 @@ for name, fn in sorted(qs.items()):
         bad += 1; print(f"{name}: FAIL {status}")
     else:
         print(f"{name}: MATCH ({len(s_rows)} rows)")
+# Env-gated registration audit (judge r11 task #6): a window name whose
+# @query registration is environment-gated (e.g. c6e needs the vendored
+# protobuf) silently DROPS from the window when the dependency is absent
+# — load_all() tolerates it so the driver still works, but a sweep on a
+# host where the dependency IS present must show the query actually ran,
+# or environment rot goes unnoticed while the row quietly vanishes.
+from dcosb_cassandra_spark.registry import _ENV_GATED  # noqa: E402
+for _gated in sorted(_ENV_GATED):
+    if _gated in qs:
+        state = "RAN"
+    elif _gated in _all_registered:
+        state = "REGISTERED (filtered out by DRIVER_SIM_ONLY)"
+    else:
+        state = "DROPPED (dependency absent on this host)"
+    print(f"ENV-GATED {_gated}: {state}")
 print("FAILURES:", bad)
 sys.exit(1 if bad else 0)
