@@ -91,3 +91,19 @@ def sign_bits(vec: Column, n_bits: int) -> Column:
         for i in range(n_bits)
     ]
     return F.concat(*bits)
+
+
+def sign_bits_range(vec: Column, start: int, n_bits: int) -> Column:
+    """`sign_bits` over components ``start .. start + n_bits - 1``
+    (1-indexed) — an LSH signature INDEPENDENT of the prefix signature,
+    used to subdivide coarse-quantizer buckets in the graph build so the
+    per-block candidate join stays bounded as the corpus grows
+    (llm_similarity.adaptive_bucket_split_bits). ``n_bits = 0`` yields the
+    empty string: every row shares one block (the demo-corpus posture)."""
+    if n_bits <= 0:
+        return F.lit("")
+    bits = [
+        F.when(F.element_at(vec, start + i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)

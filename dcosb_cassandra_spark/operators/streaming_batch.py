@@ -1405,12 +1405,12 @@ def _stage_corpus_embeddings_chunks_dir(sf_dir: str, n_chunks: int = 3) -> str:
 
 
 def _c17_oracle() -> str:
-    from .llm_similarity import _CENT_SQL, _GRAPH_LSH
+    from .llm_similarity import _CENT_SQL
 
     return f"""
         WITH {_CENT_SQL},
         cc AS (
-            SELECT e.vec_id, a.bucket, {_GRAPH_LSH} AS lsh
+            SELECT e.vec_id, a.bucket
             FROM embeddings e JOIN assign a USING (vec_id)
             WHERE e.vec_id >= 5
         )
