@@ -968,6 +968,11 @@ class TableDef:
     clustering: tuple[str, ...]
     if_not_exists: bool = False
     udts: dict[str, dict[str, str]] = field(default_factory=dict)
+    #: attached column masks [PK CEP-20 / 5.0 `schema/ColumnMask.java`]:
+    #: col -> normalized mask spec, e.g. "mask_inner(2, 2)". Applied
+    #: transparently on SELECT for principals without UNMASK
+    #: (CqlSession._apply_attached_masks).
+    masks: dict[str, str] = field(default_factory=dict)
 
     @property
     def spark_schema(self) -> str:
@@ -979,6 +984,49 @@ class TableDef:
     @property
     def keys(self) -> tuple[tuple[str, ...], tuple[str, ...]]:
         return (self.partition_key, self.clustering)
+
+
+_MASK_SPEC = re.compile(
+    r"^(?:\w+\.)?(?P<fn>mask_\w+)\s*(?:\(\s*(?P<args>.*?)\s*\))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def normalize_mask_spec(spec: str) -> str:
+    """Validate and normalize an attached-mask spec [PK CEP-20 grammar:
+    ``MASKED WITH DEFAULT`` | ``MASKED WITH [ks.]mask_fn(args)``] to the
+    canonical ``mask_fn(arg, arg)`` text stored in TableDef.masks /
+    rendered by DESCRIBE and system_schema.column_masks."""
+    from .functions import masking
+
+    s = spec.strip().rstrip(";").strip()
+    if s.upper() == "DEFAULT":
+        return "mask_default()"
+    m = _MASK_SPEC.match(s)
+    if not m:
+        raise InvalidRequest(f"unparseable column mask: {spec!r}")
+    fn = m.group("fn").lower()
+    if getattr(masking, fn, None) is None:
+        raise InvalidRequest(f"unknown masking function {fn}()")
+    args = [a.strip() for a in split_top_level(m.group("args") or "") if a.strip()]
+    for a in args:
+        _literal(a)  # validate literal args eagerly
+    return f"{fn}({', '.join(args)})"
+
+
+def mask_column(spec: str, col: Column) -> Column:
+    """Compile a normalized mask spec into the Spark Column applying it —
+    the execution half of attached masks (the projection-function half
+    lives in `cql()`'s ``mask_*`` selector branch; both call the same
+    functions/masking implementations, so a mask attached in the schema
+    and the same mask written in a projection are expression-identical)."""
+    from .functions import masking
+
+    m = _MASK_SPEC.match(spec)
+    assert m, f"unnormalized mask spec {spec!r}"  # normalize_mask_spec upstream
+    fn = getattr(masking, m.group("fn").lower())
+    args = [a.strip() for a in split_top_level(m.group("args") or "") if a.strip()]
+    return fn(col, *(_literal(a) for a in args))
 
 
 _CREATE_HEAD = re.compile(
@@ -1023,6 +1071,7 @@ def parse_create_table(
         raise InvalidRequest(f"unexpected trailing text after column list: {tail!r}")
     body = statement[m.end() : end]
     columns: dict[str, str] = {}
+    masks: dict[str, str] = {}
     pk: tuple[str, ...] = ()
     cc: tuple[str, ...] = ()
     for part in split_top_level(body):
@@ -1043,7 +1092,9 @@ def parse_create_table(
             cc = tuple(c.strip().lower() for c in comps[1:])
             continue
         cm = re.match(
-            r"^(?P<col>\w+)\s+(?P<type>.+?)(?P<inline_pk>\s+PRIMARY\s+KEY)?$",
+            r"^(?P<col>\w+)\s+(?P<type>.+?)"
+            r"(?:\s+MASKED\s+WITH\s+(?P<mask>.+?))?"
+            r"(?P<inline_pk>\s+PRIMARY\s+KEY)?$",
             part,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1053,6 +1104,8 @@ def parse_create_table(
         ctype = cm.group("type").strip().lower()
         cql_type_to_spark(ctype, udts)  # validate eagerly
         columns[col] = ctype
+        if cm.group("mask"):
+            masks[col] = normalize_mask_spec(cm.group("mask"))
         if cm.group("inline_pk"):
             if pk:
                 raise InvalidRequest("duplicate PRIMARY KEY")
@@ -1062,4 +1115,7 @@ def parse_create_table(
     missing = [c for c in (*pk, *cc) if c not in columns]
     if missing:
         raise InvalidRequest(f"PRIMARY KEY names undeclared columns: {missing}")
-    return TableDef(name, columns, pk, cc, bool(m.group("ine")), dict(udts or {}))
+    # masks on primary-key columns are allowed, matching Cassandra 5
+    return TableDef(
+        name, columns, pk, cc, bool(m.group("ine")), dict(udts or {}), masks
+    )

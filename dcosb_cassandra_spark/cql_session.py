@@ -49,6 +49,8 @@ from .cql import (
     _literal,
     cql,
     cql_type_to_spark,
+    mask_column,
+    normalize_mask_spec,
     parse_create_table,
     split_top_level,
     translate_function_body,
@@ -108,6 +110,18 @@ _ALTER_DROP = re.compile(
 )
 _ALTER_RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+RENAME\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: CEP-20 attached-mask DDL [PK 5.0 `AlterTableStatement.java` MASK ops]:
+#: ALTER TABLE t ALTER col MASKED WITH fn(args) / ALTER col DROP MASKED
+_ALTER_SET_MASK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ALTER\s+(?P<col>\w+)\s+"
+    r"MASKED\s+WITH\s+(?P<spec>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_MASK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ALTER\s+(?P<col>\w+)\s+"
+    r"DROP\s+MASKED\s*;?\s*$",
     re.IGNORECASE,
 )
 _CREATE_MV = re.compile(
@@ -327,8 +341,9 @@ _ALTER_ROLE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _GRANT_REVOKE = re.compile(
-    r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<perm>ALL(?:\s+PERMISSIONS)?|SELECT|MODIFY|"
-    r"CREATE|ALTER|DROP|AUTHORIZE|DESCRIBE|EXECUTE)\s+ON\s+(?P<res>.+?)\s+"
+    r"^\s*(?P<verb>GRANT|REVOKE)\s+(?P<perm>ALL(?:\s+PERMISSIONS)?|SELECT_MASKED|"
+    r"SELECT|MODIFY|CREATE|ALTER|DROP|AUTHORIZE|DESCRIBE|EXECUTE|UNMASK)"
+    r"\s+ON\s+(?P<res>.+?)\s+"
     r"(?:TO|FROM)\s+(?P<q>'?)(?P<role>\w+)(?P=q)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -342,8 +357,8 @@ _LIST_ROLES = re.compile(
     re.IGNORECASE,
 )
 _LIST_PERMISSIONS = re.compile(
-    r"^\s*LIST\s+(?P<perm>ALL|SELECT|MODIFY|CREATE|ALTER|DROP|AUTHORIZE|"
-    r"DESCRIBE|EXECUTE)(?:\s+PERMISSIONS?)?"
+    r"^\s*LIST\s+(?P<perm>ALL|SELECT_MASKED|SELECT|MODIFY|CREATE|ALTER|DROP|"
+    r"AUTHORIZE|DESCRIBE|EXECUTE|UNMASK)(?:\s+PERMISSIONS?)?"
     r"(?:\s+ON\s+(?P<res>.+?))?(?:\s+OF\s+(?P<q>'?)(?P<role>\w+)(?P=q))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -774,6 +789,66 @@ class CqlSession:
                 f"role {self._principal} has no {perm} permission on {target.lower()}"
             )
 
+    def _holds_permission(self, perm: str, resources: set[str]) -> bool:
+        """Non-raising `_need_permission` (superusers hold everything)."""
+        if self._is_super():
+            return True
+        try:
+            self._need_permission(perm, resources)
+            return True
+        except Unauthorized:
+            return False
+
+    def _apply_attached_masks(
+        self, tbl: str, src: DataFrame, statement: str
+    ) -> tuple[DataFrame, tuple[str, ...]]:
+        """Attached-column-mask enforcement [PK CEP-20 / Cassandra 5.0
+        "Dynamic Data Masking", `schema/ColumnMask.java` +
+        `auth/Permission.java` UNMASK/SELECT_MASKED]: principals holding
+        UNMASK on the table (or superusers) read clear text; everyone
+        else reads the mask function's output, applied transparently —
+        the SELECT text is unchanged.
+
+        WHERE semantics follow Cassandra: masks never affect filtering,
+        but RESTRICTING on a masked column requires SELECT_MASKED (else
+        Unauthorized — a predicate's true/false answer would otherwise
+        leak the clear value bit by bit). Masked columns NOT referenced
+        in WHERE are rewritten at the SOURCE (every downstream
+        expression, aggregate, or alias sees only masked values — the
+        leak-proof direction); WHERE-referenced ones (SELECT_MASKED
+        granted) stay clear through the filter and are re-masked on the
+        matching OUTPUT columns by name, the same column-attached
+        application point Cassandra's ResultSet builder uses."""
+        td = self._created[tbl]
+        if not td.masks or self._holds_permission(
+            "UNMASK", self._table_chain(tbl)
+        ):
+            return src, ()
+        blanked = self._blank_literals(statement)
+        wm = re.search(
+            r"\bWHERE\s+(?P<w>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bPER\s+"
+            r"PARTITION\b|\bLIMIT\b|\bALLOW\s+FILTERING\b|$)",
+            blanked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        where_text = wm.group("w") if wm else ""
+        restricted = tuple(
+            c for c in td.masks
+            if re.search(rf"\b{re.escape(c)}\b", where_text, re.IGNORECASE)
+        )
+        if restricted and not self._holds_permission(
+            "SELECT_MASKED", self._table_chain(tbl)
+        ):
+            raise Unauthorized(
+                f"role {self._principal} has no SELECT_MASKED permission on "
+                f"{tbl} and cannot restrict masked column(s) "
+                f"{', '.join(restricted)}"
+            )
+        for c, spec in td.masks.items():
+            if c not in restricted and c in src.columns:
+                src = src.withColumn(c, mask_column(spec, F.col(c)))
+        return src, restricted
+
     def _table_chain(self, raw: str) -> set[str]:
         """Resource hierarchy for a (possibly ``ks.``-qualified) table name
         per Cassandra: the table, its keyspace, and ALL KEYSPACES."""
@@ -1144,17 +1219,26 @@ class CqlSession:
             pk, cc = self._keys(tbl)
             if tbl in self._created:
                 cols = list(self._created[tbl].columns.items())
+                masks = self._created[tbl].masks
             else:
                 cols = [
                     (f.name, f.dataType.simpleString())
                     for f in table(self.spark, self.sf_dir, tbl).schema.fields
                 ]
+                masks = {}
             rows = [
-                (c, t, "partition_key" if c in pk else "clustering" if c in cc else "regular")
+                (
+                    c,
+                    t,
+                    "partition_key" if c in pk else "clustering" if c in cc else "regular",
+                    masks.get(c),
+                )
                 for c, t in cols
             ]
+            # the ``mask`` column renders the attached mask exactly as a
+            # Cassandra 5 DESCRIBE renders ``MASKED WITH fn(args)``
             return self.spark.createDataFrame(
-                rows, "column_name STRING, type STRING, kind STRING"
+                rows, "column_name STRING, type STRING, kind STRING, mask STRING"
             )
 
         mb = _BATCH.match(s)
@@ -1270,6 +1354,35 @@ class CqlSession:
                 return None
             raise InvalidRequest(f"unknown table {tbl}")
 
+        m = _ALTER_SET_MASK.match(s)
+        if m:
+            # [PK CEP-20 / 5.0 `AlterTableStatement.java`]: attach or
+            # replace a column mask; metadata-only, data untouched.
+            tbl, col = m.group("table").lower(), m.group("col").lower()
+            if tbl not in self._created:
+                raise InvalidRequest(
+                    f"ALTER TABLE supported only on session-created tables, not {tbl!r}"
+                )
+            td = self._created[tbl]
+            if col not in td.columns:
+                raise InvalidRequest(f"unknown column {col}")
+            td.masks[col] = normalize_mask_spec(m.group("spec"))
+            return None
+
+        m = _ALTER_DROP_MASK.match(s)
+        if m:
+            tbl, col = m.group("table").lower(), m.group("col").lower()
+            if tbl not in self._created:
+                raise InvalidRequest(
+                    f"ALTER TABLE supported only on session-created tables, not {tbl!r}"
+                )
+            td = self._created[tbl]
+            if col not in td.columns:
+                raise InvalidRequest(f"unknown column {col}")
+            # dropping a mask that isn't there is a no-op, like Cassandra
+            td.masks.pop(col, None)
+            return None
+
         m = _ALTER_ADD.match(s)
         if m:
             tbl = m.group("table").lower()
@@ -1281,8 +1394,20 @@ class CqlSession:
             col, ctype = m.group("col").lower(), m.group("type").strip().lower()
             if col in td.columns:
                 raise InvalidRequest(f"column {col} already exists")
+            # ALTER ... ADD col type MASKED WITH fn(args) attaches at add time
+            mm = re.match(
+                r"^(?P<t>.+?)\s+MASKED\s+WITH\s+(?P<spec>.+)$",
+                ctype,
+                re.IGNORECASE | re.DOTALL,
+            )
+            mask_spec = None
+            if mm:
+                ctype = mm.group("t").strip()
+                mask_spec = normalize_mask_spec(mm.group("spec"))
             cql_type_to_spark(ctype, self._udts)  # validate
             td.columns[col] = ctype
+            if mask_spec:
+                td.masks[col] = mask_spec
             td.udts.update(self._udts)
             return None
 
@@ -1302,6 +1427,7 @@ class CqlSession:
             if col not in td.columns:
                 raise InvalidRequest(f"unknown column {col}")
             del td.columns[col]
+            td.masks.pop(col, None)  # the mask drops with its column
             # shed the dropped column's buffered cells (Cassandra marks the
             # drop time and hides older cells; with session-scoped state the
             # effect is identical)
@@ -1329,6 +1455,8 @@ class CqlSession:
                 raise InvalidRequest(f"column {new} already exists")
             td.columns = {new if c == old else c: t for c, t in td.columns.items()}
             td.clustering = tuple(new if c == old else c for c in td.clustering)
+            if old in td.masks:
+                td.masks[new] = td.masks.pop(old)
             for cell in self._cells.get(tbl, []):
                 if old in cell["key"]:
                     cell["key"][new] = cell["key"].pop(old)
@@ -1889,6 +2017,9 @@ class CqlSession:
         "keyspaces": (("keyspace_name",), ()),
         "tables": (("keyspace_name",), ("table_name",)),
         "columns": (("keyspace_name",), ("table_name", "column_name")),
+        # Cassandra 5.0 attached-mask metadata [PK CEP-20 /
+        # `schema/SchemaKeyspace.java` COLUMN_MASKS]
+        "column_masks": (("keyspace_name",), ("table_name", "column_name")),
         "views": (("keyspace_name",), ("view_name",)),
         "types": (("keyspace_name",), ("type_name",)),
         "functions": (("keyspace_name",), ("function_name",)),
@@ -1959,6 +2090,22 @@ class CqlSession:
                 rows,
                 "keyspace_name STRING, table_name STRING, column_name STRING, "
                 "clustering_order STRING, kind STRING, position INT, type STRING",
+            )
+        if which == "column_masks":
+            # [PK 5.0 `schema/SchemaKeyspace.java` COLUMN_MASKS table]:
+            # one row per masked column; the mask function split into
+            # name + literal argument list (arguments rendered as text —
+            # the driver-side shape tools introspect)
+            rows = []
+            for tbl, td in sorted(self._created.items()):
+                for c, spec in sorted(td.masks.items()):
+                    fn, _, argtext = spec.partition("(")
+                    rows.append((ks, tbl, c, "system", fn, argtext.rstrip(")")))
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, table_name STRING, column_name STRING, "
+                "function_keyspace_name STRING, function_name STRING, "
+                "function_arguments STRING",
             )
         if which == "views":
             rows = [(ks, v.name, v.base) for v in self._views.values()]
@@ -2117,7 +2264,10 @@ class CqlSession:
             src = self._mv_source(self._views[tbl])
         else:
             src = self.snapshot(tbl, with_writetimes=with_wt)
-        return cql(
+        post_mask: tuple[str, ...] = ()
+        if tbl in self._created and self._created[tbl].masks:
+            src, post_mask = self._apply_attached_masks(tbl, src, statement)
+        res = cql(
             self.spark,
             self.sf_dir,
             statement,
@@ -2127,3 +2277,9 @@ class CqlSession:
             extra_functions=self._functions,
             extra_aggregates=self._aggregates,
         )
+        for c in post_mask:
+            if c in res.columns:
+                res = res.withColumn(
+                    c, mask_column(self._created[tbl].masks[c], F.col(c))
+                )
+        return res

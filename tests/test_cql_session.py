@@ -1670,3 +1670,85 @@ def test_system_views_describe_and_errors(sess):
         sess.execute("SELECT * FROM system_views.local")
     with _pytest.raises(InvalidRequest):
         sess.execute("DESCRIBE system_views.nope")
+
+
+def test_attached_column_masks_round_trip(sess):
+    """CEP-20 attached masks end-to-end [PK Cassandra 5.0 "Dynamic Data
+    Masking" schema attachment — the other half of V3's mask FUNCTIONS]:
+    a column masked in CREATE TABLE returns masked values to principals
+    without UNMASK, clear values once UNMASK is granted (the same SELECT
+    text both times); restricting on a masked column needs
+    SELECT_MASKED; DESCRIBE and system_schema.column_masks expose the
+    mask; ALTER ... MASKED WITH / DROP MASKED manage it live."""
+    from dcosb_cassandra_spark.cql import Unauthorized
+
+    sess.execute(
+        "CREATE TABLE people (id int PRIMARY KEY, name text, "
+        "ssn text MASKED WITH mask_inner(2, 2))"
+    )
+    sess.execute("INSERT INTO people (id, name, ssn) VALUES (1, 'alice', '123456789')")
+    sess.execute("INSERT INTO people (id, name, ssn) VALUES (2, 'bob', '987654321')")
+    # the default principal is a superuser: clear text
+    clear = {r["id"]: r["ssn"] for r in sess.execute("SELECT id, ssn FROM people").collect()}
+    assert clear == {1: "123456789", 2: "987654321"}
+
+    sess.execute("CREATE ROLE analyst WITH LOGIN = true AND PASSWORD = 'x'")
+    sess.execute("GRANT SELECT ON TABLE people TO analyst")
+    sess.login("analyst")
+    masked = {r["id"]: r["ssn"] for r in sess.execute("SELECT id, ssn FROM people").collect()}
+    assert masked == {1: "12*****89", 2: "98*****21"}
+    # aliases and expressions see only masked bytes (source-level rewrite)
+    row = sess.execute("SELECT ssn AS s FROM people WHERE id = 1").collect()
+    assert row[0]["s"] == "12*****89"
+
+    # restricting on a masked column requires SELECT_MASKED
+    with pytest.raises(Unauthorized, match="SELECT_MASKED"):
+        sess.execute("SELECT id FROM people WHERE ssn = '123456789' ALLOW FILTERING")
+    sess.login("cassandra")
+    sess.execute("GRANT SELECT_MASKED ON TABLE people TO analyst")
+    sess.login("analyst")
+    rows = sess.execute(
+        "SELECT id, ssn FROM people WHERE ssn = '123456789' ALLOW FILTERING"
+    ).collect()
+    # the filter ran on CLEAR data (it matched), the result is still masked
+    assert [(r["id"], r["ssn"]) for r in rows] == [(1, "12*****89")]
+
+    # GRANT UNMASK flips the SAME select to clear text
+    sess.login("cassandra")
+    sess.execute("GRANT UNMASK ON TABLE people TO analyst")
+    sess.login("analyst")
+    unmasked = {r["id"]: r["ssn"] for r in sess.execute("SELECT id, ssn FROM people").collect()}
+    assert unmasked == clear
+
+    # DESCRIBE + system_schema.column_masks introspection
+    sess.login("cassandra")
+    desc = {r["column_name"]: r["mask"] for r in sess.execute("DESCRIBE people").collect()}
+    assert desc["ssn"] == "mask_inner(2, 2)" and desc["name"] is None
+    cm = sess.execute("SELECT * FROM system_schema.column_masks").collect()
+    assert [(r["table_name"], r["column_name"], r["function_name"], r["function_arguments"]) for r in cm] == [
+        ("people", "ssn", "mask_inner", "2, 2")
+    ]
+
+    # ALTER lifecycle: attach with DEFAULT, re-attach, drop
+    sess.execute("ALTER TABLE people ALTER name MASKED WITH DEFAULT")
+    sess.execute("ALTER TABLE people ALTER ssn DROP MASKED")
+    sess.execute("REVOKE UNMASK ON TABLE people FROM analyst")
+    sess.login("analyst")
+    rows = {r["id"]: (r["name"], r["ssn"]) for r in sess.execute("SELECT id, name, ssn FROM people").collect()}
+    assert rows == {1: ("****", "123456789"), 2: ("****", "987654321")}
+
+
+def test_masked_add_column_and_hash_mask(sess):
+    """ALTER TABLE ADD with an inline mask; mask_hash over the added
+    column; masks survive into SELECT * projections."""
+    sess.execute("CREATE TABLE acct (id int PRIMARY KEY, who text)")
+    sess.execute("ALTER TABLE acct ADD email text MASKED WITH mask_hash()")
+    sess.execute("INSERT INTO acct (id, who, email) VALUES (1, 'x', 'a@b.c')")
+    sess.execute("CREATE ROLE viewer WITH LOGIN = true AND PASSWORD = 'x'")
+    sess.execute("GRANT SELECT ON TABLE acct TO viewer")
+    sess.login("viewer")
+    row = sess.execute("SELECT * FROM acct").collect()[0]
+    import hashlib
+
+    assert row["email"] == hashlib.sha256(b"a@b.c").hexdigest()
+    assert row["who"] == "x"
