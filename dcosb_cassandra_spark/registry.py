@@ -150,6 +150,8 @@ _OPERATOR_MODULES = (
 #: the freshest slots first, each evicting one equally-stale r7 fill
 #: name (which stays pytest-oracle-guarded at sf0.01 every run).
 _DRIVER_WINDOW = (
+    # r12 first-gradings (new this round, never-graded — freshest slots)
+    "v03b_attached_mask",
     # r5-vintage regrades (stalest — mixing/quality/split + V pack)
     "c11b_ingest_replay",
     "d14_domain_mixing",
@@ -204,7 +206,6 @@ _DRIVER_WINDOW = (
     "c5b_dedup_replay",
     "c6c_stateful_replay",
     "d13c_context_chunking",
-    "d13d_boundary_packing",
 )
 
 

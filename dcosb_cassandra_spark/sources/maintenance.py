@@ -606,6 +606,7 @@ def stream_knn_graph(
     out_dir: str,
     sf_dir: str,
     schema: str,
+    timeout_sec: int = 240,
 ) -> str:
     """Maintain the D54 kNN graph on a LIVE vector ingest stream — the
     C14 treatment for the fifth artifact, and the insert procedure a
@@ -626,7 +627,8 @@ def stream_knn_graph(
 
     Exactly-once: the vector store appends under batch_id-keyed subdirs
     (overwrite — the c16b recipe); the edge store is node-hash-bucketed
-    (EDGE_STORE_BUCKETS subdirs) and each batch re-derives ONLY the
+    (edge_bucket_count subdirs, doubling with store growth) and each
+    batch re-derives ONLY the
     buckets containing its new edges' endpoints — a union+distinct+
     shrink that is bit-idempotent under replay (duplicate rows dedup
     exactly; the shrink re-picks the same top-2M), so a replayed
@@ -648,6 +650,7 @@ def stream_knn_graph(
         TARGET_LSH_BLOCK_ROWS,
         adaptive_bucket_split_bits,
         adaptive_lsh_bits,
+        edge_bucket_count,
         _codebook,
         _with_centroid_bucket,
         dot,
@@ -666,8 +669,13 @@ def stream_knn_graph(
         # root-level .next tmp trees and heals any legacy flat-layout
         # swap.
         if os.path.isdir(edge_store):
-            for p in range(EDGE_STORE_BUCKETS):
-                _recover_store_swap(os.path.join(edge_store, f"part={p}"))
+            bases = {
+                os.path.join(edge_store, e.split(".old.")[0].split(".forget.")[0])
+                for e in os.listdir(edge_store)
+                if e.startswith("part=")
+            }
+            for base in sorted(bases):
+                _recover_store_swap(base)
         _recover_store_swap(edge_store)
         ve = as_double(F.col("embedding"))
         newc = _with_centroid_bucket(
@@ -758,6 +766,42 @@ def stream_knn_graph(
             .filter(F.col("rn") <= GRAPH_DEGREE)
             .select("src", "dst", "sim")
         )
+        # Bucket-count management: B floors at EDGE_STORE_BUCKETS and
+        # doubles as the store grows (edge_bucket_count) — constant
+        # bucket SIZE is what keeps per-batch rewrite bytes proportional
+        # to the batch, not `(touched/B) × store`. A doubling migrates
+        # the whole layout once via the root-level crash-safe swap
+        # (amortized O(1) per byte); _meta.json travels inside the store
+        # dir so layout + bucket count swap atomically.
+        import json as _json
+
+        meta_path = os.path.join(edge_store, "_meta.json")
+        b_cur = EDGE_STORE_BUCKETS
+        if os.path.isfile(meta_path):
+            with open(meta_path) as fh:
+                b_cur = int(_json.load(fh)["buckets"])
+        b_want = edge_bucket_count(n)
+        if os.path.isdir(edge_store) and b_want != b_cur:
+            allprev = spark.read.parquet(edge_store).select("node", "peer", "sim")
+            mig = f"{edge_store}.next.{os.getpid()}"
+            (
+                allprev.withColumn(
+                    "part", F.pmod(F.hash("node"), F.lit(b_want))
+                )
+                .write.partitionBy("part")
+                .mode("overwrite")
+                .parquet(mig)
+            )
+            with open(os.path.join(mig, "_meta.json"), "w") as fh:
+                _json.dump({"buckets": b_want}, fh)
+            old = f"{edge_store}.old.{os.getpid()}"
+            os.rename(edge_store, old)
+            os.rename(mig, edge_store)
+            import shutil as _shutil
+
+            _shutil.rmtree(old)
+        b_cur = b_want
+
         und_new = (
             new_edges.select(
                 F.col("src").alias("node"), F.col("dst").alias("peer"), "sim"
@@ -767,14 +811,12 @@ def stream_knn_graph(
                     F.col("dst").alias("node"), F.col("src").alias("peer"), "sim"
                 )
             )
-            .withColumn(
-                "part", F.pmod(F.hash("node"), F.lit(EDGE_STORE_BUCKETS))
-            )
+            .withColumn("part", F.pmod(F.hash("node"), F.lit(b_cur)))
         )
         # NODE-PARTITIONED SELECTIVE REWRITE (judge r11 task #4 — the
         # "at 100 TB the rewrite narrows to the touched nodes'
         # partitions" docstring is now code): the edge store is
-        # hash-bucketed by node into EDGE_STORE_BUCKETS subdirs; a batch
+        # hash-bucketed by node into b_cur subdirs; a batch
         # touches only the buckets holding its new edges' endpoints, so
         # ONLY those are read back (partition-pruned), re-shrunk, and
         # swapped — untouched buckets are never opened and per-batch
@@ -843,7 +885,7 @@ def stream_knn_graph(
                     {
                         "batch_id": batch_id,
                         "touched_buckets": len(touched),
-                        "total_buckets": EDGE_STORE_BUCKETS,
+                        "total_buckets": b_cur,
                         "rewritten_bytes": rewritten,
                         "store_bytes": total_bytes,
                     }
@@ -865,5 +907,5 @@ def stream_knn_graph(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    q.awaitTermination(timeout_sec)
     return out_dir
