@@ -781,7 +781,11 @@ def stream_knn_graph(
             with open(meta_path) as fh:
                 b_cur = int(_json.load(fh)["buckets"])
         b_want = edge_bucket_count(n)
-        if os.path.isdir(edge_store) and b_want != b_cur:
+        has_edge_data = os.path.isdir(edge_store) and (
+            any(e.startswith("part=") for e in os.listdir(edge_store))
+            or glob.glob(os.path.join(edge_store, "*.parquet"))
+        )
+        if has_edge_data and b_want != b_cur:
             allprev = spark.read.parquet(edge_store).select("node", "peer", "sim")
             mig = f"{edge_store}.next.{os.getpid()}"
             (
@@ -829,10 +833,25 @@ def stream_knn_graph(
             r["part"] for r in und_new.select("part").distinct().collect()
         )
         merge_src = und_new
+        prev = None
         if os.path.isdir(edge_store):
-            prev = spark.read.parquet(edge_store).filter(
-                F.col("part").isin([int(p) for p in touched])
-            )
+            if any(e.startswith("part=") for e in os.listdir(edge_store)):
+                # explicit schema: an all-empty-batch stream leaves the
+                # dir present but partitionless, and a schema-less read
+                # of it fails analysis (empty-corpus contract)
+                prev = spark.read.schema(
+                    "node long, peer long, sim double, part int"
+                ).parquet(edge_store)
+            elif glob.glob(os.path.join(edge_store, "*.parquet")):
+                # legacy flat layout (pre-partitioning store continued
+                # by newer code): derive part so the merge keeps it
+                prev = spark.read.parquet(edge_store).select(
+                    "node", "peer", "sim"
+                ).withColumn(
+                    "part", F.pmod(F.hash("node"), F.lit(b_cur))
+                )
+        if prev is not None:
+            prev = prev.filter(F.col("part").isin([int(p) for p in touched]))
             merge_src = prev.select(*und_new.columns).unionAll(und_new)
         wn = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("peer"))
         merged = (
@@ -849,7 +868,6 @@ def stream_knn_graph(
         # a replayed batch then re-merges idempotently (see above).
         tmp = f"{edge_store}.next.{os.getpid()}"
         merged.write.partitionBy("part").mode("overwrite").parquet(tmp)
-        import glob
         import shutil
 
         os.makedirs(edge_store, exist_ok=True)
