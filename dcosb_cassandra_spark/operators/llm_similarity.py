@@ -2466,6 +2466,7 @@ def _beam_search(
     beam: int = BEAM_WIDTH,
     queries: tuple | None = None,
     graph: tuple | None = None,
+    store: DataFrame | None = None,
 ) -> tuple:
     """Fixed-round best-first beam search over `knn_graph` for the memoized
     query batch. Returns (beam_df, scored_df): the final per-query beam
@@ -2513,7 +2514,10 @@ def _beam_search(
         pd.DataFrame({"query_id": qid, "qe": qvecs, "qnrm": qnrms}),
         "query_id long, qe array<double>, qnrm double",
     )
-    c = (
+    # ``store`` overrides the scoring vector store (node, ve, nrm) — d4q
+    # walks the exact-built graph while scoring on PQ-reconstructed
+    # vectors, the DiskANN serve split; default is the exact IVF store.
+    c = store if store is not None else (
         ivf_index(spark, sf_dir)
         .filter(F.col("vec_id") >= 5)
         .select(F.col("vec_id").alias("node"), "ve", "nrm")
@@ -2583,17 +2587,21 @@ def _graph_cte(rounds: int, beam: int) -> str:
     return _graph_base_cte() + "," + _beam_chain_cte(rounds, beam)
 
 
-def _beam_chain_cte(rounds: int, beam: int, sfx: str = "") -> str:
+def _beam_chain_cte(rounds: int, beam: int, sfx: str = "", cc_name: str = "cc") -> str:
     """One round-unrolled beam chain (CTEs ``beam{sfx}0 …
     beam{sfx}{rounds}``) over the shared `_graph_base_cte` prelude —
     suffixing lets d4o run several beam widths in ONE oracle against the
-    same graph/entry CTEs. No leading WITH/comma."""
+    same graph/entry CTEs, and ``cc_name`` points the SCORING joins at an
+    alternate vector store (d4q scores the walk on the PQ-reconstructed
+    store while the graph/entries stay exact-built). No leading
+    WITH/comma."""
+    cn = cc_name
     parts = [f"""
         beam{sfx}0 AS MATERIALIZED (
             SELECT n.query_id, n.node,
-                   {_GRAPH_DOT.format(a='q.qe', b='cc.ve')}
-                     / (q.qnrm * cc.nrm) AS sim
-            FROM qentry n JOIN cc ON cc.vec_id = n.node
+                   {_GRAPH_DOT.format(a='q.qe', b=f'{cn}.ve')}
+                     / (q.qnrm * {cn}.nrm) AS sim
+            FROM qentry n JOIN {cn} ON {cn}.vec_id = n.node
                           JOIN q ON q.query_id = n.query_id
         )"""]
     for t in range(1, rounds + 1):
@@ -2604,9 +2612,9 @@ def _beam_chain_cte(rounds: int, beam: int, sfx: str = "") -> str:
         ),
         sc{sfx}{t} AS MATERIALIZED (
             SELECT n.query_id, n.node,
-                   {_GRAPH_DOT.format(a='q.qe', b='cc.ve')}
-                     / (q.qnrm * cc.nrm) AS sim
-            FROM nb{sfx}{t} n JOIN cc ON cc.vec_id = n.node
+                   {_GRAPH_DOT.format(a='q.qe', b=f'{cn}.ve')}
+                     / (q.qnrm * {cn}.nrm) AS sim
+            FROM nb{sfx}{t} n JOIN {cn} ON {cn}.vec_id = n.node
                          JOIN q ON q.query_id = n.query_id
         ),
         beam{sfx}{t} AS MATERIALIZED (
@@ -3048,6 +3056,267 @@ def d4o_beam_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+#: d4p's predicate: an existing label in the 10-label demo corpus
+FILTERED_ANN_LABEL = 3
+
+
+@query(
+    "d4p_filtered_graph_ann",
+    oracle=f"""
+        WITH {_CENT_SQL},
+        {_graph_cte(BEAM_ROUNDS, BEAM_WIDTH)},
+        scored_all AS MATERIALIZED (
+            SELECT query_id, node FROM qentry
+            UNION {" UNION ".join(f"SELECT query_id, node FROM nb{t}" for t in range(1, BEAM_ROUNDS + 1))}
+        ),
+        flt AS (
+            SELECT s.query_id, s.node,
+                   {_GRAPH_DOT.format(a='q.qe', b='cc.ve')}
+                     / (q.qnrm * cc.nrm) AS sim
+            FROM scored_all s
+            JOIN cc ON cc.vec_id = s.node
+            JOIN q ON q.query_id = s.query_id
+            JOIN embeddings e ON e.vec_id = s.node
+            WHERE e.label = {FILTERED_ANN_LABEL}
+        )
+        SELECT query_id, node AS nbr_id, round(sim, 6) AS sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, node) AS rn
+            FROM flt
+        ) WHERE rn <= 3
+    """,
+    tags=("D54", "V2", "D4", "D38", "P1"),
+)
+def d4p_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED graph ANN — the hybrid-query half of Cassandra 5's vector
+    path served by the GRAPH index [PK CEP-30: SAI vector indexes answer
+    `WHERE pred ... ORDER BY ANN OF` by walking the JVector graph and
+    admitting only predicate-passing nodes to the result; v02b is the
+    exact/IVF hybrid, d4l the in-IVF-index predicate]: run the standard
+    beam traversal UNFILTERED (filtering during navigation disconnects
+    the walk — the reason HNSW filtered search keeps routing through
+    non-matching nodes), then admit only `label = {FILTERED_ANN_LABEL}`
+    nodes from everything the search SCORED (entry + every frontier —
+    the search's whole candidate budget, so the filter costs zero extra
+    graph work), top-3 per query.
+
+    The whole candidate set replays in the oracle (qentry ∪ nb1..nb3
+    over the shared round-unrolled beam chain), so the filtered answer
+    is hash-checked END-TO-END — trajectory, candidate admission, and
+    ranking. Honest recall note: a selective predicate can exhaust the
+    beam's candidates (a query may return < 3 rows); production systems
+    widen the beam as selectivity drops (the d4o dial measures exactly
+    that trade).
+
+    Scale: the scored set is ≤ queries×(1 + rounds×beam×2M) rows —
+    corpus-size-independent like the beam itself; the label join is an
+    integer-keyed point-lookup join against the corpus table; the
+    broadcast sides are the same driver-local query/beam sets as d4m
+    (allowlisted, test_plans.py)."""
+    beam_df, scored = _beam_search(spark, sf_dir)
+    qid, qvecs, qnrms, _ranks = _query_batch(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": qid, "qe": qvecs, "qnrm": qnrms}),
+        "query_id long, qe array<double>, qnrm double",
+    )
+    c = (
+        ivf_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("node"), "ve", "nrm")
+    )
+    lab = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
+    flt = (
+        scored.distinct()
+        .join(lab, "node")
+        .filter(F.col("label") == FILTERED_ANN_LABEL)
+        .join(c, "node")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "node", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    return (
+        flt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("node").alias("nbr_id"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def _pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-RECONSTRUCTED vector store (node, ve, nrm): each corpus
+    vector's {S} subspaces replaced by their nearest sub-codebook
+    centroid slice (the d4g code assignment), flattened back to a 64-dim
+    array, with the EXACT stored norm (one scalar per vector — real
+    PQ-serving indexes keep it). This is what a DiskANN-style server
+    holds IN RAM: codes + codebook reconstruct ve without touching the
+    full-precision vectors. Deterministic: code choice breaks ties on
+    (distance, cand) like d4g, so both engines reconstruct the identical
+    array."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(emb)
+    v = (
+        ivf_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("node"), "ve", "nrm")
+    )
+    pairs = v.crossJoin(F.broadcast(cent.select("cand", "ce")))
+    sub_dists = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("ve"), _PQ_SUBDIM * s + 1, _PQ_SUBDIM),
+                    F.slice(F.col("ce"), _PQ_SUBDIM * s + 1, _PQ_SUBDIM),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        for s in range(_PQ_SUBSPACES)
+    ]
+    dists = pairs.select(
+        "node", "cand", F.explode(F.array(*sub_dists)).alias("sd")
+    ).select("node", "cand", F.col("sd.s").alias("s"), F.col("sd.d").alias("d"))
+    w = Window.partitionBy("node", "s").orderBy(F.asc("d"), F.asc("cand"))
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "s", "cand")
+    )
+    recon = (
+        codes.join(F.broadcast(cent.select("cand", "ce")), "cand")
+        .select(
+            "node",
+            F.struct(
+                "s",
+                F.expr(
+                    f"slice(ce, {_PQ_SUBDIM} * s + 1, {_PQ_SUBDIM})"
+                ).alias("sub"),
+            ).alias("ss"),
+        )
+        .groupBy("node")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("ss")), lambda t: t["sub"]
+                )
+            ).alias("ve")
+        )
+    )
+    return recon.join(v.select("node", "nrm"), "node").select("node", "ve", "nrm")
+
+
+@query(
+    "d4q_pq_beam_rerank",
+    oracle=f"""
+        WITH {_CENT_SQL},
+        {_graph_base_cte()},
+        sub AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+        pqd AS (
+            SELECT cc.vec_id, c.cand, sub.s,
+                   list_sum(list_transform(
+                       range({_PQ_SUBDIM} * sub.s + 1,
+                             {_PQ_SUBDIM} * sub.s + {_PQ_SUBDIM} + 1),
+                       i -> (cc.ve[i] - c.ce[i]) * (cc.ve[i] - c.ce[i]))) AS d
+            FROM cc CROSS JOIN cent c CROSS JOIN sub
+        ),
+        pqcodes AS (
+            SELECT vec_id, s, cand FROM (
+                SELECT vec_id, s, cand,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, cand) AS rn
+                FROM pqd
+            ) WHERE rn = 1
+        ),
+        ccq AS MATERIALIZED (
+            SELECT k.vec_id,
+                   flatten(list(k.ce_sub ORDER BY k.s)) AS ve,
+                   any_value(cc.nrm) AS nrm
+            FROM (SELECT pqcodes.vec_id, pqcodes.s,
+                         list_slice(c.ce, {_PQ_SUBDIM} * pqcodes.s + 1,
+                                    {_PQ_SUBDIM} * pqcodes.s + {_PQ_SUBDIM})
+                             AS ce_sub
+                  FROM pqcodes JOIN cent c ON c.cand = pqcodes.cand) k
+            JOIN cc ON cc.vec_id = k.vec_id
+            GROUP BY k.vec_id
+        ),
+        {_beam_chain_cte(BEAM_ROUNDS, BEAM_WIDTH, cc_name="ccq")},
+        rerank AS (
+            SELECT b.query_id, b.node,
+                   {_GRAPH_DOT.format(a='q.qe', b='cc.ve')}
+                     / (q.qnrm * cc.nrm) AS sim
+            FROM beam{BEAM_ROUNDS} b
+            JOIN cc ON cc.vec_id = b.node
+            JOIN q ON q.query_id = b.query_id
+        )
+        SELECT query_id, node AS nbr_id, round(sim, 6) AS sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, node) AS rn
+            FROM rerank
+        ) WHERE rn <= 3
+    """,
+    tags=("D54", "D4", "D38", "V2", "P1"),
+)
+def d4q_pq_beam_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-scored graph traversal with exact rerank — the DiskANN serve
+    split [public: Subramanya et al. 2019 (DiskANN); same posture as
+    Cassandra/JVector's compressed-vector search]: the navigable graph
+    and entry points are built EXACT (offline, full precision — build
+    quality is where precision pays), but the beam walk scores every
+    candidate against the PQ-RECONSTRUCTED store ({S}×{D}-dim
+    sub-codebook centroids + the stored exact norm — what fits in RAM
+    when the full vectors live on disk at 100 TB), and only the FINAL
+    beam (≤ queries×BEAM_WIDTH rows) is re-scored exactly before the
+    top-3 cut — the one point where full-precision vectors are read.
+
+    Both the APPROXIMATE trajectory and the exact rerank replay in the
+    oracle: the shared beam chain runs over the ``ccq`` reconstructed
+    store (code choice tie-broken on (distance, cand) exactly like d4g,
+    so reconstruction is bit-identical), the rerank CTE over the exact
+    ``cc`` — the compressed walk is hash-checked end-to-end, not
+    accuracy-scored (d4h's ADC-fidelity eval is the accuracy gate).
+
+    Scale: PQ encode is one corpus×k×{S} map-side pass at ingest (the
+    d4g plan); serving reads codes+codebook (RAM) for rounds×beam×2M
+    lookups and touches full vectors for only beam-many rows per query —
+    the I/O asymmetry that makes graph+PQ the 100 TB serving answer."""
+    beam_df, _ = _beam_search(spark, sf_dir, store=_pq_store(spark, sf_dir))
+    qid, qvecs, qnrms, _ranks = _query_batch(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": qid, "qe": qvecs, "qnrm": qnrms}),
+        "query_id long, qe array<double>, qnrm double",
+    )
+    c = (
+        ivf_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("node"), "ve", "nrm")
+    )
+    sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
+    rerank = (
+        beam_df.select("query_id", "node")
+        .join(c, "node")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "node", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    return (
+        rerank.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("node").alias("nbr_id"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
 
 
 def write_knn_graph(spark: SparkSession, sf_dir: str, out_dir: str) -> str:

@@ -152,6 +152,8 @@ _OPERATOR_MODULES = (
 _DRIVER_WINDOW = (
     # r12 first-gradings (new this round, never-graded — freshest slots)
     "v03b_attached_mask",
+    "d4p_filtered_graph_ann",
+    "d4q_pq_beam_rerank",
     # r5-vintage regrades (stalest — mixing/quality/split + V pack)
     "c11b_ingest_replay",
     "d14_domain_mixing",
@@ -204,8 +206,6 @@ _DRIVER_WINDOW = (
     "c2c_sliding_replay",
     "c3c_session_replay",
     "c5b_dedup_replay",
-    "c6c_stateful_replay",
-    "d13c_context_chunking",
 )
 
 

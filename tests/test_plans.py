@@ -130,6 +130,20 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "the d4m bound for a single literal query vector (1-row batch + "
         "≤beam frontier sets)",
     ),
+    "d4q_pq_beam_rerank": (
+        {"embeddings", "bounded:embeddings", "bounded:local_rows"},
+        "the d4m query/beam bounds plus the PQ codebook (k=10 rows, the "
+        "d4g broadcast posture) folded into the reconstructed-store "
+        "build; the rerank join's driver-local side is the ≤5-row query "
+        "batch",
+    ),
+    "d4p_filtered_graph_ann": (
+        {"bounded:local_rows"},
+        "the d4m bound plus one more explicit hint on the SAME "
+        "driver-local query batch (re-joined for post-filter scoring); "
+        "the scored candidate set is ≤queries×(1 + rounds×beam×2M) rows "
+        "by the beam contract, never corpus-sized",
+    ),
     "d5u_bigram_lm_quality": (
         {"bounded:local_rows"},
         "broadcast side is the trained bigram-LM model: <=|V|^2 rows "
