@@ -144,11 +144,14 @@ _OPERATOR_MODULES = (
 #: silently drops when the vendored protobuf is absent, so it needs
 #: fresh per-round driver evidence wherever it IS runnable — the
 #: staleness guard exempts _ENV_GATED names for exactly this reason),
-#: plus a 24-name r7 fill (all r7 names equally stale; the fill
-#: prefers the cheap CQL-maintenance/B-analytics/C-replay cohort to
-#: keep grading headroom). The round's NEW queries (never-graded) take
-#: the freshest slots first, each evicting one equally-stale r7 fill
-#: name (which stays pytest-oracle-guarded at sf0.01 every run).
+#: plus an r7 fill (all r7 names equally stale; the fill prefers the
+#: cheap CQL-maintenance/B-analytics/C-replay cohort to keep grading
+#: headroom — 24 names at rotation time). The round's NEW queries
+#: (never-graded) take the freshest slots first, each evicting one
+#: equally-stale r7 fill name (which stays pytest-oracle-guarded at
+#: sf0.01 every run): the three r12 first-gradings v03b_attached_mask /
+#: d4p_filtered_graph_ann / d4q_pq_beam_rerank evicted d13d / d13c /
+#: c6c, leaving a 21-name r7 fill.
 _DRIVER_WINDOW = (
     # r12 first-gradings (new this round, never-graded — freshest slots)
     "v03b_attached_mask",
