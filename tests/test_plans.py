@@ -137,6 +137,13 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "build; the rerank join's driver-local side is the ≤5-row query "
         "batch",
     ),
+    "d4r_filtered_ann_selectivity": (
+        {"bounded:local_rows"},
+        "the d4o bound (query batch + beam/frontier sets at three "
+        "widths) plus the d4p admission re-join of the SAME driver-local "
+        "query batch per (selectivity × width) cell; every hinted side "
+        "is ≤queries×max(beam) rows, never corpus-sized",
+    ),
     "d4p_filtered_graph_ann": (
         {"bounded:local_rows"},
         "the d4m bound plus one more explicit hint on the SAME "
