@@ -3343,10 +3343,15 @@ def d4r_filtered_ann_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * F.col("nrm"))
     w3 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    # one beam search per width, shared across the three selectivity
+    # cells (the oracle's three suffixed chains are likewise built once)
+    scored_by_width = {
+        w: _beam_search(spark, sf_dir, beam=w)[1] for w in _D4O_WIDTHS
+    }
     out = None
     for m in _D4R_SELS:
         for w in _D4O_WIDTHS:
-            _beam_df, scored = _beam_search(spark, sf_dir, beam=w)
+            scored = scored_by_width[w]
             adm = (
                 scored.distinct()
                 .join(cl, "node")

@@ -848,9 +848,14 @@ def stream_knn_graph(
         t = float(TARGET_LSH_BLOCK_ROWS)
 
         def salted(df: DataFrame) -> DataFrame:
+            # count tables BROADCAST (r13): they are block-count
+            # dictionaries (~n/TARGET rows — KBs at demo scale, 2-3
+            # orders below the store), and joining them by shuffle
+            # re-shuffled the whole 200k-row vector store per batch —
+            # measured as the dominant small-batch wall term at 100×
             return (
-                df.join(cnt_l, "lsh")
-                .join(cnt_b, ["bucket", "lsh2"])
+                df.join(F.broadcast(cnt_l), "lsh")
+                .join(F.broadcast(cnt_b), ["bucket", "lsh2"])
                 .withColumn(
                     "salt_l",
                     F.pmod(
@@ -868,7 +873,18 @@ def stream_knn_graph(
                 .drop("c_l", "c_b")
             )
 
-        a, b = salted(bnew).alias("a"), salted(sstore).alias("b")
+        # A steady-state micro-batch is tiny against the store: BROADCAST
+        # the batch side so the store streams through a broadcast-hash
+        # join — one scan, zero store shuffle. The bootstrap/bulk batch
+        # (or a replayed one) can be store-sized, so the hint is gated on
+        # |batch|: past the threshold both sides shuffle on the block
+        # keys exactly like the batch build (the r12 posture). Measured
+        # at 100×: the un-hinted plan shuffled the 200k-row store per
+        # small batch and cost 207-226 s/batch; see SCALE.md.
+        asalted = salted(bnew)
+        if nb <= 10_000:
+            asalted = F.broadcast(asalted)
+        a, b = asalted.alias("a"), salted(sstore).alias("b")
         sim = dot(F.col("a.ve"), F.col("b.ve")) / (F.col("a.nrm") * F.col("b.nrm"))
         sel = [
             F.col("a.vec_id").alias("src"),
@@ -890,10 +906,14 @@ def stream_knn_graph(
         ).select(*sel)
         pairs = p_ivf.unionAll(p_lsh).distinct()
         w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+        # localCheckpoint (r13): new_edges feeds THREE consumers (the
+        # touched-part collect, the undirected union, the merge write) —
+        # uncheckpointed, each action re-ran the whole candidate join
         new_edges = (
             pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= GRAPH_DEGREE)
             .select("src", "dst", "sim")
+            .localCheckpoint(eager=True)
         )
         # Bucket-count management: B floors at EDGE_STORE_BUCKETS and
         # doubles as the store grows (edge_bucket_count) — constant

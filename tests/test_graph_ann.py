@@ -158,3 +158,67 @@ def test_forget_graph_nodes_unreachable(spark, tmp_path):
     beam, _ = _beam_search(spark, SF_DIR, graph=(edges2, entries2))
     rows = beam.collect()
     assert rows and all(r.node != victim for r in rows)
+
+
+def test_beam_search_metric_parameter(spark):
+    """r13: `_beam_search(metric=...)` scores the walk by the declared
+    SAI similarity function [PK CEP-30]. The catalog embeddings are
+    unit-norm (dot ≡ cosine there), so the scoring store is overridden
+    with NORM-VARIED vectors (each scaled by 1 + node%5, the d4q `store`
+    override): every returned sim must equal the metric recomputed from
+    the scaled vectors, and the walks must genuinely diverge between
+    metrics."""
+    import math
+
+    from dcosb_cassandra_spark.catalog import table as cat_table
+    from dcosb_cassandra_spark.functions.vectors import as_double, l2_norm
+
+    emb = cat_table(spark, SMOKE_SF_DIR, "embeddings").filter(
+        F.col("vec_id") >= 5
+    )
+    scale = (F.lit(1.0) + F.pmod(F.col("vec_id"), F.lit(5)).cast("double"))
+    ve = F.transform(as_double(F.col("embedding")), lambda x: x * scale)
+    store = emb.select(
+        F.col("vec_id").alias("node"), ve.alias("ve")
+    ).withColumn("nrm", l2_norm(F.col("ve")))
+
+    vecs = {
+        r["vec_id"]: [
+            float(x) * (1.0 + r["vec_id"] % 5) for x in r["embedding"]
+        ]
+        for r in emb.collect()
+    }
+    qid, qvecs, _qnrms, _ = _query_batch(spark, SMOKE_SF_DIR)
+    q = {qid[i]: qvecs[i] for i in range(len(qid))}
+
+    def expect(metric, qv, v):
+        dp = sum(a * b for a, b in zip(qv, v))
+        if metric == "dot_product":
+            return dp
+        nq = math.sqrt(sum(a * a for a in qv))
+        nv = math.sqrt(sum(a * a for a in v))
+        if metric == "euclidean":
+            return -(nq * nq + nv * nv - 2 * dp)
+        return dp / (nq * nv)
+
+    orders = {}
+    for metric in ("cosine", "dot_product", "euclidean"):
+        beam, _ = _beam_search(
+            spark, SMOKE_SF_DIR, store=store, metric=metric
+        )
+        rows = beam.collect()
+        assert rows
+        for r in rows:
+            want = expect(metric, q[r["query_id"]], vecs[r["node"]])
+            assert abs(r["sim"] - want) <= 1e-6 * max(1.0, abs(want)), (
+                metric,
+                r,
+                want,
+            )
+        orders[metric] = sorted((r["query_id"], r["node"]) for r in rows)
+    # norm-varied store: dot favors long vectors, cosine ignores norms,
+    # euclidean penalizes them — the beams must not all coincide
+    assert (
+        orders["dot_product"] != orders["cosine"]
+        or orders["euclidean"] != orders["cosine"]
+    )
