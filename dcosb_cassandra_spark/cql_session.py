@@ -91,7 +91,8 @@ _INSERT_JSON = re.compile(
 #: SAI forms: CREATE [CUSTOM] INDEX ... USING 'StorageAttachedIndex'
 #: [WITH OPTIONS = {...}] [PK `index/sai/`; CEP-7]
 _CREATE_INDEX = re.compile(
-    r"^\s*CREATE\s+(?:CUSTOM\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:\w+\s+)?ON\s+"
+    r"^\s*CREATE\s+(?P<custom>CUSTOM\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(?P<iname>\w+)\s+)?ON\s+"
     r"(?P<table>\w+)\s*\(\s*(?:(?:KEYS|VALUES|ENTRIES|FULL)\s*\(\s*)?"
     r"(?P<col>\w+)\s*\)?\s*\)\s*"
     r"(?:USING\s+'(?P<impl>[^']+)'\s*)?"
@@ -504,6 +505,9 @@ class CqlSession:
         #: "tbl.col" -> {option: value}; ANN ordering consults
         #: similarity_function here [PK CEP-30]
         self._index_options: dict[str, dict[str, str]] = {}
+        #: index introspection rows (system_schema.indexes): name ->
+        #: {table, col, kind, options}
+        self._indexes: dict[str, dict] = {}
         #: session-created materialized views (CREATE MATERIALIZED VIEW)
         self._views: dict[str, MvDef] = {}
         #: session-created UDFs / UDAs (CREATE FUNCTION / AGGREGATE)
@@ -1366,6 +1370,16 @@ class CqlSession:
             self._indexed[tbl] = (*self._indexed.get(tbl, ()), col)
             if opts:
                 self._index_options[f"{tbl}.{col}"] = opts
+            # introspection row [PK `schema/SchemaKeyspace.java` INDEXES]:
+            # Cassandra names an anonymous index <table>_<col>_idx; kind
+            # is CUSTOM for USING-class indexes, COMPOSITES otherwise
+            iname = (m.group("iname") or f"{tbl}_{col}_idx").lower()
+            self._indexes[iname] = {
+                "table": tbl,
+                "col": col,
+                "kind": "CUSTOM" if (m.group("custom") or impl) else "COMPOSITES",
+                "options": dict(opts),
+            }
             return None
 
         m = _DROP_TABLE.match(s)
@@ -1377,6 +1391,10 @@ class CqlSession:
                 self._indexed.pop(tbl, None)
                 for k in [k for k in self._index_options if k.startswith(f"{tbl}.")]:
                     del self._index_options[k]
+                for k in [
+                    k for k, v in self._indexes.items() if v["table"] == tbl
+                ]:
+                    del self._indexes[k]
                 self._triggers.pop(tbl, None)  # triggers drop with the table
                 return None
             if tbl in TABLE_KEYS:
@@ -2051,6 +2069,9 @@ class CqlSession:
         # Cassandra 5.0 attached-mask metadata [PK CEP-20 /
         # `schema/SchemaKeyspace.java` COLUMN_MASKS]
         "column_masks": (("keyspace_name",), ("table_name", "column_name")),
+        # [PK `schema/SchemaKeyspace.java` INDEXES] — r13, pairs with the
+        # SAI similarity_function option wiring
+        "indexes": (("keyspace_name",), ("table_name", "index_name")),
         "views": (("keyspace_name",), ("view_name",)),
         "types": (("keyspace_name",), ("type_name",)),
         "functions": (("keyspace_name",), ("function_name",)),
@@ -2137,6 +2158,30 @@ class CqlSession:
                 "keyspace_name STRING, table_name STRING, column_name STRING, "
                 "function_keyspace_name STRING, function_name STRING, "
                 "function_arguments STRING",
+            )
+        if which == "indexes":
+            # [PK `schema/SchemaKeyspace.java` INDEXES; 5.0 SAI]: one row
+            # per index; Cassandra's options map carries 'target' plus
+            # the WITH OPTIONS pairs — rendered as deterministic JSON
+            # text (sorted keys), the column_masks text-rendering shape
+            import json as _json
+
+            rows = []
+            for iname, ix in sorted(self._indexes.items()):
+                opts = {"target": ix["col"], **ix["options"]}
+                rows.append(
+                    (
+                        ks,
+                        ix["table"],
+                        iname,
+                        ix["kind"],
+                        _json.dumps(opts, sort_keys=True),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "keyspace_name STRING, table_name STRING, index_name STRING, "
+                "kind STRING, options STRING",
             )
         if which == "views":
             rows = [(ks, v.name, v.base) for v in self._views.values()]

@@ -1862,3 +1862,43 @@ def test_masked_where_restricted_alias_still_masked(sess):
         sess.execute(
             "SELECT ssn AS s FROM phi WHERE ssn = '123456789' ALLOW FILTERING"
         )
+
+
+def test_system_schema_indexes_introspection(spark):
+    """r13 (pairs with the similarity_function wiring):
+    system_schema.indexes renders one row per created index — name
+    (explicit or Cassandra's <table>_<col>_idx default), kind
+    (COMPOSITES for plain 2i, CUSTOM for USING-class), and the options
+    map as deterministic JSON text carrying target + WITH OPTIONS
+    pairs. Rows drop with their table."""
+    import json
+
+    sess = CqlSession(spark, SMOKE_SF_DIR)
+    sess.execute("CREATE TABLE it (id int PRIMARY KEY, name text, v vector<float, 4>)")
+    sess.execute("CREATE INDEX ON it (name)")
+    sess.execute(
+        "CREATE CUSTOM INDEX it_ann ON it (v) USING 'StorageAttachedIndex' "
+        "WITH OPTIONS = {'similarity_function': 'dot_product'}"
+    )
+    rows = {
+        r["index_name"]: r
+        for r in sess.execute("SELECT * FROM system_schema.indexes").collect()
+    }
+    assert set(rows) == {"it_name_idx", "it_ann"}
+    plain = rows["it_name_idx"]
+    assert plain["table_name"] == "it" and plain["kind"] == "COMPOSITES"
+    assert json.loads(plain["options"]) == {"target": "name"}
+    ann = rows["it_ann"]
+    assert ann["kind"] == "CUSTOM"
+    assert json.loads(ann["options"]) == {
+        "target": "v",
+        "similarity_function": "dot_product",
+    }
+    # filtering through the CQL front-end works like any system table
+    got = sess.execute(
+        "SELECT index_name FROM system_schema.indexes WHERE table_name = 'it' "
+        "ALLOW FILTERING"
+    ).collect()
+    assert {r["index_name"] for r in got} == {"it_name_idx", "it_ann"}
+    sess.execute("DROP TABLE it")
+    assert sess.execute("SELECT * FROM system_schema.indexes").count() == 0
