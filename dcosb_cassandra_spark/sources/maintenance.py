@@ -725,13 +725,19 @@ def stream_knn_graph(
         # root-level .next tmp trees and heal any legacy flat-layout,
         # vector-migration, entries, or blocks swap.
         if os.path.isdir(edge_store):
-            bases = {
-                os.path.join(edge_store, e.split(".old.")[0].split(".forget.")[0])
+            # ONE directory listing, healing only buckets with stranded
+            # siblings (r13): calling _recover_store_swap on every
+            # part= dir ran 3 globs × O(B) directory entries each —
+            # O(B²) string matching, measured ~290 s/batch at B=8192
+            # (the 100× probe) with zero strays to heal
+            strays = {
+                e.split(".old.")[0].split(".forget.")[0].split(".next.")[0]
                 for e in os.listdir(edge_store)
                 if e.startswith("part=")
+                and (".old." in e or ".forget." in e or ".next." in e)
             }
-            for base in sorted(bases):
-                _recover_store_swap(base)
+            for base in sorted(strays):
+                _recover_store_swap(os.path.join(edge_store, base))
         for s in (edge_store, vec_store, entry_store, blocks_store):
             _recover_store_swap(s)
         ve = as_double(F.col("embedding"))
