@@ -808,15 +808,21 @@ def stream_knn_graph(
                 *[c for c in allv.columns if c not in ("lsh", "lsh2")]
             )
             mig = f"{vec_store}.next.{os.getpid()}"
-            signed(allv).write.partitionBy("batch_id").mode(
-                "overwrite"
-            ).parquet(mig)
+            # sortWithinPartitions(lsh): parquet row-group min/max stats
+            # on a SORTED signature column make the per-batch In-filter
+            # below skip row groups wholesale — the signature-pruned
+            # scan that keeps the candidate join sub-linear in store size
+            signed(allv).sortWithinPartitions("lsh").write.partitionBy(
+                "batch_id"
+            ).mode("overwrite").parquet(mig)
             vold = f"{vec_store}.old.{os.getpid()}"
             os.rename(vec_store, vold)
             os.rename(mig, vec_store)
             _shutil.rmtree(vold)
         bnew = signed(newc)
-        bnew.write.mode("overwrite").parquet(this_batch)
+        bnew.sortWithinPartitions("lsh").write.mode("overwrite").parquet(
+            this_batch
+        )
         sstore = spark.read.parquet(vec_store).drop("batch_id")
         # Block-count tables for the salting: full re-aggregation ONLY on
         # width migration/bootstrap; otherwise the durable tables merged
@@ -888,9 +894,26 @@ def stream_knn_graph(
         # at 100×: the un-hinted plan shuffled the 200k-row store per
         # small batch and cost 207-226 s/batch; see SCALE.md.
         asalted = salted(bnew)
+        b_ivf_src, b_lsh_src = sstore, sstore
         if nb <= 10_000:
             asalted = F.broadcast(asalted)
-        a, b = asalted.alias("a"), salted(sstore).alias("b")
+            # Signature-pruned store scan (r13): only store rows sharing
+            # a block with the batch can pair, so push the batch's
+            # DISTINCT signature sets (≤|batch| literals — the bounded
+            # collect is the touched-bucket posture) into the scan as
+            # In-filters. Files are sorted by lsh (writes above), so the
+            # lsh In-filter skips row groups via min/max stats — the
+            # scan reads the batch's neighborhood, not the store.
+            keys = bnew.select("lsh", "lsh2").distinct().collect()
+            b_lsh_src = sstore.filter(
+                F.col("lsh").isin([r["lsh"] for r in keys])
+            )
+            b_ivf_src = sstore.filter(
+                F.col("lsh2").isin(sorted({r["lsh2"] for r in keys}))
+            )
+        a = asalted.alias("a")
+        b_ivf = salted(b_ivf_src).alias("b")
+        b_lsh = salted(b_lsh_src).alias("b")
         sim = dot(F.col("a.ve"), F.col("b.ve")) / (F.col("a.nrm") * F.col("b.nrm"))
         sel = [
             F.col("a.vec_id").alias("src"),
@@ -898,14 +921,14 @@ def stream_knn_graph(
             sim.alias("sim"),
         ]
         p_ivf = a.join(
-            b,
+            b_ivf,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.lsh2") == F.col("b.lsh2"))
             & (F.col("a.salt_b") == F.col("b.salt_b"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         ).select(*sel)
         p_lsh = a.join(
-            b,
+            b_lsh,
             (F.col("a.lsh") == F.col("b.lsh"))
             & (F.col("a.salt_l") == F.col("b.salt_l"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
