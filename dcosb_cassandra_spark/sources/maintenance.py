@@ -1052,21 +1052,26 @@ def stream_knn_graph(
             r["part"] for r in und_new.select("part").distinct().collect()
         )
         merge_src = und_new
-        prev = None
         # Always the partitioned layout here: a legacy flat store was
         # migrated wholesale above (judge r12 advice — continuing it in
-        # place left a mixed flat+partitioned directory). Explicit
-        # schema: an all-empty-batch stream leaves the dir present but
-        # partitionless, and a schema-less read fails analysis
-        # (empty-corpus contract).
-        if os.path.isdir(edge_store) and any(
-            e.startswith("part=") for e in os.listdir(edge_store)
-        ):
-            prev = spark.read.schema(
-                "node long, peer long, sim double, part int"
-            ).parquet(edge_store)
-        if prev is not None:
-            prev = prev.filter(F.col("part").isin([int(p) for p in touched]))
+        # place left a mixed flat+partitioned directory). The read lists
+        # ONLY the touched buckets' paths (basePath keeps the part
+        # column): pointing Spark at the store root made it file-index
+        # all B part= dirs before pruning — an O(B) driver listing per
+        # batch, the larger half of the 100× merge cost. Explicit
+        # schema: an all-empty-batch stream can leave dirs empty, and a
+        # schema-less read fails analysis (empty-corpus contract).
+        touched_paths = [
+            os.path.join(edge_store, f"part={p}")
+            for p in touched
+            if os.path.isdir(os.path.join(edge_store, f"part={p}"))
+        ]
+        if touched_paths:
+            prev = (
+                spark.read.schema("node long, peer long, sim double, part int")
+                .option("basePath", edge_store)
+                .parquet(*touched_paths)
+            )
             merge_src = prev.select(*und_new.columns).unionAll(und_new)
         wn = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("peer"))
         merged = (
