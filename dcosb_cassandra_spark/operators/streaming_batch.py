@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from ..streaming.streams import await_stream
 
 # C1 tumbling window = headline tumbling_window_events
 
@@ -362,7 +363,7 @@ def c8b_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _sink_name("c8b_sink")
     q = c8_write_stream(agg, name, output_mode="complete")
-    q.awaitTermination(120)
+    await_stream(q)
     out_dir = os.path.join(tempfile.mkdtemp(prefix="c8b_"), "roundtrip")
     sio.write_parquet(spark.table(name), out_dir)
     return sio.read_parquet(spark, out_dir)
@@ -420,7 +421,7 @@ def c9c_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q)
     rows = [(k, n, v) for k, (n, v) in sorted(state.items())]
     return spark.createDataFrame(
         rows, "event_type STRING, n_events LONG, value_floor_sum LONG"
@@ -466,7 +467,7 @@ def c11b_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_documents_stream(spark, _stage_stream_dir(sf_dir, "documents"))
     name = _sink_name("c11b_sink")
     q = c8_write_stream(c11_training_ingest_stream(docs), name, output_mode="append")
-    q.awaitTermination(120)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -502,7 +503,7 @@ def c10b_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
     name = _sink_name("c10b_sink")
     q = c8_write_stream(c10_stream_stream_join(stream), name, output_mode="append")
-    q.awaitTermination(180)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -549,7 +550,7 @@ def c10c_outer_interval_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(
         c10_stream_stream_join(stream, how="leftOuter"), name, output_mode="append"
     )
-    q.awaitTermination(240)
+    await_stream(q)
     return spark.table(name).filter(F.col("p_user") >= 0)
 
 
@@ -591,7 +592,7 @@ def c10d_full_outer_interval_replay(spark: SparkSession, sf_dir: str) -> DataFra
     q = c8_write_stream(
         c10_stream_stream_join(stream, how="fullOuter"), name, output_mode="append"
     )
-    q.awaitTermination(240)
+    await_stream(q)
     sunk = spark.table(name)
     return sunk.filter(
         (F.col("p_user").isNull() | (F.col("p_user") >= 0))
@@ -626,7 +627,7 @@ def c1d_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
     name = _sink_name("c1d_sink")
     q = c8_write_stream(c1_tumbling_stream(ev), name, output_mode="complete")
-    q.awaitTermination(120)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -670,7 +671,7 @@ def c3c_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
     name = _sink_name("c3c_sink")
     q = c8_write_stream(c3_session_stream(ev), name, output_mode="complete")
-    q.awaitTermination(120)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -700,7 +701,7 @@ def c2c_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
     name = _sink_name("c2c_sink")
     q = c8_write_stream(c2_sliding_stream(ev), name, output_mode="complete")
-    q.awaitTermination(120)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -734,7 +735,7 @@ def c13_rolling_dau_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
     name = _sink_name("c13_sink")
     q = c8_write_stream(c13_daily_sketch_stream(ev), name, output_mode="complete")
-    q.awaitTermination(120)
+    await_stream(q)
     from .relational import merge_daily_sketches
 
     return merge_daily_sketches(spark.table(name))
@@ -772,7 +773,7 @@ def c5b_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c8_write_stream(
         c5_dedup_stream(ev).select("user_id", "event_type"), name, output_mode="append"
     )
-    q.awaitTermination(120)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -805,7 +806,7 @@ def c6c_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
     name = _sink_name("c6c_sink")
     q = c8_write_stream(c6_stateful_running_counts(ev), name, output_mode="update")
-    q.awaitTermination(120)
+    await_stream(q)
     t = spark.table(name)
     return (
         t.groupBy("user_id")
@@ -867,7 +868,7 @@ def c6d_state_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _stage_ordered_events_dir(spark, sf_dir))
     name = _sink_name("c6d_sink")
     q = c8_write_stream(c6d_ttl_sessions(ev), name, output_mode="update")
-    q.awaitTermination(240)
+    await_stream(q)
     t = spark.table(name).filter(F.col("user_id") >= 0)
     return t.select(
         "user_id",
@@ -961,13 +962,18 @@ if _tws_runnable():
         )
 
         ensure_engine_conf(spark)
-        _bootstrap_tws(spark)
         ev = read_events_stream(spark, _stage_stream_dir(sf_dir, "events"))
+        # AFTER the stream builders: ensure_engine_conf (called inside
+        # read_events_stream too) re-pins the DEFAULT state-store provider
+        # to contain c6e's RocksDB selection to this query — the provider
+        # conf is read at .start(), so selecting RocksDB here is sufficient
+        # and nothing later in this function may call ensure_engine_conf.
+        _bootstrap_tws(spark)
         name = _sink_name("c6e_sink")
         q = c8_write_stream(
             c6b_stateful_running_counts_tws(ev), name, output_mode="update"
         )
-        q.awaitTermination(240)
+        await_stream(q)
         t = spark.table(name)
         return (
             t.groupBy("user_id")
@@ -1176,7 +1182,7 @@ def c15_manifest_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(_stage_all_docs_chunks_dir(sf_dir))
     )
     q = raw.writeStream.foreachBatch(upkeep).trigger(availableNow=True).start()
-    q.awaitTermination(240)
+    await_stream(q)
     partials = spark.read.parquet(part_dir).drop("batch_id")
     return merge_manifests(partials)
 
@@ -1224,7 +1230,7 @@ def c16_stream_scoring_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _qc_scored_df(spark, sf_dir, docs=raw)
     name = _sink_name("c16_sink")
     q = c8_write_stream(scored, name, output_mode="append")
-    q.awaitTermination(240)
+    await_stream(q)
     t = spark.table(name)
     return t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1364,7 +1370,7 @@ def c16b_model_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_stage_epoch_docs_chunks_dir(sf_dir))
     )
     q = raw.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
-    q.awaitTermination(240)
+    await_stream(q)
     t = spark.read.parquet(out_dir).drop("batch_id")
     return t.groupBy("epoch", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

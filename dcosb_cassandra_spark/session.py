@@ -120,6 +120,19 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it via this
     # legacy flag (as a nanos long) — the catalog converts it to micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # State-store provider: pin the Spark default. c6e's transformWithState
+    # path switches the SHARED session to RocksDB (_bootstrap_tws) and a
+    # leaked RocksDB provider + temporary checkpoints intermittently loses
+    # state files under load (the r13 c10c/c10d full-suite flake —
+    # FileNotFoundException in the store maintenance thread; both pass in
+    # isolation). Every query entry calls ensure_engine_conf first, so each
+    # replay now starts from the provider its semantics were validated on;
+    # c6e re-selects RocksDB after this, for its own run only.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
     # Driver-built sessions may target a real multi-executor cluster: ship
     # the package so module-referencing UDFs import on executor-side workers.
     return ship_package(spark)

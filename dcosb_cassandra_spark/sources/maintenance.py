@@ -19,6 +19,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..streaming.streams import await_stream
+
 
 def parquet_files(path: str) -> list[str]:
     return sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
@@ -226,7 +228,7 @@ def stream_band_index(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q)
     return out_dir
 
 
@@ -322,7 +324,7 @@ def stream_ivf_index(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream(q)
     return out_dir
 
 
@@ -633,7 +635,7 @@ def stream_knn_graph(
     out_dir: str,
     sf_dir: str,
     schema: str,
-    timeout_sec: int = 240,
+    timeout_sec: int = 1800,
 ) -> str:
     """Maintain the D54 kNN graph on a LIVE vector ingest stream — the
     C14 treatment for the fifth artifact, and the insert procedure a
@@ -1207,5 +1209,5 @@ def stream_knn_graph(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_stream(q, timeout_sec)
     return out_dir

@@ -124,6 +124,28 @@ def c7_stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "c_mktsegment")
 
 
+def await_stream(q, timeout_sec: int = 1800) -> None:
+    """Block until a bounded (availableNow-trigger) stream finishes, and
+    RAISE if it has not within ``timeout_sec``.
+
+    ``StreamingQuery.awaitTermination(t)`` returns ``False`` on timeout;
+    every replay site used to return anyway, handing the caller a PARTIAL
+    memory sink or half-appended index — a silent wrong answer that only
+    shows up under host load, when micro-batches slow down past the wait
+    (the r13 c14 full-suite mismatch: 120 s was plenty on a quiet host,
+    not co-tenant with a 32-thread sweep). A bounded replay that cannot
+    finish is an error; the only correct behavior is a loud one."""
+    if q.awaitTermination(timeout_sec):
+        return
+    try:
+        q.stop()
+    finally:
+        raise TimeoutError(
+            f"bounded stream {q.name or q.id} still running after "
+            f"{timeout_sec}s; refusing to return a partial result"
+        )
+
+
 def c8_write_stream(df: DataFrame, sink_name: str, output_mode: str = "update"):
     """C8: writeStream to a memory sink with availableNow (batch-replay)
     trigger. Returns the StreamingQuery; callers awaitTermination."""

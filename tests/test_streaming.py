@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from dcosb_cassandra_spark.catalog import table
 from dcosb_cassandra_spark.streaming import streams
+from dcosb_cassandra_spark.streaming.streams import await_stream
 
 from .conftest import SMOKE_SF_DIR
 
@@ -33,7 +34,7 @@ def events_dir():
 
 def _run_to_memory(spark, df, name, mode="update"):
     q = streams.c8_write_stream(df, name, mode)
-    q.awaitTermination(120)
+    await_stream(q)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -93,7 +94,7 @@ def test_c9_foreach_batch_view_maintenance(spark, events_dir):
     stream = streams.read_events_stream(spark, events_dir)
     state: dict = {}
     q = streams.c9_foreach_batch_view_maintenance(stream, state)
-    q.awaitTermination(120)
+    await_stream(q)
 
     e = table(spark, SMOKE_SF_DIR, "events")
     want = {
@@ -176,7 +177,7 @@ def test_c4_watermark_bounds_state(spark, events_dir):
     )
     stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = streams.c8_write_stream(streams.c1_tumbling_stream(stream), "c4_late_sink", "append")
-    q.awaitTermination(120)
+    await_stream(q)
     out = spark.sql("SELECT * FROM c4_late_sink")
     assert out.count() > 0, "append-mode sink should contain finalized windows"
 
@@ -230,7 +231,7 @@ def test_c9b_incremental_lww_sink(spark, events_dir):
     )
     stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = streams.c9b_incremental_lww_sink(stream, state_dir)
-    q.awaitTermination(180)
+    await_stream(q)
 
     got = {
         (r["user_id"], r["event_type"]): (r["payload"], r["writetime"])
@@ -413,11 +414,11 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
             break
         time.sleep(0.2)
     q.stop()
-    q.awaitTermination(60)
+    await_stream(q)
 
     # phase 2: restart from the SAME checkpoint to completion
     q2 = start({"availableNow": True})
-    q2.awaitTermination(180)
+    await_stream(q2)
 
     got = sorted(r[0] for r in spark.read.parquet(sink).select("event_id").collect())
     want = sorted(r[0] for r in ev.select("event_id").collect())
@@ -506,3 +507,47 @@ def test_c6e_tws_replay_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_state_store_provider_does_not_leak(spark):
+    """The r13 full-suite c10c/c10d flake: c6e's _bootstrap_tws switches
+    the SHARED session to the RocksDB state-store provider, and a leaked
+    RocksDB provider + temporary checkpoints intermittently lost state
+    files in later stream-stream joins (FileNotFoundException in the
+    store maintenance thread; green in isolation). Every registered query
+    calls ensure_engine_conf first — assert it re-pins the Spark-default
+    provider, so the RocksDB selection is contained to the c6e run."""
+    from dcosb_cassandra_spark.session import ensure_engine_conf
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    ensure_engine_conf(spark)
+    assert spark.conf.get(key).endswith("HDFSBackedStateStoreProvider")
+    # simulate the c6e leak, then the next query's conf pin
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ensure_engine_conf(spark)
+    assert spark.conf.get(key) == default
+
+
+def test_await_stream_raises_on_timeout(spark, tmp_path):
+    """await_stream must RAISE on a stream that cannot finish in time —
+    returning silently handed graded replays a PARTIAL sink/index (the
+    r13 c14 full-suite mismatch). A rate source never terminates, so a
+    tiny timeout deterministically exercises the timeout path."""
+    df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName("await_stream_timeout_sink")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(TimeoutError, match="partial"):
+        await_stream(q, timeout_sec=2)
+    assert not q.isActive
