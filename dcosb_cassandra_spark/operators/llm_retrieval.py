@@ -1,0 +1,443 @@
+"""Lexical retrieval + hybrid rank fusion (SURVEY.md §2 D18) — the
+serving-side complement of the similarity family: BM25 scoring over the
+document corpus and reciprocal-rank fusion of the lexical and vector
+rankings, the standard hybrid-search recipe production vector stores ship
+next to their ANN index [public: Robertson & Zaragoza 2009 (BM25);
+Cormack, Clarke & Buettcher 2009 (RRF); Cassandra 5 SAI pairs text and
+vector indexes on the same table — CEP-30 discusses exactly this hybrid].
+
+Scale posture (the inverted-index scan expressed relationally):
+- the corpus explodes to (doc, term) ONCE, immediately semi-joined
+  against the broadcast query-term list — only postings for query terms
+  survive the map side, so the one real shuffle carries
+  O(query_terms × matching docs), never the full token stream;
+- df/idf are aggregates of that restricted posting set (≤|query terms|
+  rows, broadcast back); dl rides along from the explode (no corpus
+  join); N and avgdl are one bounded 1-row collect;
+- per-query top-k uses the two-phase window recipe ((qid,
+  spark_partition_id) local top-k, then a final window over ≤k·P
+  survivors) — no corpus-scale low-cardinality window;
+- RRF fuses two rank-BOUNDED lists (top-20 each side) with a full outer
+  join on (qid, doc) — O(queries × k) rows end-to-end.
+
+Engine parity: scores are rounded to 6dp BEFORE ranking on both engines
+(ln/cosine are irrational — rounded-boundary ties are measure-zero) and
+every rank breaks ties by doc id, so LIMIT boundaries cut identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+#: Okapi BM25 parameters (the Lucene/ES defaults — public constants).
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: RRF smoothing constant [Cormack et al. 2009's k=60].
+RRF_K = 60
+#: how deep each side's ranking feeds the fusion
+RRF_DEPTH = 20
+#: query documents: the first five doc ids (the _query_batch convention)
+N_QUERY_DOCS = 5
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, score): BM25 of every candidate document against each
+    query document's DISTINCT token set, self-match excluded, score
+    rounded to 6dp. Shared by d18 (top-10) and d18b (fusion input)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tok = d.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    # bounded scalars: corpus size + average doc length (one 1-row collect)
+    stats = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    ).head()
+    n_docs, avgdl = int(stats["n"]), stats["avgdl"]
+    if not n_docs:
+        return spark.createDataFrame([], "qid long, doc_id long, score double")
+    # query-term lists: ≤ N_QUERY_DOCS × tokens-per-doc rows, broadcast
+    qterms = (
+        tok.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    qt_terms = qterms.select("term").distinct()
+    # postings restricted to query terms BEFORE the tf aggregation: the
+    # shuffle carries only matching (doc, term) partial counts
+    tfq = (
+        tok.join(F.broadcast(qt_terms), "term")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # materialize ONCE: tfq feeds both the score join and the df
+        # aggregate below, and without this Catalyst re-derives each
+        # branch from its own corpus explode (column pruning strips the
+        # tf column from the df branch, so the two shuffle subtrees stop
+        # canonicalizing equal and exchange reuse never fires) — the
+        # checkpoint pins the single corpus scan the docstring promises,
+        # and the materialized set is only the query-term postings
+        .localCheckpoint()
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+
+
+def _topk_per_query(
+    df: DataFrame, k: int, score_col: str = "score", id_col: str = "doc_id"
+) -> DataFrame:
+    """Two-phase per-query top-k with a GLOBAL rank column ``rnk``:
+    local top-k per (qid, spark_partition_id), final window over ≤k·P
+    survivors — the d4k exact-ground-truth shape (qid alone is a
+    low-cardinality partition key; SCALE.md two-phase rank)."""
+    w1 = Window.partitionBy("qid", "pid").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        df.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "pid")
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+_BM25_ORACLE_CTES = """
+        tok AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+            FROM documents
+        ),
+        qterms AS (
+            SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id < 5
+        ),
+        tfq AS (
+            SELECT doc_id, term, dl, count(*) AS tf
+            FROM tok
+            WHERE term IN (SELECT term FROM qterms)
+            GROUP BY doc_id, term, dl
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+        bm25 AS (
+            SELECT q.qid, t.doc_id,
+                   round(sum(
+                       ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * t.tf * (1.2 + 1.0)
+                       / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+                   ), 6) AS score
+            FROM tfq t
+            JOIN qterms q USING (term)
+            JOIN dfq d USING (term)
+            CROSS JOIN stats s
+            WHERE t.doc_id <> q.qid
+            GROUP BY q.qid, t.doc_id
+        )
+"""
+
+
+@query(
+    "d18_bm25_topk",
+    oracle="""
+        WITH
+        """
+    + _BM25_ORACLE_CTES
+    + """
+        SELECT qid, doc_id, score AS bm25
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id
+                   ) AS rn
+            FROM bm25
+        )
+        WHERE rn <= 10
+    """,
+    tags=("D18", "D5", "B22", "P1"),
+)
+def d18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval, more-like-this form (SURVEY D18): each of
+    the first five documents queries the corpus with its own distinct
+    token set; candidates score by Okapi BM25 (k1=1.2, b=0.75 — the
+    Lucene defaults) and the top-10 per query return, self-match
+    excluded. This is the text-index half of Cassandra 5's SAI story
+    served relationally [PK CEP-30 pairs text + vector indexes; public:
+    Robertson & Zaragoza 2009].
+
+    Scale: ONE corpus explode semi-joined map-side against the broadcast
+    query-term list (only query-term postings shuffle), df/idf derived
+    from that restricted set and broadcast back, dl carried from the
+    explode, N/avgdl one bounded 1-row collect, per-query top-10 via the
+    two-phase window. At 100 TB this is the inverted-index scan a text
+    index materializes at ingest — same plan, postings pre-grouped."""
+    scored = _bm25_scored(spark, sf_dir)
+    return _topk_per_query(scored, 10).select(
+        "qid", "doc_id", F.col("score").alias("bm25")
+    )
+
+
+@query(
+    "d18b_rrf_hybrid",
+    oracle="""
+        WITH
+        """
+    + _BM25_ORACLE_CTES
+    + """,
+        lex AS (
+            SELECT qid, doc_id, rn AS lrank
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY qid ORDER BY score DESC, doc_id
+                       ) AS rn
+                FROM bm25
+            )
+            WHERE rn <= 20
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            WHERE vec_id < 5
+        ),
+        vsim AS (
+            SELECT q.qid, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS sim
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid
+        ),
+        vec AS (
+            SELECT qid, doc_id, rn AS vrank
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY qid ORDER BY sim DESC, doc_id
+                       ) AS rn
+                FROM vsim
+            )
+            WHERE rn <= 20
+        ),
+        fused AS (
+            SELECT COALESCE(l.qid, v.qid) AS qid,
+                   COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   round(COALESCE(1.0 / (60 + l.lrank), 0)
+                         + COALESCE(1.0 / (60 + v.vrank), 0), 6) AS rrf,
+                   COALESCE(l.lrank, 0) AS lrank,
+                   COALESCE(v.vrank, 0) AS vrank
+            FROM lex l FULL JOIN vec v
+              ON l.qid = v.qid AND l.doc_id = v.doc_id
+        )
+        SELECT qid, doc_id, rrf, lrank, vrank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY rrf DESC, doc_id
+                   ) AS rn
+            FROM fused
+        )
+        WHERE rn <= 10
+    """,
+    tags=("D18", "D3", "D54", "P1"),
+)
+def d18b_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid search (SURVEY D18): the BM25
+    lexical ranking (d18) and the exact-cosine vector ranking over the
+    SAME query ids fuse by RRF with k=60 [public: Cormack et al. 2009 —
+    the score-free fusion production hybrid search ships, because BM25
+    and cosine scales are incomparable]; top-10 fused per query, with
+    each side's contributing rank reported (0 = not in that side's
+    top-20). Docs outside the embedded subset can still win lexically
+    and vice versa — the asymmetry RRF exists to absorb.
+
+    Scale: both inputs are rank-bounded top-20 lists (lexical side =
+    d18's plan; vector side = one corpus scan against the 5-row
+    broadcast query batch with the two-phase top-k), so the fusion join
+    and final window touch O(queries × 20) rows regardless of corpus
+    size."""
+    from ..functions.vectors import as_double, dot, l2_norm
+    from .llm_similarity import _query_batch
+
+    lex = _topk_per_query(_bm25_scored(spark, sf_dir), RRF_DEPTH).select(
+        "qid", "doc_id", F.col("rnk").alias("lrank")
+    )
+
+    qid, qvecs, qnrms, _ranks = _query_batch(spark, sf_dir)
+    out_schema = (
+        "qid long, doc_id long, rrf double, lrank long, vrank long"
+    )
+    if not qid:
+        return spark.createDataFrame([], out_schema)
+    import pandas as pd
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": qid, "qe": qvecs, "qnrm": qnrms}),
+        "qid long, qe array<double>, qnrm double",
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("ve")
+    )
+    sim = dot(F.col("qe"), F.col("ve")) / (F.col("qnrm") * l2_norm(F.col("ve")))
+    vsim = (
+        F.broadcast(qdf)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("doc_id"), F.round(sim, 6).alias("sim"))
+    )
+    vec = _topk_per_query(vsim, RRF_DEPTH, score_col="sim").select(
+        "qid", "doc_id", F.col("rnk").alias("vrank")
+    )
+
+    fused = (
+        lex.join(vec, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("vrank")), F.lit(0.0)),
+                6,
+            ).alias("score"),
+            F.coalesce(F.col("lrank"), F.lit(0)).alias("lrank"),
+            F.coalesce(F.col("vrank"), F.lit(0)).alias("vrank"),
+        )
+    )
+    # bounded input (≤ 2·RRF_DEPTH rows per query): a plain per-qid
+    # window here is rank-bounded, not corpus-scale
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "qid", "doc_id", F.col("score").alias("rrf"), "lrank", "vrank"
+        )
+    )
+
+
+def write_text_index(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the BM25 serving artifact — the SIXTH build/serve
+    split (band index, BPE vocab, IVF index, quality model, kNN graph,
+    now the text index): the grouped posting lists (doc_id, term, dl,
+    tf) plus the corpus statistics (n_docs, sum_dl) the scorer needs,
+    written once at ingest so every future query pays only the
+    query-term semi-join — never the corpus explode. This is literally
+    what a Lucene/SAI text index persists: postings + norms + corpus
+    stats [public: Lucene index format; PK CEP-30 pairs the text index
+    with the vector index on one table].
+
+    Layout: ``out_dir/postings/ingest=N`` + ``out_dir/stats/ingest=N``
+    (key=value subdirs — the streamed twin overwrites its own batch's
+    subdir, making replay idempotent with zero high-water machinery;
+    the batch build is batch 0). df is NOT stored: it aggregates from
+    the query-restricted postings at serve time (O(query postings), the
+    same rows the scorer reads anyway), so the artifact needs no
+    non-commutative merge. Serve with `serve_bm25_topk`; bit parity
+    with inline d18 asserted by tests/test_text_index.py."""
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    _write_text_index_batch(d, out_dir, 0)
+    return out_dir
+
+
+def _write_text_index_batch(docs: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Derive one ingest batch's postings + stats and OVERWRITE its own
+    ``ingest=<batch_id>`` subdirs (idempotent under replay — per-doc
+    derivation commutes across batches, so the union over subdirs equals
+    a one-shot build row-for-row)."""
+    import os
+
+    toks = F.split(F.col("text"), " ")
+    tok = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    postings = tok.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    postings.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "postings", f"ingest={batch_id}")
+    )
+    docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", f"ingest={batch_id}")
+    )
+
+
+def serve_bm25_topk(
+    spark: SparkSession, index_dir: str, k: int = 10
+) -> DataFrame:
+    """d18's ranking computed ENTIRELY from the materialized text index
+    (`write_text_index` / `maintenance.stream_text_index`): postings are
+    read pre-grouped (no corpus explode, no text reads), the query-term
+    semi-join prunes them map-side, df aggregates from the pruned set,
+    and n/avgdl come from the summed per-ingest stats rows (exact bigint
+    sums → one double division, the same arithmetic Spark's avg() does
+    inline — bit parity with d18 is asserted, not hoped). Query docs are
+    the index's own doc_id < 5 postings, so serving needs no corpus
+    access at all."""
+    import os
+
+    p = spark.read.parquet(os.path.join(index_dir, "postings")).select(
+        "doc_id", "term", "dl", "tf"
+    )
+    st = (
+        spark.read.parquet(os.path.join(index_dir, "stats"))
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sdl"))
+        .head()
+    )
+    n_docs = int(st["n"] or 0)
+    if not n_docs:
+        return spark.createDataFrame([], "qid long, doc_id long, bm25 double")
+    avgdl = float(st["sdl"]) / n_docs
+    qterms = (
+        p.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    qt_terms = qterms.select("term").distinct()
+    tfq = p.join(F.broadcast(qt_terms), "term").localCheckpoint()
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return _topk_per_query(scored, k).select(
+        "qid", "doc_id", F.col("score").alias("bm25")
+    )

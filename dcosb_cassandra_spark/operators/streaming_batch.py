@@ -1471,3 +1471,65 @@ def c17_graph_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("entry_rep"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def _c18_oracle() -> str:
+    from .llm_retrieval import _BM25_ORACLE_CTES
+
+    return (
+        "WITH "
+        + _BM25_ORACLE_CTES
+        + """
+        SELECT qid, doc_id, score AS bm25
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id
+                   ) AS rn
+            FROM bm25
+        )
+        WHERE rn <= 10
+    """
+    )
+
+
+@query(
+    "c18_text_index_replay",
+    oracle=_c18_oracle(),
+    tags=("C18", "C9", "D18", "P1"),
+)
+def c18_text_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING text-index maintenance, graded end to end (r14 — the
+    C14 treatment for the SIXTH durable artifact): the corpus arrives as
+    4 doc_id-ordered micro-batches, a foreachBatch sink
+    (``maintenance.stream_text_index``) derives each batch's grouped
+    BM25 postings + 1-row corpus stats and overwrites its own
+    ``ingest=<batch_id>`` subdirs (idempotent replay with zero
+    high-water machinery — per-doc derivation commutes, per-batch stats
+    are partial sums). The graded result is d18's full BM25 top-10
+    ranking served ENTIRELY from the streamed index
+    (``serve_bm25_topk`` — no corpus reads at query time) against d18's
+    own batch oracle, so index upkeep AND the serve path are both
+    hash-checked: the streamed artifact must rank bit-identically to
+    the one-shot inline computation.
+
+    Scale: per-batch cost is |batch| explode + grouping + one subdir
+    write; serving reads pre-grouped postings pruned by the query-term
+    semi-join. At 100 TB this is exactly how a text index stays fresh —
+    Lucene-style per-segment appends, queries reading posting segments
+    [public: Lucene near-real-time indexing; PK CEP-30 SAI text
+    indexes]."""
+    import tempfile
+
+    from ..session import ensure_engine_conf
+    from ..sources.maintenance import stream_text_index
+    from .llm_retrieval import serve_bm25_topk
+
+    ensure_engine_conf(spark)
+    idx_dir = tempfile.mkdtemp(prefix="c18_textidx_")
+    stream_text_index(
+        spark,
+        _stage_all_docs_chunks_dir(sf_dir),
+        idx_dir,
+        _DOCS_SCHEMA_FULL,
+    )
+    return serve_bm25_topk(spark, idx_dir, 10)

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "dcosb_cassandra_spark.operators.llm_dedup",
     "dcosb_cassandra_spark.operators.llm_similarity",
     "dcosb_cassandra_spark.operators.llm_text",
+    "dcosb_cassandra_spark.operators.llm_retrieval",
     "dcosb_cassandra_spark.operators.llm_multimodal",
     "dcosb_cassandra_spark.operators.llm_packing",
     "dcosb_cassandra_spark.operators.llm_quality",
@@ -181,11 +182,18 @@ _OPERATOR_MODULES = (
 #: staleness-guard-exempt via _ENV_GATED), plus an r9-vintage fill
 #: (all 50 r9 names equally stale; the fill prefers the cheap
 #: CQL-surface a*/t* cohort to keep grading headroom — 17 slots at
-#: rotation time). No first-gradings at rotation time; a query added
-#: later this round takes a freshest slot by evicting one equally-stale
-#: r9 fill name (which stays pytest-oracle-guarded at sf0.01 every run).
-#: Arithmetic: 32 + 1 + 17 = 50.
+#: rotation time). The round's NEW queries (never-graded) take the
+#: freshest slots first, each evicting one equally-stale r9 fill name
+#: (which stays pytest-oracle-guarded at sf0.01 every run): the two r14
+#: first-gradings d18_bm25_topk / d18b_rrf_hybrid /
+#: c18_text_index_replay evicted a34_uda_geometric_mean /
+#: t04_udt_struct_navigation / t03_inet_functions, leaving a 14-name
+#: r9 fill. Arithmetic: 3 + 32 + 1 + 14 = 50.
 _DRIVER_WINDOW = (
+    # r14 first-gradings (new this round, never-graded — freshest slots)
+    "d18_bm25_topk",
+    "d18b_rrf_hybrid",
+    "c18_text_index_replay",
     # r8-vintage regrades (stalest — ALL 32)
     "a20_ttl_expiry",
     "a21_writetime_readback",
@@ -237,9 +245,6 @@ _DRIVER_WINDOW = (
     "a33_pandas_udf_scalar",
     "t01_duration_arithmetic",
     "t02_varint_decimal",
-    "t03_inet_functions",
-    "t04_udt_struct_navigation",
-    "a34_uda_geometric_mean",
 )
 
 

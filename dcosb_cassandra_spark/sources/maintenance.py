@@ -232,6 +232,62 @@ def stream_band_index(
     return out_dir
 
 
+def build_text_index(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Materialize the BM25 text index as a MAINTENANCE job — the SIXTH
+    build/serve split (band index, BPE vocab, IVF index, quality model,
+    kNN graph, now the lexical index): grouped posting lists + corpus
+    stats written once at ingest, so every future d18-style query pays
+    only the query-term semi-join, never the corpus explode. Serve with
+    ``operators.llm_retrieval.serve_bm25_topk``; bit parity with the
+    inline d18 is asserted by tests/test_text_index.py."""
+    from ..operators.llm_retrieval import write_text_index
+
+    return write_text_index(spark, sf_dir, out_dir)
+
+
+def stream_text_index(
+    spark: SparkSession,
+    stream_src_dir: str,
+    out_dir: str,
+    schema: str,
+    timeout_sec: int = 1800,
+) -> str:
+    """Maintain the BM25 text index on a LIVE document ingest stream —
+    the C14 treatment for the sixth artifact: a foreachBatch sink
+    derives each arriving micro-batch's grouped postings (doc_id, term,
+    dl, tf) and 1-row corpus stats (n_docs, sum_dl) and OVERWRITES its
+    own ``ingest=<batch_id>`` subdirs. Every posting row derives from
+    exactly one document and the stats are per-batch partial sums, so
+    batches commute AND replay idempotently with zero high-water-mark
+    machinery (a replayed batch rewrites the same subdir with the same
+    bytes — contrast the kNN-graph stream, whose count merges needed the
+    blocks high-water mark). The streamed index is row-set-identical to
+    the one-shot ``build_text_index`` (asserted by
+    tests/test_text_index.py): bootstrap in batch, maintain on the
+    stream, same serving reads. Per-batch cost = |batch| explode +
+    grouping + one subdir write; the base is never re-read."""
+    from ..operators.llm_retrieval import _write_text_index_batch
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        _write_text_index_batch(batch_df, out_dir, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream(q, timeout_sec)
+    return out_dir
+
+
 def build_band_index(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:
