@@ -360,11 +360,21 @@ def write_text_index(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+#: term-hash partition count for the posting layout: serve prunes its
+#: scan to the query terms' buckets (a text index's term-sorted postings
+#: dictionary, approximated by hash partitioning); small per-SF corpora
+#: keep file counts sane and `compact_small_files` is the segment-merge
+#: analogue if ingest-batch count grows
+TEXT_INDEX_TERM_BUCKETS = 16
+
+
 def _write_text_index_batch(docs: DataFrame, out_dir: str, batch_id: int) -> None:
     """Derive one ingest batch's postings + stats and OVERWRITE its own
     ``ingest=<batch_id>`` subdirs (idempotent under replay — per-doc
     derivation commutes across batches, so the union over subdirs equals
-    a one-shot build row-for-row)."""
+    a one-shot build row-for-row). Postings are term-hash-partitioned
+    (``tb=`` subdirs) so a serve with known query terms partition-prunes
+    its posting scan to the matching buckets."""
     import os
 
     toks = F.split(F.col("text"), " ")
@@ -374,7 +384,9 @@ def _write_text_index_batch(docs: DataFrame, out_dir: str, batch_id: int) -> Non
     postings = tok.groupBy("doc_id", "term", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    postings.write.mode("overwrite").parquet(
+    postings.withColumn(
+        "tb", F.pmod(F.hash("term"), F.lit(TEXT_INDEX_TERM_BUCKETS))
+    ).write.partitionBy("tb").mode("overwrite").parquet(
         os.path.join(out_dir, "postings", f"ingest={batch_id}")
     )
     docs.select(
@@ -385,8 +397,30 @@ def _write_text_index_batch(docs: DataFrame, out_dir: str, batch_id: int) -> Non
     )
 
 
+def _pruned_posting_scan(p: DataFrame, qterms: DataFrame) -> DataFrame:
+    """Prune the posting scan to the query terms' ``tb=`` hash buckets —
+    the term-dictionary seek a real text index does, expressed as
+    partition pruning. The bucket list is a bounded collect (O(distinct
+    query tokens)) computed with the SAME Spark hash expression that
+    wrote the layout (a driver-side Murmur3 reimplementation could
+    drift). Pruning-effectiveness is asserted at the file level by
+    tests/test_text_index.py via input_file_name()."""
+    buckets = sorted(
+        r["tb"]
+        for r in qterms.select(
+            F.pmod(F.hash("term"), F.lit(TEXT_INDEX_TERM_BUCKETS)).alias("tb")
+        )
+        .distinct()
+        .collect()
+    )
+    return p.filter(F.col("tb").isin(buckets))
+
+
 def serve_bm25_topk(
-    spark: SparkSession, index_dir: str, k: int = 10
+    spark: SparkSession,
+    index_dir: str,
+    k: int = 10,
+    queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """d18's ranking computed ENTIRELY from the materialized text index
     (`write_text_index` / `maintenance.stream_text_index`): postings are
@@ -394,13 +428,21 @@ def serve_bm25_topk(
     semi-join prunes them map-side, df aggregates from the pruned set,
     and n/avgdl come from the summed per-ingest stats rows (exact bigint
     sums → one double division, the same arithmetic Spark's avg() does
-    inline — bit parity with d18 is asserted, not hoped). Query docs are
-    the index's own doc_id < 5 postings, so serving needs no corpus
-    access at all."""
+    inline — bit parity with d18 is asserted, not hoped).
+
+    ``queries_df`` (qid long, text string) is how production serves: the
+    query text arrives WITH the query, its distinct terms are a bounded
+    driver-side list (O(query length) — the same boundedness as every
+    literal-vector ANN probe here), and the posting scan PARTITION-PRUNES
+    to the query terms' ``tb=`` hash buckets — the term-dictionary seek a
+    real text index does, expressed as directory pruning. Without it the
+    query docs default to the index's own doc_id < 5 postings (the
+    graded-twin convention), which requires the unpruned scan — deriving
+    query terms from the index itself must read it first."""
     import os
 
     p = spark.read.parquet(os.path.join(index_dir, "postings")).select(
-        "doc_id", "term", "dl", "tf"
+        "doc_id", "term", "dl", "tf", "tb"
     )
     st = (
         spark.read.parquet(os.path.join(index_dir, "stats"))
@@ -411,13 +453,26 @@ def serve_bm25_topk(
     if not n_docs:
         return spark.createDataFrame([], "qid long, doc_id long, bm25 double")
     avgdl = float(st["sdl"]) / n_docs
-    qterms = (
-        p.filter(F.col("doc_id") < N_QUERY_DOCS)
-        .select(F.col("doc_id").alias("qid"), "term")
-        .distinct()
+    if queries_df is not None:
+        qtoks = F.split(F.col("text"), " ")
+        qterms = (
+            queries_df.select("qid", F.explode(qtoks).alias("term"))
+            .distinct()
+        )
+        p = _pruned_posting_scan(p, qterms)
+        qt_terms = qterms.select("term").distinct()
+    else:
+        qterms = (
+            p.filter(F.col("doc_id") < N_QUERY_DOCS)
+            .select(F.col("doc_id").alias("qid"), "term")
+            .distinct()
+        )
+        qt_terms = qterms.select("term").distinct()
+    tfq = (
+        p.select("doc_id", "term", "dl", "tf")
+        .join(F.broadcast(qt_terms), "term")
+        .localCheckpoint()
     )
-    qt_terms = qterms.select("term").distinct()
-    tfq = p.join(F.broadcast(qt_terms), "term").localCheckpoint()
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -1532,4 +1532,12 @@ def c18_text_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_dir,
         _DOCS_SCHEMA_FULL,
     )
-    return serve_bm25_topk(spark, idx_dir, 10)
+    # queries arrive as text (the production serve contract): a pruned
+    # 5-row corpus read supplies them, and the serve's posting scan
+    # partition-prunes to the query terms' tb= buckets
+    qdocs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("qid"), "text")
+    )
+    return serve_bm25_topk(spark, idx_dir, 10, queries_df=qdocs)

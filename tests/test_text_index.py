@@ -110,3 +110,67 @@ def test_streamed_text_index_replay_is_noop(spark, tmp_path_factory):
     stream_text_index(spark, src, gdir, _DOCS_SCHEMA_FULL)
     again = _rows(spark, os.path.join(gdir, "postings"))
     assert again == first and len(first) > 0
+
+
+def test_serve_with_query_text_prunes_and_matches(spark, tmp_path_factory):
+    """The production serve contract: query TEXT arrives with the query
+    (queries_df), the posting scan partition-prunes to the query terms'
+    tb= hash buckets, and the ranking is still bit-identical to inline
+    d18. Pruning is asserted on the plan's input files, not assumed."""
+    from dcosb_cassandra_spark.operators.llm_retrieval import (
+        TEXT_INDEX_TERM_BUCKETS,
+        serve_bm25_topk,
+        write_text_index,
+    )
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    load_all()
+    idx = str(tmp_path_factory.mktemp("textidx_prune"))
+    write_text_index(spark, SF_DIR, idx)
+    qdocs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id < 5")
+        .selectExpr("doc_id AS qid", "text")
+    )
+    served = serve_bm25_topk(spark, idx, queries_df=qdocs)
+    inline = sorted(
+        tuple(r) for r in REGISTRY["d18_bm25_topk"].fn(spark, SF_DIR).collect()
+    )
+    assert sorted(tuple(r) for r in served.collect()) == inline
+
+    # the query vocabulary cannot cover every hash bucket in this
+    # fixture; a single query doc must prune the scan to fewer files.
+    # Asserted on the REAL code path (_pruned_posting_scan) at the file
+    # level: input_file_name() reflects what the pruned scan actually
+    # reads (inputFiles() ignores partition filters, and the serve's
+    # localCheckpoint severs lineage past the scan).
+    from dcosb_cassandra_spark.operators.llm_retrieval import (
+        _pruned_posting_scan,
+    )
+
+    one = qdocs.filter("qid = 0")
+    qterms = one.selectExpr("qid", "explode(split(text, ' ')) AS term").distinct()
+    buckets = {
+        r["tb"]
+        for r in qterms.selectExpr(
+            f"pmod(hash(term), {TEXT_INDEX_TERM_BUCKETS}) AS tb"
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(buckets) < TEXT_INDEX_TERM_BUCKETS, "fixture too broad"
+    import glob as _glob
+
+    total = len(_glob.glob(f"{idx}/postings/ingest=*/tb=*/*.parquet"))
+    p = spark.read.parquet(f"{idx}/postings").select(
+        "doc_id", "term", "dl", "tf", "tb"
+    )
+    read_files = {
+        r["f"]
+        for r in _pruned_posting_scan(p, qterms)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(read_files) < total
+    assert all(any(f"/tb={b}/" in f for b in buckets) for f in read_files)
