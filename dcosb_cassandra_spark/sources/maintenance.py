@@ -288,6 +288,91 @@ def stream_text_index(
     return out_dir
 
 
+def forget_text_docs(
+    spark: SparkSession, index_dir: str, doc_ids: list[int]
+) -> str:
+    """Right-to-be-forgotten propagation into the TEXT index (the sixth
+    artifact gets the same erasure guarantee as the band index's
+    ``forget_documents``): postings of the given doc_ids are removed and
+    the per-ingest corpus stats (n_docs, sum_dl) are decremented by
+    exactly the removed documents' contributions, so the result is
+    CONTENT-EQUIVALENT to an index built without the documents — the
+    deleted text stops influencing every future BM25 score (df, avgdl,
+    N and the postings themselves; equivalence asserted by
+    tests/test_text_index.py against a fresh build on the filtered
+    corpus).
+
+    Scale: a document's postings live in ONE ingest segment, so only
+    AFFECTED segments rewrite (the bounded collect is ≤ #segments ids) —
+    Lucene's per-segment delete posture; cost = affected segment bytes,
+    never index size, never corpus. Swaps are sibling-write + rename
+    with the shared crash recovery."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ids = [int(i) for i in doc_ids]
+    proot = os.path.join(index_dir, "postings")
+    sroot = os.path.join(index_dir, "stats")
+    if not os.path.isdir(proot) or not ids:
+        return index_dir
+    for root in (proot, sroot):
+        strays = {
+            e.split(".old.")[0].split(".forget.")[0].split(".next.")[0]
+            for e in os.listdir(root)
+            if e.startswith("ingest=")
+            and (".old." in e or ".forget." in e or ".next." in e)
+        }
+        for base in sorted(strays):
+            _recover_store_swap(os.path.join(root, base))
+    allp = spark.read.parquet(proot)
+    affected = sorted(
+        r["ingest"]
+        for r in allp.filter(F.col("doc_id").isin(ids))
+        .select("ingest")
+        .distinct()
+        .collect()
+    )
+    for g in affected:
+        sub = os.path.join(proot, f"ingest={g}")
+        seg = spark.read.parquet(sub)  # tb= partition col survives
+        # the removed documents' exact contributions to this segment's
+        # stats row: one (doc, dl) pair per doc (dl is constant per doc)
+        rm = (
+            seg.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_rm"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("dl_rm"),
+            )
+            .head()
+        )
+        tmp = f"{sub}.forget.{os.getpid()}"
+        seg.filter(~F.col("doc_id").isin(ids)).write.partitionBy(
+            "tb"
+        ).mode("overwrite").parquet(tmp)
+        old = f"{sub}.old.{os.getpid()}"
+        os.rename(sub, old)
+        os.rename(tmp, sub)
+        shutil.rmtree(old)
+
+        ssub = os.path.join(sroot, f"ingest={g}")
+        st = spark.read.parquet(ssub).head()
+        stmp = f"{ssub}.forget.{os.getpid()}"
+        spark.createDataFrame(
+            [(int(st["n_docs"]) - int(rm["n_rm"]),
+              int(st["sum_dl"]) - int(rm["dl_rm"]))],
+            "n_docs long, sum_dl long",
+        ).coalesce(1).write.mode("overwrite").parquet(stmp)
+        sold = f"{ssub}.old.{os.getpid()}"
+        os.rename(ssub, sold)
+        os.rename(stmp, ssub)
+        shutil.rmtree(sold)
+    return index_dir
+
+
 def build_band_index(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:

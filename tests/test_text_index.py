@@ -174,3 +174,64 @@ def test_serve_with_query_text_prunes_and_matches(spark, tmp_path_factory):
     }
     assert 0 < len(read_files) < total
     assert all(any(f"/tb={b}/" in f for b in buckets) for f in read_files)
+
+
+def test_forget_text_docs_equals_fresh_build(spark, tmp_path_factory):
+    """GDPR erasure for the sixth artifact: after forget_text_docs the
+    index must be CONTENT-EQUIVALENT to one built without the documents
+    — postings row set, per-ingest stats, and the SERVED ranking all
+    equal a fresh build on the filtered corpus (the deleted text stops
+    influencing df/avgdl/N, not just the posting rows)."""
+    from dcosb_cassandra_spark.operators.llm_retrieval import (
+        _write_text_index_batch,
+        serve_bm25_topk,
+    )
+    from dcosb_cassandra_spark.operators.streaming_batch import (
+        _DOCS_SCHEMA_FULL,
+    )
+    from dcosb_cassandra_spark.sources.maintenance import (
+        forget_text_docs,
+        stream_text_index,
+    )
+
+    src = _stage_doc_chunks(tmp_path_factory, n_chunks=2)
+    gdir = str(tmp_path_factory.mktemp("textidx_forget"))
+    stream_text_index(spark, src, gdir, _DOCS_SCHEMA_FULL)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # forget some non-query docs from BOTH halves of the id range
+    victims = [
+        r["doc_id"]
+        for r in docs.filter("doc_id >= 5")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ] + [
+        r["doc_id"]
+        for r in docs.orderBy(F.desc("doc_id")).limit(2).collect()
+    ]
+    forget_text_docs(spark, gdir, victims)
+
+    ref = str(tmp_path_factory.mktemp("textidx_forget_ref"))
+    _write_text_index_batch(
+        docs.filter(~F.col("doc_id").isin(victims)).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
+        ref,
+        0,
+    )
+    fp = _rows(spark, os.path.join(gdir, "postings"))
+    rp = _rows(spark, os.path.join(ref, "postings"))
+    assert fp == rp and len(fp) > 0
+
+    def stat_sums(d):
+        r = (
+            spark.read.parquet(os.path.join(d, "stats"))
+            .agg(F.sum("n_docs"), F.sum("sum_dl"))
+            .head()
+        )
+        return (r[0], r[1])
+
+    assert stat_sums(gdir) == stat_sums(ref)
+    got = sorted(tuple(r) for r in serve_bm25_topk(spark, gdir).collect())
+    want = sorted(tuple(r) for r in serve_bm25_topk(spark, ref).collect())
+    assert got == want and len(got) == 50
