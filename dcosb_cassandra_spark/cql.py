@@ -101,10 +101,37 @@ _STMT = re.compile(
 
 _COND = re.compile(
     r"^\s*(?P<col>token\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+)\s*(?:(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)"
+    r"|:\s*(?P<mlit>.+?)"
     r"|IN\s*\((?P<inlist>.*?)\)"
     r"|CONTAINS\s+(?P<clit>.+?))\s*$",
     re.IGNORECASE,
 )
+
+
+#: SAI text analyzers implemented [PK Cassandra 5.0 SAI analyzers,
+#: CASSANDRA-18715: 'standard' (lowercase + non-alphanumeric split, the
+#: Lucene StandardAnalyzer shape) and 'whitespace' (verbatim tokens)].
+#: Other analyzer configs are rejected at DDL time.
+SUPPORTED_ANALYZERS = ("standard", "whitespace")
+
+
+def _analyzer_tokens(analyzer: str, col):
+    """The column's analyzed token array, as a JVM-side expression."""
+    from pyspark.sql import functions as F
+
+    if analyzer == "whitespace":
+        return F.split(col, " ")
+    # standard: lowercase, split on non-alphanumeric runs, drop empties
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def _analyze_literal(analyzer: str, lit: str) -> list[str]:
+    """The query literal run through the same analyzer, driver-side."""
+    if analyzer == "whitespace":
+        return [t for t in lit.split(" ") if t != ""]
+    return [t for t in re.split(r"[^a-z0-9]+", lit.lower()) if t]
 
 
 def split_top_level(s: str) -> list[str]:
@@ -305,6 +332,12 @@ def parse(statement: str, extra_keys: dict | None = None) -> _Select:
                 sel.conds.append((col, "in", [_literal(x) for x in c.group("inlist").split(",")]))
             elif c.group("clit") is not None:
                 sel.conds.append((col, "contains", _literal(c.group("clit"))))
+            elif c.group("mlit") is not None:
+                # the analyzed-match operator [PK Cassandra 5.0 SAI
+                # analyzers, CASSANDRA-18715: `col : 'terms'` matches when
+                # the column's ANALYZED tokens contain the analyzed query
+                # terms; requires an SAI index with an index_analyzer]
+                sel.conds.append((col, "match", _literal(c.group("mlit"))))
             else:
                 sel.conds.append((col, c.group("op"), _literal(c.group("lit"))))
     if m.group("group"):
@@ -348,9 +381,17 @@ def _check_restrictions(
                     f"{pk}, got {inner}"
                 )
             continue  # token ranges never need ALLOW FILTERING [PK TokenRelation]
+        if op == "match" and col not in indexed:
+            # Cassandra rejects ':' without an analyzed index even under
+            # ALLOW FILTERING — there is no analyzer to apply [PK SAI
+            # analyzers: "Column ... has no analyzer configured"]
+            raise InvalidRequest(
+                f"Column {col!r} has no analyzed index: the ':' operator "
+                "requires an SAI index with an index_analyzer"
+            )
         if col in key_cols:
             continue
-        if col in indexed and op == "=":
+        if col in indexed and op in ("=", "match"):
             continue
         if not q.allow_filtering:
             raise InvalidRequest(
@@ -581,6 +622,29 @@ def cql(
 
                 tok = token_murmur3_composite(*parts)
             df = df.filter(_apply_op(tok, op, lit))
+            continue
+        if op == "match":
+            # analyzed match [PK Cassandra 5.0 SAI analyzers,
+            # CASSANDRA-18715]: both the column AND the query literal run
+            # through the INDEX's declared analyzer; a multi-term literal
+            # requires ALL its analyzed terms present (the match-AND
+            # contract). The filter is a plain array_contains conjunction
+            # — JVM-side, pushable ahead of every later step.
+            opts = (extra_index_options or {}).get(f"{q.table}.{col}") or {}
+            analyzer = opts.get("index_analyzer")
+            if not analyzer:
+                raise InvalidRequest(
+                    f"Column {col!r} has no analyzed index: the ':' "
+                    "operator requires an SAI index with an index_analyzer"
+                )
+            toks = _analyzer_tokens(analyzer, F.col(col))
+            terms = _analyze_literal(analyzer, str(lit))
+            if not terms:
+                raise InvalidRequest(
+                    f"the ':' literal analyzes to no terms: {lit!r}"
+                )
+            for t in terms:
+                df = df.filter(F.array_contains(toks, t))
             continue
         if op == "contains":
             # CQL CONTAINS targets collection columns; a text column is

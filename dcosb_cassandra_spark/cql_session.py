@@ -42,6 +42,7 @@ from .cql import (
     AggregateDef,
     FunctionDef,
     InvalidRequest,
+    SUPPORTED_ANALYZERS,
     Unauthorized,
     TABLE_KEYS,
     TableDef,
@@ -1366,6 +1367,16 @@ class CqlSession:
                 raise InvalidRequest(
                     f"similarity_function {simfn!r} not supported: expected "
                     "one of cosine, euclidean, dot_product"
+                )
+            # text analyzers [PK Cassandra 5.0 SAI, CASSANDRA-18715]:
+            # the ':' match operator consults this at query time; unknown
+            # analyzer configs are rejected at DDL time like a live
+            # cluster rejects a bad analyzer class/JSON
+            ana = opts.get("index_analyzer")
+            if ana is not None and ana not in SUPPORTED_ANALYZERS:
+                raise InvalidRequest(
+                    f"index_analyzer {ana!r} not supported: expected one "
+                    f"of {', '.join(SUPPORTED_ANALYZERS)}"
                 )
             self._indexed[tbl] = (*self._indexed.get(tbl, ()), col)
             if opts:

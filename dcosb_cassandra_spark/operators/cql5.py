@@ -365,3 +365,57 @@ def v03b_attached_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.execute("GRANT SELECT ON TABLE masked_cust TO masked_reader")
     sess.login("masked_reader")
     return sess.execute("SELECT c_custkey, name, segment FROM masked_cust")
+
+
+@query(
+    "v04_analyzed_match",
+    oracle="""
+        WITH t AS (
+            SELECT string_split(text, ' ')[1] AS term
+            FROM documents WHERE doc_id = 0
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d, t
+        WHERE list_contains(string_split(d.text, ' '), t.term)
+    """,
+    tags=("V4", "A14", "D18", "P1"),
+)
+def v04_analyzed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAI analyzed-match operator (r14) [PK Cassandra 5.0 SAI
+    analyzers, CASSANDRA-18715]: ``CREATE CUSTOM INDEX ... USING 'sai'
+    WITH OPTIONS = {'index_analyzer': 'whitespace'}`` on a text column,
+    then ``WHERE text : '<term>'`` matches documents whose ANALYZED
+    token stream contains the analyzed query term — the CQL-surface face
+    of the D18 text-index family, and the query a porting user writes
+    for server-side text search. Without an analyzed index the operator
+    is rejected even under ALLOW FILTERING (no analyzer to apply —
+    Cassandra's exact contract); the 'standard' analyzer
+    (lowercase + non-alphanumeric split) and multi-term AND semantics
+    are asserted in tests/test_cql_session.py. The probe term is doc 0's
+    first token (a bounded 1-row collect), so the predicate is
+    corpus-derived and non-empty at every SF.
+
+    Plan shape: the match compiles to one JVM-side array_contains over
+    the split column — a plain pushable filter ahead of projection; at
+    100 TB the SAI index serves this from its inverted postings (the
+    D18 artifact), same contract as A14's index-eq path."""
+    from ..catalog import table as cat_table
+    from ..cql_session import CqlSession
+
+    term = (
+        cat_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select(F.split(F.col("text"), " ").getItem(0).alias("t"))
+        .head()
+    )
+    if term is None:  # empty corpus: keep schema, no rows
+        d = cat_table(spark, sf_dir, "documents")
+        return d.select("doc_id", "lang", "source").filter(F.lit(False))
+    sess = CqlSession(spark, sf_dir)
+    sess.execute(
+        "CREATE CUSTOM INDEX docs_text_idx ON documents (text) "
+        "USING 'sai' WITH OPTIONS = {'index_analyzer': 'whitespace'}"
+    )
+    return sess.execute(
+        f"SELECT doc_id, lang, source FROM documents WHERE text : '{term['t']}'"
+    )

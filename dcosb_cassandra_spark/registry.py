@@ -186,14 +186,16 @@ _OPERATOR_MODULES = (
 #: freshest slots first, each evicting one equally-stale r9 fill name
 #: (which stays pytest-oracle-guarded at sf0.01 every run): the two r14
 #: first-gradings d18_bm25_topk / d18b_rrf_hybrid /
-#: c18_text_index_replay evicted a34_uda_geometric_mean /
-#: t04_udt_struct_navigation / t03_inet_functions, leaving a 14-name
-#: r9 fill. Arithmetic: 3 + 32 + 1 + 14 = 50.
+#: c18_text_index_replay / v04_analyzed_match evicted
+#: a34_uda_geometric_mean / t04_udt_struct_navigation /
+#: t03_inet_functions / t02_varint_decimal, leaving a 13-name r9 fill.
+#: Arithmetic: 4 + 32 + 1 + 13 = 50.
 _DRIVER_WINDOW = (
     # r14 first-gradings (new this round, never-graded — freshest slots)
     "d18_bm25_topk",
     "d18b_rrf_hybrid",
     "c18_text_index_replay",
+    "v04_analyzed_match",
     # r8-vintage regrades (stalest — ALL 32)
     "a20_ttl_expiry",
     "a21_writetime_readback",
@@ -244,7 +246,6 @@ _DRIVER_WINDOW = (
     "a32_arithmetic_ops",
     "a33_pandas_udf_scalar",
     "t01_duration_arithmetic",
-    "t02_varint_decimal",
 )
 
 

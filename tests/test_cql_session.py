@@ -1932,3 +1932,63 @@ def test_masked_clustering_column_window_uses_clear_order(sess):
     assert rows[0]["val"] == 10  # the CLEAR-order first row, not masked-order
     assert rows[0]["seq"] == "*2"  # ... and its key bytes still masked
     sess.login("cassandra")
+
+
+def test_analyzed_match_operator(sess):
+    """r14: the SAI analyzed-match operator [PK Cassandra 5.0 SAI
+    analyzers, CASSANDRA-18715] — ``col : 'terms'`` matches when the
+    column's ANALYZED tokens contain every analyzed query term.
+    'standard' lowercases and splits on non-alphanumerics; 'whitespace'
+    keeps verbatim tokens; multi-term literals AND; no analyzed index →
+    rejected even with ALLOW FILTERING; bad analyzer name → DDL-time
+    error."""
+    from dcosb_cassandra_spark.cql import InvalidRequest
+
+    sess.execute(
+        "CREATE TABLE notes (id int PRIMARY KEY, body text, tag text)"
+    )
+    sess.execute(
+        "INSERT INTO notes (id, body, tag) VALUES (1, 'Spark SQL engine', 'a b')"
+    )
+    sess.execute(
+        "INSERT INTO notes (id, body, tag) VALUES (2, 'spark-streaming JOBS', 'b c')"
+    )
+    sess.execute(
+        "INSERT INTO notes (id, body, tag) VALUES (3, 'flink runtime', 'a c')"
+    )
+
+    # no analyzed index yet: rejected even with ALLOW FILTERING
+    with pytest.raises(InvalidRequest, match="analyzed index"):
+        sess.execute("SELECT id FROM notes WHERE body : 'spark' ALLOW FILTERING")
+
+    # bad analyzer rejected at DDL time
+    with pytest.raises(InvalidRequest, match="index_analyzer"):
+        sess.execute(
+            "CREATE CUSTOM INDEX bad_idx ON notes (body) USING 'sai' "
+            "WITH OPTIONS = {'index_analyzer': 'porter_stemmer'}"
+        )
+
+    sess.execute(
+        "CREATE CUSTOM INDEX notes_body_idx ON notes (body) USING 'sai' "
+        "WITH OPTIONS = {'index_analyzer': 'standard'}"
+    )
+    # standard: case-insensitive, splits 'spark-streaming' into two terms
+    got = {r["id"] for r in sess.execute("SELECT id FROM notes WHERE body : 'SPARK'").collect()}
+    assert got == {1, 2}
+    got = {r["id"] for r in sess.execute("SELECT id FROM notes WHERE body : 'streaming'").collect()}
+    assert got == {2}
+    # multi-term literal: every analyzed term must match (AND)
+    got = {r["id"] for r in sess.execute("SELECT id FROM notes WHERE body : 'spark engine'").collect()}
+    assert got == {1}
+    got = {r["id"] for r in sess.execute("SELECT id FROM notes WHERE body : 'spark flink'").collect()}
+    assert got == set()
+
+    # whitespace analyzer: verbatim tokens, case-sensitive
+    sess.execute(
+        "CREATE CUSTOM INDEX notes_tag_idx ON notes (tag) USING 'sai' "
+        "WITH OPTIONS = {'index_analyzer': 'whitespace'}"
+    )
+    got = {r["id"] for r in sess.execute("SELECT id FROM notes WHERE tag : 'b'").collect()}
+    assert got == {1, 2}
+    got = {r["id"] for r in sess.execute("SELECT id FROM notes WHERE tag : 'B'").collect()}
+    assert got == set()

@@ -59,6 +59,26 @@ def test_q5_broadcasts_dims(spark):
 #: cardinality is a CONSTANT; `bounded:local_rows` (createDataFrame under a
 #: hint) is only safe for small constant tables — each reason documents which.
 ALLOWED_BOUNDED_BROADCASTS = {
+    "d18_bm25_topk": (
+        {"documents", "bounded:local_rows"},
+        "broadcast sides derive from documents but are query-bounded: "
+        "the distinct query-term list (doc_id < 5 — ≤5 docs' vocabulary "
+        "at any SF) and the df table aggregated from the query-restricted "
+        "postings (≤|query terms| rows)",
+    ),
+    "d18b_rrf_hybrid": (
+        {"documents", "bounded:local_rows"},
+        "same bounded sides as d18 (query-term list + query-restricted "
+        "df), plus the 5-row literal query-vector batch (d3b posture)",
+    ),
+    "c18_text_index_replay": (
+        {"documents", "bounded:local_rows"},
+        "serve_bm25_topk broadcasts the analyzed query-term list "
+        "(doc_id < 5 query docs — bounded by query size, the production "
+        "serve contract) and the query-restricted df aggregate "
+        "(≤|query terms| rows); the posting scan itself is "
+        "partition-pruned, never broadcast",
+    ),
     "d3b_batch_knn_per_label": (
         {"embeddings"},
         "query side is vec_id < 5: key-bounded to ≤5 rows at any SF",
