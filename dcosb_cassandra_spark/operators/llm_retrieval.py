@@ -34,6 +34,15 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from ..registry import query
 
+
+def _ws_token_count(c) -> F.Column:
+    """len(string_split(c, ' ')) without materializing the array: for
+    split-on-' ', element count == #spaces + 1 on every input (empty
+    tokens included: "" → 1 on both forms) — the same identity
+    text_token_counts / llm_packing use (r14, guide §1.2 per-task work).
+    Used for dl/avgdl wherever the term list itself is not needed."""
+    return F.length(c) - F.length(F.replace(c, F.lit(" "))) + F.lit(1)
+
 #: Okapi BM25 parameters (the Lucene/ES defaults — public constants).
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -52,12 +61,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     tok = d.select(
-        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        "doc_id", _ws_token_count(F.col("text")).alias("dl"),
+        F.explode(toks).alias("term"),
     )
-    # bounded scalars: corpus size + average doc length (one 1-row collect)
+    # bounded scalars: corpus size + average doc length (one 1-row collect;
+    # dl via the split-free length identity — no array for a count)
     stats = d.select(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(toks)).alias("avgdl"),
+        F.avg(_ws_token_count(F.col("text"))).alias("avgdl"),
     ).head()
     n_docs, avgdl = int(stats["n"]), stats["avgdl"]
     if not n_docs:
@@ -379,7 +390,8 @@ def _write_text_index_batch(docs: DataFrame, out_dir: str, batch_id: int) -> Non
 
     toks = F.split(F.col("text"), " ")
     tok = docs.select(
-        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        "doc_id", _ws_token_count(F.col("text")).alias("dl"),
+        F.explode(toks).alias("term"),
     )
     postings = tok.groupBy("doc_id", "term", "dl").agg(
         F.count(F.lit(1)).alias("tf")
@@ -391,7 +403,7 @@ def _write_text_index_batch(docs: DataFrame, out_dir: str, batch_id: int) -> Non
     )
     docs.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("sum_dl"),
+        F.sum(_ws_token_count(F.col("text"))).alias("sum_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats", f"ingest={batch_id}")
     )

@@ -822,10 +822,35 @@ def _query_batch(spark: SparkSession, sf_dir: str) -> tuple:
     return _QUERY_BATCH_CACHE[key]
 
 
+#: memoized probe-batch DataFrames: (applicationId, embeddings path,
+#: mtime, nprobe) → the local-relation DataFrame below. The VALUES are
+#: already memoized (_QUERY_BATCH_CACHE); this also memoizes the WRAP —
+#: createDataFrame of the pandas frame costs ~0.1-0.4 s of py4j/Arrow
+#: driver work per call, paid by every probe-family plan build (r14,
+#: guide §1.2: plan-build was the dominant term in d4d's bench total).
+#: DataFrames are immutable plan fragments, so reuse is the same contract
+#: as catalog._table_memo; the appId key drops frames bound to a stopped
+#: SparkContext, the mtime key invalidates on data change.
+_QUERY_BATCH_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _query_batch_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The probe batch as an Arrow-backed local relation (pandas →
     createDataFrame skips the slow Python-RDD path a row-list takes) —
-    one row per (query, probed bucket), the exploded multi-probe list."""
+    one row per (query, probed bucket), the exploded multi-probe list.
+    Memoized per (appId, corpus generation, nprobe) — see cache note."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        os.stat(path).st_mtime_ns,
+        nprobe,
+    )
+    cached = _QUERY_BATCH_DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     qid, qvecs, qnrms, ranks = _query_batch(spark, sf_dir)
     rows = [
         (i, b)
@@ -840,9 +865,11 @@ def _query_batch_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             "bucket": [b for _, b in rows],
         }
     )
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         pdf, "query_id long, qe array<double>, qnrm double, bucket long"
     )
+    _QUERY_BATCH_DF_CACHE[key] = df
+    return df
 
 
 @query(
@@ -1998,15 +2025,29 @@ def _with_pq_recon(df: DataFrame, cb: list) -> DataFrame:
         )
 
     if "code" in df.columns:
-
-        @pandas_udf("array<double>")
-        def _recon_from_codes(col: pd.Series) -> pd.Series:
-            c = np.array(col.tolist())  # (n, 8) stored positions
-            if c.size == 0:
-                return pd.Series([], dtype=object)
-            return pd.Series(list(gather(c)))
-
-        return df.withColumn("re", _recon_from_codes("code"))
+        # r14 (guide §4.1 "prefer built-ins"): the stored-codes branch is a
+        # pure GATHER — no argmin, no distance math — so it needs no Python
+        # worker at all. The k-row codebook folds into the plan as a literal
+        # array-of-arrays (repr() doubles round-trip binary64 exactly
+        # through Spark's SQL parser, and reconstruction COPIES centroid
+        # doubles on both forms, so values are bit-identical to the numpy
+        # gather) and the gather is flatten(transform(...slice...)) in
+        # whole-stage codegen. This removes the plan's only
+        # ArrowEvalPython node — the probe path is now 100% JVM, dropping
+        # the per-job Arrow stage floor (~0.4 s on this host at sf0.1)
+        # and the JVM→Python→JVM transpose of every candidate row at any
+        # scale. The argmin ENCODE below keeps the vectorized-numpy form
+        # (a 64-dim × k × 8-subspace argmin has no cheap built-in).
+        cb_sql = "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r.ce) + ")"
+            for r in rows
+        ) + ")"
+        re_expr = (
+            f"flatten(transform(code, (p, s) -> "
+            f"slice(element_at({cb_sql}, CAST(p AS INT) + 1), "
+            f"s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})))"
+        )
+        return df.withColumn("re", F.expr(re_expr))
 
     @pandas_udf("array<double>")
     def _recon(col: pd.Series) -> pd.Series:

@@ -1577,11 +1577,8 @@ def d5u_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if len(model) <= 10_000:
-        args: list = []
-        for bg, q in model:
-            args += [F.lit(bg), F.lit(q)]
         scored = docbg.withColumn(
-            "q", F.element_at(F.create_map(*args), F.col("bg"))
+            "q", F.element_at(_bigram_model_map(spark, sf_dir, model), F.col("bg"))
         ).filter(F.col("q").isNotNull())  # inner-join semantics preserved
     else:
         mdf = spark.createDataFrame(model, "bg STRING, q LONG")
@@ -1607,6 +1604,28 @@ def _doc_bigrams(src: DataFrame) -> DataFrame:
 #: (documents path, mtime) → per-corpus bigram LM rows [(bg, q)] — the
 #: trained model, bounded at |V|² rows (charset², KBs even for CJK)
 _BIGRAM_MODEL_CACHE: dict[tuple, list] = {}
+
+#: (appId, documents path, mtime) → the literal lookup-map COLUMN built
+#: from the model. Building create_map(*2·|model| literals) costs one py4j
+#: round-trip per literal (~0.1-0.15 s per plan build for the sf0.1
+#: charset) — the column is an immutable expression fragment, so reuse is
+#: the catalog._table_memo contract (r14, guide §1.2: plan-build cost).
+_BIGRAM_MAP_COL_CACHE: dict[tuple, object] = {}
+
+
+def _bigram_model_map(spark: SparkSession, sf_dir: str, model: list):
+    """The [(bg, q)] model as a literal create_map Column, memoized per
+    (appId, corpus generation)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in _BIGRAM_MAP_COL_CACHE:
+        args: list = []
+        for bg, q in model:
+            args += [F.lit(bg), F.lit(q)]
+        _BIGRAM_MAP_COL_CACHE[key] = F.create_map(*args)
+    return _BIGRAM_MAP_COL_CACHE[key]
 
 
 def _bigram_model(spark: SparkSession, sf_dir: str) -> list:
