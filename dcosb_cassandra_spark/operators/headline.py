@@ -344,10 +344,13 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting via pure string expressions (no UDF,
-    no explode — O(1) memory per row)."""
+    no explode — O(1) memory per row). r14: the space removal is the
+    LITERAL `replace` built-in, not `regexp_replace` — same bytes removed
+    (the pattern was a literal), no regex engine per row; noop-sink A/B
+    at sf0.1: 0.118 -> 0.099 s median-of-7."""
     d = table(spark, sf_dir, "documents")
     approx_tokens = (
-        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + F.lit(1)
     )
     return (
         d.groupBy("lang")

@@ -453,18 +453,33 @@ def serve_bm25_topk(
     query terms from the index itself must read it first."""
     import os
 
-    p = spark.read.parquet(os.path.join(index_dir, "postings")).select(
-        "doc_id", "term", "dl", "tf", "tb"
-    )
+    out_schema = "qid long, doc_id long, bm25 double"
+    # EXPLICIT read schemas (r14, the ivf_index posture): an empty-corpus
+    # stream writes its per-ingest stats rows but zero posting files
+    # (partitionBy of an empty frame emits only _SUCCESS), and schema
+    # inference dies on a fileless tree. Stats are read FIRST — n_docs=0
+    # short-circuits before the posting scan ever plans. `ingest`/`tb`
+    # are directory-partition columns; the data files carry the rest.
+    sroot = os.path.join(index_dir, "stats")
+    if not os.path.isdir(sroot):
+        return spark.createDataFrame([], out_schema)
     st = (
-        spark.read.parquet(os.path.join(index_dir, "stats"))
+        spark.read.schema("n_docs long, sum_dl long, ingest int")
+        .parquet(sroot)
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sdl"))
         .head()
     )
     n_docs = int(st["n"] or 0)
     if not n_docs:
-        return spark.createDataFrame([], "qid long, doc_id long, bm25 double")
+        return spark.createDataFrame([], out_schema)
     avgdl = float(st["sdl"]) / n_docs
+    p = (
+        spark.read.schema(
+            "doc_id long, term string, dl int, tf long, ingest int, tb int"
+        )
+        .parquet(os.path.join(index_dir, "postings"))
+        .select("doc_id", "term", "dl", "tf", "tb")
+    )
     if queries_df is not None:
         qtoks = F.split(F.col("text"), " ")
         qterms = (

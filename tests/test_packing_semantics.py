@@ -205,3 +205,44 @@ def test_quality_weighted_sample_is_deterministic_and_weight_ordered(spark):
 
     sigma = math.sqrt(mean_w * (1 - mean_w) / total)
     assert abs(kept / total - mean_w) < 5 * sigma + 1.0 / 256  # + threshold quantization
+
+
+def test_ws_token_count_identity_matches_split_size(spark):
+    """r14 optimization guard: the split-free token count (length
+    arithmetic) must equal size(split(text, ' ')) on every input shape —
+    empty string, runs of spaces, leading/trailing spaces, single token —
+    because the oracle stays len(string_split(text, ' '))."""
+    from dcosb_cassandra_spark.operators.llm_packing import _ws_tokens
+
+    rows = [
+        (0, ""),
+        (1, " "),
+        (2, "  "),
+        (3, "a"),
+        (4, "a b"),
+        (5, "a  b"),
+        (6, " a b "),
+        (7, "exactly four ws tokens"),
+        (8, "trailing space "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        _ws_tokens(F.col("text")).alias("fast"),
+        F.size(F.split("text", " ")).alias("ref"),
+    ).collect()
+    for r in got:
+        assert r.fast == r.ref, (r.doc_id, r.fast, r.ref)
+
+
+def test_query_batch_df_memoized_per_corpus(spark):
+    """r14 optimization guard: the probe-batch local relation is reused
+    across plan builds for the same (app, corpus, nprobe) — plan-build
+    memoization, not result caching (the probe plan still re-executes)."""
+    from dcosb_cassandra_spark.operators import llm_similarity as sim
+
+    a = sim._query_batch_df(spark, SF_DIR, nprobe=1)
+    b = sim._query_batch_df(spark, SF_DIR, nprobe=1)
+    assert a is b
+    c = sim._query_batch_df(spark, SF_DIR, nprobe=2)
+    assert c is not a and c.count() >= a.count()
