@@ -108,8 +108,12 @@ def d16_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the distinct doc set of ONE window hash (a handful of ids)."""
     wins = window_hashes(table(spark, sf_dir, "documents"))
     w = Window.partitionBy("whash")
+    # ">=2 distinct doc_ids in the partition" ⟺ min != max — two
+    # constant-state window aggregates instead of materializing a doc-id
+    # SET per row (r14; noop A/B 0.402→0.378 s, and at scale the per-row
+    # set allocation over a hot window hash is the term that grows)
     flagged = wins.withColumn(
-        "is_dup", F.size(F.collect_set("doc_id").over(w)) >= 2
+        "is_dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
     )
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("total_windows"),
