@@ -75,6 +75,19 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
     return df
 
 
+#: memoized candidate-pair PLAN fragments: (appId, id(input frame),
+#: fallback knob, spread width) → (input-frame ref, pairs frame). The
+#: input is usually the catalog's memoized documents frame (same object
+#: per (app, sf_dir)), so the ~0.19 s of py4j expression construction for
+#: sigs+bands+join is paid once per corpus instead of per plan build
+#: (r14, guide §1.2 — the _QUERY_BATCH_DF_CACHE contract: a plan
+#: fragment, not a result; every action still recomputes from parquet).
+#: The held input ref keeps id() stable and the `is` check rejects id
+#: reuse after GC; the knob/width keys force a rebuild when
+#: test_dedup_semantics patches the fallback or the session conf moves.
+_LSH_CAND_CACHE: dict[tuple, tuple] = {}
+
+
 def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     """(id_a, id_b): first-collision MinHash-LSH candidate pairs over a
     documents frame — the shared candidate generator behind d2b and every
@@ -83,7 +96,16 @@ def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     only in its FIRST colliding band (no DISTINCT), probe side spread by
     cores, build side broadcast while it fits (`maybe_broadcast`: the
     ~10⁷-doc shuffle-equi-join fallback is the size-conditional hint,
-    not prose)."""
+    not prose). Memoized per corpus frame — see _LSH_CAND_CACHE."""
+    key = (
+        spark.sparkContext.applicationId,
+        id(d),
+        BROADCAST_FALLBACK_BYTES,
+        spread_width(spark),
+    )
+    hit = _LSH_CAND_CACHE.get(key)
+    if hit is not None and hit[0] is d:
+        return hit[1]
     sigs = minhash_signature(d, "doc_id", "text", DEFAULT_NUM_HASHES)
     bands = lsh_bands_keyed(sigs, "doc_id", DEFAULT_NUM_HASHES, DEFAULT_BANDS)
     probe = bands.repartition(spread_width(spark))
@@ -93,7 +115,7 @@ def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         DEFAULT_BANDS,
         lambda j: F.col(f"a.bh{j}") == F.col(f"b.bh{j}"),
     )
-    return (
+    out = (
         a.join(
             maybe_broadcast(b),
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -103,6 +125,8 @@ def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         .filter(~dup_enum)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
+    _LSH_CAND_CACHE[key] = (d, out)
+    return out
 
 
 @query("d2_minhash_signatures", oracle=minhash_oracle_sql(), tags=("D2", "P1"))
