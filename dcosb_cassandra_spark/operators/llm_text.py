@@ -1624,7 +1624,9 @@ def _bigram_model_map(spark: SparkSession, sf_dir: str, model: list):
         args: list = []
         for bg, q in model:
             args += [F.lit(bg), F.lit(q)]
-        _BIGRAM_MAP_COL_CACHE[key] = F.create_map(*args)
+        from ..session import bounded_memo_put
+
+        bounded_memo_put(_BIGRAM_MAP_COL_CACHE, key, F.create_map(*args))
     return _BIGRAM_MAP_COL_CACHE[key]
 
 

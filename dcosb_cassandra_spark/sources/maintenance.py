@@ -361,10 +361,12 @@ def forget_text_docs(
         ssub = os.path.join(sroot, f"ingest={g}")
         st = spark.read.parquet(ssub).head()
         stmp = f"{ssub}.forget.{os.getpid()}"
+        from ..operators.llm_retrieval import TEXT_INDEX_STATS_SCHEMA
+
         spark.createDataFrame(
             [(int(st["n_docs"]) - int(rm["n_rm"]),
               int(st["sum_dl"]) - int(rm["dl_rm"]))],
-            "n_docs long, sum_dl long",
+            TEXT_INDEX_STATS_SCHEMA,
         ).coalesce(1).write.mode("overwrite").parquet(stmp)
         sold = f"{ssub}.old.{os.getpid()}"
         os.rename(ssub, sold)

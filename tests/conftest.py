@@ -30,3 +30,33 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def spark():
     s = get_spark("dcosb-tests")
     yield s
+
+
+#: session-scoped memo of built query frames — see query_frame below
+_FRAME_MEMO: dict = {}
+
+
+@pytest.fixture(scope="session")
+def query_frame(spark):
+    """name -> REGISTRY[name].fn(spark, sf_dir), built once per suite.
+
+    fn() is deterministic per (session, sf_dir), but for the replay
+    family (c10*/c14/c16b/c17/c18/...) calling it EXECUTES a full
+    multi-micro-batch streaming replay before returning the sink frame —
+    20-45 s each. The plan audits (test_plans, whole registry twice),
+    the oracle parity sweep and the local-cluster digests each used to
+    call fn() themselves, so the suite paid every replay 3-4x. Sharing
+    the built frame keeps every assertion identical (same plan, same
+    rows) and cuts the suite wall by the duplicated replays (r15,
+    VERDICT r14 task #1)."""
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+
+    load_all()
+
+    def get(name: str, sf_dir: str = SF_DIR):
+        key = (name, sf_dir)
+        if key not in _FRAME_MEMO:
+            _FRAME_MEMO[key] = REGISTRY[name].fn(spark, sf_dir)
+        return _FRAME_MEMO[key]
+
+    return get

@@ -106,8 +106,8 @@ def cluster_results() -> dict:
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
-def test_local_cluster_parity(spark, cluster_results, name):
-    n, digest = _digest(REGISTRY[name].fn(spark, SF_DIR))
+def test_local_cluster_parity(spark, query_frame, cluster_results, name):
+    n, digest = _digest(query_frame(name, SF_DIR))
     got = cluster_results[name]
     assert got["rows"] == n, f"{name}: cluster rows {got['rows']} != local {n}"
     assert got["digest"] == digest, f"{name}: cluster result diverges from local"

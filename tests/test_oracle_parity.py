@@ -16,8 +16,8 @@ load_all()
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(spark, name):
-    res = compare_query(spark, name, SF_DIR)
+def test_query_matches_oracle(spark, query_frame, name):
+    res = compare_query(spark, name, SF_DIR, sdf=query_frame(name))
     assert res["ok"], res
 
 

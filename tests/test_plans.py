@@ -401,14 +401,14 @@ ALLOWED_BOUNDED_BROADCASTS = {
 }
 
 
-def test_no_broadcast_hints_on_scaling_tables(spark):
+def test_no_broadcast_hints_on_scaling_tables(spark, query_frame):
     """An explicit broadcast hint cannot be demoted by AQE, so a hinted
     table that grows with SF OOMs executors at scale. Every registered
     query must hint only fixed dims, literals, or documented-bounded sides —
     and an allowlisted query may produce ONLY its documented flags."""
     offenders = {}
-    for name, spec in REGISTRY.items():
-        a = audit(spec.fn(spark, SF_DIR))
+    for name in REGISTRY:
+        a = audit(query_frame(name))
         flagged = set(a["hinted_scaling_tables"])
         allowed = ALLOWED_BOUNDED_BROADCASTS.get(name, (set(),))[0]
         if flagged - allowed:
@@ -416,15 +416,15 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
     assert not offenders, f"unbounded broadcast hints on scaling tables: {offenders}"
 
 
-def test_no_single_low_card_corpus_windows(spark):
+def test_no_single_low_card_corpus_windows(spark, query_frame):
     """No registered query may run a window over corpus-scale input whose
     partition key set is empty (global window) or drawn entirely from
     LOW_CARDINALITY_COLS with fewer than 2 columns — the two-phase rank
     recipe (rank within (key, hash/range bucket) + broadcast offsets, see
     d14_domain_mixing / b13_ranking_suite) exists to avoid exactly this."""
     offenders = {}
-    for name, spec in REGISTRY.items():
-        wins = corpus_window_partitions(spec.fn(spark, SF_DIR))
+    for name in REGISTRY:
+        wins = corpus_window_partitions(query_frame(name))
         bad = [w for w in wins if is_low_card_window(w)]
         if bad:
             offenders[name] = bad
