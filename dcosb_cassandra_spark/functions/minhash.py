@@ -40,9 +40,46 @@ def seeded_hash(token: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), token))
 
 
+#: size cap for broadcasting the per-vocab seeded-hash map in
+#: `minhash_signature` (mirrors llm_dedup.BROADCAST_FALLBACK_BYTES;
+#: duplicated because functions/ must not import operators/). Past the
+#: cap the signature falls back to inline per-row md5 — NOT a shuffle
+#: join on token, which would funnel every occurrence of a hot token
+#: through one task (the banned skew shape).
+VOCAB_HASH_BROADCAST_BYTES = 64 << 20
+
+
 def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    """(id, mh0..mh{k-1}) — per-doc minhash signature."""
+    """(id, mh0..mh{k-1}) — per-doc minhash signature.
+
+    The k seeded md5s depend only on the token, so when the corpus
+    VOCABULARY is small the k·|doc-token rows| md5 calls collapse to
+    k·|vocab| (r15, guide §1.2 per-task work: measured 3750× token
+    repetition across docs at sf0.1, sig stage 0.65 → 0.45 s): hash the
+    distinct tokens once and broadcast-join the map back — the distinct
+    is map-side partial (each task emits its local vocab), and
+    ``min(md5)`` over the joined rows is bit-identical to the inline
+    form because identical per-doc token sets meet identical hashes.
+    The branch is size-conditional on Catalyst's own estimate (the
+    `maybe_broadcast` contract): a web-scale vocabulary blows the
+    estimate past the cap and the plan keeps TODAY'S inline shape —
+    zero extra shuffles, full map-side partial mins. The never-taken
+    third shape (shuffle-joining tokens to the map) is deliberately
+    not expressed: joining by token keys the shuffle on the corpus's
+    hottest words."""
     toks = docs.select(id_col, F.explode(tokens_of(F.col(text_col))).alias("token"))
+    # groupBy (not .distinct()) so the boundedness is visible to the plan
+    # audit as an Aggregate; the hashes are PROJECTED above the aggregate —
+    # one md5 per distinct token, never per row (a min(md5) aggregate would
+    # evaluate md5 per input row map-side, defeating the rewrite).
+    hmap = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_tok_n")).select(
+        "token", *[seeded_hash(F.col("token"), i).alias(f"h{i}") for i in range(k)]
+    )
+    est = int(hmap._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est <= VOCAB_HASH_BROADCAST_BYTES:
+        return toks.join(F.broadcast(hmap), "token").groupBy(id_col).agg(
+            *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+        )
     return toks.groupBy(id_col).agg(
         *[F.min(seeded_hash(F.col("token"), i)).alias(f"mh{i}") for i in range(k)]
     )

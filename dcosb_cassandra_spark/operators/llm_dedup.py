@@ -97,10 +97,13 @@ def lsh_candidate_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     cores, build side broadcast while it fits (`maybe_broadcast`: the
     ~10⁷-doc shuffle-equi-join fallback is the size-conditional hint,
     not prose). Memoized per corpus frame — see _LSH_CAND_CACHE."""
+    from ..functions.minhash import VOCAB_HASH_BROADCAST_BYTES
+
     key = (
         spark.sparkContext.applicationId,
         id(d),
         BROADCAST_FALLBACK_BYTES,
+        VOCAB_HASH_BROADCAST_BYTES,  # r15: the sig stage's own hint knob
         spread_width(spark),
     )
     hit = _LSH_CAND_CACHE.get(key)

@@ -217,6 +217,7 @@ def test_broadcast_fallback_is_shuffle_join_with_equal_results(spark, monkeypatc
     broadcast hint from the LSH-family plans, (b) leave results
     row-identical — proving the size-conditional switch degrades to the
     shuffle equi-join shape without semantic drift."""
+    from dcosb_cassandra_spark.functions import minhash
     from dcosb_cassandra_spark.operators import llm_dedup
     from dcosb_cassandra_spark.plans.audit import plan_string
     from dcosb_cassandra_spark.registry import REGISTRY
@@ -229,6 +230,10 @@ def test_broadcast_fallback_is_shuffle_join_with_equal_results(spark, monkeypatc
         for n in names
     }
     monkeypatch.setattr(llm_dedup, "BROADCAST_FALLBACK_BYTES", -1)
+    # the r15 vocab-hash map carries its own size-conditional hint
+    # (functions/minhash.py) — shrink it too so the WHOLE LSH family
+    # degrades to the zero-hint shuffle/inline shape in one move
+    monkeypatch.setattr(minhash, "VOCAB_HASH_BROADCAST_BYTES", -1)
     for n in names:
         df = REGISTRY[n].fn(spark, SF_DIR)
         assert "ResolvedHint" not in plan_string(df, "extended"), n

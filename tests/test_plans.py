@@ -179,6 +179,14 @@ ALLOWED_BOUNDED_BROADCASTS = {
         "shipped as the scoring artifact — corpus size never changes its "
         "bound",
     ),
+    "d2_minhash_signatures": (
+        {"bounded:documents"},
+        "broadcast side is the per-VOCAB seeded-hash map (groupBy(token) "
+        "aggregate — |vocab| rows), size-conditional on Catalyst's own "
+        "estimate with the inline-md5 fallback past the cap "
+        "(minhash_signature, r15): a web-scale vocabulary keeps today's "
+        "zero-extra-shuffle shape",
+    ),
     "d2b_minhash_lsh_pairs": (
         {"documents", "bounded:documents"},
         "broadcast sides are the LSH band rows (aggregate-bounded: bands "

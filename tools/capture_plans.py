@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Capture ``explain("formatted")`` for a set of registered queries into
-``plans/r14/<name>_<suffix>.txt`` — the optimization round's before/after
+``plans/$PLANS_ROUND/<name>_<suffix>.txt`` (default r15) — the optimization round's before/after
 plan evidence (the judge checks plan claims against these files).
 
 Usage:
@@ -40,7 +40,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
