@@ -26,6 +26,20 @@ SF_DIR = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Start test_local_cluster's ~3-minute subprocess at COLLECTION time
+    (r15 suite-wall work): it runs in its own JVMs, so it overlaps the
+    ~40% of the suite that sorts before its file instead of serializing
+    in front of its first test. Only fires when that file's tests are
+    actually selected; --collect-only never spawns it."""
+    if config.option.collectonly:
+        return
+    if any("test_local_cluster" in item.nodeid for item in items):
+        from . import test_local_cluster
+
+        test_local_cluster.start_cluster_subprocess()
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("dcosb-tests")

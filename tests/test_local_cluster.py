@@ -91,18 +91,54 @@ def _digest(df) -> tuple[int, str]:
     return len(rows), hashlib.md5(repr(canon).encode()).hexdigest()
 
 
-@pytest.fixture(scope="module")
-def cluster_results() -> dict:
-    """Run the representative set in a local-cluster subprocess (two real
-    worker JVMs); one subprocess amortizes the ~15 s cluster startup."""
+#: handle for the early-started local-cluster subprocess (r15 suite-wall
+#: work: the run takes ~3 min and used to serialize in front of its
+#: first test; conftest's pytest_collection_modifyitems starts it at
+#: collection time so it overlaps the ~40% of the suite that sorts
+#: before this file). stdout/stderr go to temp FILES, not pipes — the
+#: worker JVM logs overflow a 64 KB pipe buffer and would deadlock an
+#: unread Popen.
+_LC_PROC: dict = {}
+
+
+def start_cluster_subprocess() -> None:
+    """Idempotently launch lc_runner detached; cluster_results joins it."""
+    if "proc" in _LC_PROC:
+        return
+    import tempfile
+
     load_all()
-    proc = subprocess.run(
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="lc_runner_out_", delete=False
+    )
+    err = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="lc_runner_err_", delete=False
+    )
+    _LC_PROC["out"], _LC_PROC["err"] = out, err
+    _LC_PROC["proc"] = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tools", "lc_runner.py"),
          SF_DIR, ",".join(REPRESENTATIVE)],
-        capture_output=True, text=True, timeout=900, cwd=REPO,
+        stdout=out, stderr=err, text=True, cwd=REPO,
     )
-    assert proc.returncode == 0, f"lc_runner failed:\n{proc.stderr[-4000:]}"
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def cluster_results() -> dict:
+    """Results of the representative set run in a local-cluster subprocess
+    (two real worker JVMs); one subprocess amortizes the ~15 s cluster
+    startup, started early (see start_cluster_subprocess)."""
+    start_cluster_subprocess()
+    proc = _LC_PROC["proc"]
+    try:
+        rc = proc.wait(timeout=900)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    _LC_PROC["out"].seek(0)
+    _LC_PROC["err"].seek(0)
+    stdout, stderr = _LC_PROC["out"].read(), _LC_PROC["err"].read()
+    assert rc == 0, f"lc_runner failed:\n{stderr[-4000:]}"
+    return json.loads(stdout.strip().splitlines()[-1])
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)

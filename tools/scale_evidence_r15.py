@@ -47,12 +47,22 @@ def main() -> None:
     one_x = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ten_x = sys.argv[2] if len(sys.argv) > 2 else ".tmp/sf1p"
 
-    from dcosb_cassandra_spark.catalog import table
-    from dcosb_cassandra_spark.operators.llm_corpus import WINDOW_K
-    from dcosb_cassandra_spark.registry import REGISTRY, load_all
-    from dcosb_cassandra_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("scale-evidence-r15")
+    from dcosb_cassandra_spark.catalog import table
+    from dcosb_cassandra_spark.registry import REGISTRY, load_all
+    from dcosb_cassandra_spark.operators.llm_corpus import WINDOW_K
+
+    # the engine session disables the UI; this probe NEEDS the REST API
+    # (shuffle-write bytes), so it builds its own UI-enabled session
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("scale-evidence-r15")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
     load_all()
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
